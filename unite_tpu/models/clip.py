@@ -1,0 +1,251 @@
+"""Frozen CLIP visual teacher (flax), run per-frame on video.
+
+Counterpart of /root/reference/src/models/clip.py:34-295. Behavioral parity:
+
+* patch embedding = per-frame Conv with kernel_size=1 on time — implemented
+  as the tubelet reshape+matmul PatchEmbed with ``tubelet_size=kernel_size``
+  and no bias (clip.py:123-128);
+* class embedding prepended per frame, 2D positional embedding, ln_pre
+  (clip.py:150-152);
+* residual blocks with **QuickGELU** (x * sigmoid(1.702x), clip.py:29-31) and
+  a *full* qkv bias (torch MultiheadAttention), unlike the student's q/v-only
+  bias;
+* taps of the block outputs at ``return_index`` layers; each tap is
+  ln_post'ed on the patch tokens (CLS stripped), projected to ``output_dim``
+  and L2-normalized → ``[K, B, T*HW, output_dim]`` (clip.py:99-104,166-177);
+* optional last-layer head-averaged CLS→patch attention probabilities
+  ``[B*T, HW]`` (clip.py:95-96,181-183 — torch MHA ``need_weights=True``
+  averages over heads);
+* optional last-layer CLS token output (pre-ln_post) (clip.py:101-102).
+
+The teacher is always frozen: entry code wraps calls in ``lax.stop_gradient``
+and keeps its params out of the optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unite_tpu.models.layers import LayerNorm, PatchEmbed
+from unite_tpu.ops.attention import multi_head_attention
+from unite_tpu.utils.registry import register_model
+
+Dtype = Any
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    """Self-attention with packed qkv + full bias (torch MHA layout parity)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, return_probs: bool = False):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(
+            3 * c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            name="in_proj",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+        out = multi_head_attention(
+            q, k, v, scale=head_dim**-0.5, return_probs=return_probs,
+            use_pallas=self.use_pallas,
+        )
+        probs = None
+        if return_probs:
+            out, probs = out
+            probs = jnp.mean(probs, axis=1)  # head average (torch MHA default)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        out = nn.Dense(
+            c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            name="out_proj",
+        )(out)
+        if return_probs:
+            return out, probs
+        return out
+
+
+class CLIPBlock(nn.Module):
+    """Pre-norm residual attention block with QuickGELU MLP."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, return_probs: bool = False):
+        attn = CLIPAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
+        )
+        h = LayerNorm(name="ln_1")(x)
+        probs = None
+        if return_probs:
+            h, probs = attn(h, return_probs=True)
+        else:
+            h = attn(h)
+        x = x + h
+
+        h = LayerNorm(name="ln_2")(x)
+        dim = x.shape[-1]
+        h = nn.Dense(4 * dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_c_fc")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_c_proj")(h)
+        x = x + h
+        if return_probs:
+            return x, probs
+        return x
+
+
+class CLIPVisionTransformer(nn.Module):
+    """CLIP visual encoder over video, folding time into the batch."""
+
+    input_resolution: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+    clip_norm_type: str = "l2"
+    kernel_size: int = 1  # temporal kernel/stride of the patch conv
+    return_attn: bool = False
+    return_index: Sequence[int] = (6, 7, 8, 9, 10, 11)
+    return_cls: bool = False
+    dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, vis_idx=None):
+        """x: [B, T, H, W, 3] video.
+
+        vis_idx: optional [B, N_vis_total] visible-token gather indices over
+        the flattened T'*HW patch grid (masked-teacher path, clip.py:154-160);
+        N_vis_total must be divisible by T'.
+
+        Returns (z, attn?, cls?):
+          z    [K, B, T'*HW_vis, output_dim] L2-normed CLIP features
+          attn [B*T', HW] last-layer CLS→patch head-averaged probabilities
+               (only when return_attn and vis_idx is None)
+          cls  [B*T', width] last-layer CLS tokens (when return_cls)
+        """
+        b = x.shape[0]
+        x = PatchEmbed(
+            embed_dim=self.width, patch_size=self.patch_size,
+            tubelet_size=self.kernel_size, use_bias=False, dtype=self.dtype,
+            name="conv1",
+        )(x.astype(self.dtype))  # [B, T'*HW, width]
+        t = x.shape[1] // ((self.input_resolution // self.patch_size) ** 2)
+        hw = (self.input_resolution // self.patch_size) ** 2
+        x = x.reshape(b * t, hw, self.width)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(self.width**-0.5),
+            (self.width,), jnp.float32,
+        )
+        positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(self.width**-0.5),
+            (hw + 1, self.width), jnp.float32,
+        )
+        cls = jnp.broadcast_to(
+            class_embedding.astype(x.dtype), (b * t, 1, self.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + positional_embedding.astype(x.dtype)
+        x = LayerNorm(name="ln_pre")(x)
+
+        if vis_idx is not None:
+            # Drop masked patch tokens (clip.py:154-160): gather over the
+            # whole video's patch grid, then refold to per-frame sequences.
+            cls_tok = x[:, :1]
+            patches = x[:, 1:].reshape(b, t * hw, self.width)
+            patches = jnp.take_along_axis(patches, vis_idx[..., None], axis=1)
+            hw_vis = patches.shape[1] // t
+            patches = patches.reshape(b * t, hw_vis, self.width)
+            x = jnp.concatenate([cls_tok, patches], axis=1)
+        else:
+            hw_vis = hw
+
+        taps = []
+        attn = None
+        cls_out = None
+        return_index = list(self.return_index)
+        for i in range(self.layers):
+            want_attn = self.return_attn and i == self.layers - 1 and vis_idx is None
+            blk = CLIPBlock(
+                num_heads=self.heads, dtype=self.dtype,
+                use_pallas=self.use_pallas, name=f"resblocks_{i}",
+            )
+            if want_attn:
+                x, probs = blk(x, return_probs=True)
+                attn = probs[:, 0, 1:]  # CLS→patch [B*T', HW]
+            else:
+                x = blk(x)
+            if i in return_index:
+                taps.append(x)
+            if self.return_cls and i == self.layers - 1:
+                cls_out = x[:, 0, :]
+
+        z = jnp.stack(taps)  # [K, B*T', 1+HW_vis, width]
+        k = z.shape[0]
+        z = LayerNorm(name="ln_post")(z[:, :, 1:, :])  # strip CLS
+        z = z.reshape(k, b, t, hw_vis, self.width).reshape(
+            k, b, t * hw_vis, self.width
+        )
+        proj = self.param(
+            "proj", nn.initializers.normal(self.width**-0.5),
+            (self.width, self.output_dim), jnp.float32,
+        )
+        z = jnp.einsum(
+            "kbnc,cd->kbnd", z, proj.astype(z.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.clip_norm_type == "l2":
+            z = z / jnp.linalg.norm(z.astype(jnp.float32), axis=-1, keepdims=True)
+        elif self.clip_norm_type != "none":
+            raise NotImplementedError(self.clip_norm_type)
+        z = z.astype(self.dtype)
+
+        outs = [z]
+        if self.return_attn:
+            outs.append(attn)
+        if self.return_cls:
+            outs.append(cls_out)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+@register_model
+def clip_b16(**kwargs):
+    """CLIP ViT-B/16 teacher (clip.py:234-253 geometry)."""
+    return CLIPVisionTransformer(
+        patch_size=16, width=768, layers=12, heads=12, output_dim=512,
+        **kwargs,
+    )
+
+
+@register_model
+def clip_l14(**kwargs):
+    return CLIPVisionTransformer(
+        patch_size=14, width=1024, layers=24, heads=16, output_dim=768,
+        **kwargs,
+    )
+
+
+@register_model
+def clip_l14_336(**kwargs):
+    return CLIPVisionTransformer(
+        input_resolution=336, patch_size=14, width=1024, layers=24, heads=16,
+        output_dim=768, **kwargs,
+    )

@@ -1,0 +1,351 @@
+"""Multi-head attention ops: Pallas TPU flash attention + XLA fallback.
+
+The hot kernels of the whole framework (reference hot loops: student ViT
+Block x12 over 314-1568 tokens fwd+bwd, frozen CLIP teacher Block x12 over
+197 tokens fwd-only — /root/reference/src/models/modeling_finetune.py:100-119
+and clip.py:48-53). Design is TPU-first:
+
+* one fused Pallas kernel per pass, blocked over queries (keys/values for a
+  single (batch, head) fit comfortably in VMEM at these sequence lengths, so
+  the kernel is a single-sweep flash attention with a full-row softmax in
+  fp32 and bf16 MXU matmuls);
+* backward is two Pallas kernels (dQ blocked over queries; dK/dV blocked over
+  keys) using the stored row logsumexp — the standard flash-attention
+  recomputation split;
+* sequence lengths are padded to the 128-lane boundary inside the op; key
+  padding is masked with -inf, query padding rows are sliced off;
+* an XLA einsum fallback runs on CPU (tests) and whenever attention-prob
+  output or dropout is requested (teacher's last layer needs head-averaged
+  CLS->patch probabilities, clip.py:95-96 — tiny, not worth a kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (CPU fallback, prob output, dropout)
+# ---------------------------------------------------------------------------
+
+
+def attention_xla(q, k, v, *, scale=None, return_probs=False, dropout_rate=0.0,
+                  dropout_rng=None, deterministic=True):
+    """Plain attention. q,k,v: [B, H, S, D]. Softmax in fp32."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs_out = probs
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    if return_probs:
+        return out, probs_out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len):
+    # Block shapes: q [1, BQ, D]; k,v [1, S_pad, D]; o [1, BQ, D];
+    # lse [1, 8, BQ] — row stats broadcast over 8 sublanes to satisfy the
+    # TPU (8, 128) tile constraint (a [1, BQ] block is not a legal tile).
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)  # [S_pad, D]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, S_pad]
+
+    s_pad = k.shape[0]
+    if seq_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse = (m + jnp.log(l))[:, 0]  # [BQ]
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+    p = p / l
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, scale, block_q):
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, max(block_q, 128))
+    bq = min(block_q, s_pad)
+    pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+    qp = jnp.pad(q, pad) if s_pad != s else q
+    kp = jnp.pad(k, pad) if s_pad != s else k
+    vp = jnp.pad(v, pad) if s_pad != s else v
+    bh = b * h
+    qp = qp.reshape(bh, s_pad, d)
+    kp = kp.reshape(bh, s_pad, d)
+    vp = vp.reshape(bh, s_pad, d)
+
+    grid = (bh, s_pad // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, seq_len=s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, s_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s_pad * s_pad * d,
+            bytes_accessed=3 * bh * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+    )(qp, kp, vp)
+    return out, lse, (s_pad, bq)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
+                   *, scale, seq_len):
+    # Recomputes softmax stats in-kernel (the full key row is resident), so
+    # no lse/delta inputs are needed: delta = rowsum(do * o) on the block.
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [BQ, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s_pad = k.shape[0]
+    if seq_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BQ, S_pad]
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, seq_len):
+    # k,v blocks [1, BK, D]; q, do full [1, S_pad, D];
+    # lse/delta [1, 8, S_pad] (row stats broadcast over sublanes by fwd)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][None, :]       # [1, S_pad] (per-query row stats)
+    delta = delta_ref[0, 0][None, :]   # [1, S_pad]
+
+    # scores transposed: [BK, S_pad] = k @ q^T
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s_pad = q.shape[0]
+    pt = jnp.exp(st - lse)  # [BK, S_pad] = P^T
+    if seq_len < s_pad:
+        # zero contributions from padded *query* rows (columns here);
+        # padded key rows of this block yield garbage dk/dv sliced off outside.
+        qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+        pt = jnp.where(qcol < seq_len, pt, 0.0)
+
+    dv = jax.lax.dot_general(
+        pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dpt [BK, S_pad] = v @ do^T
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dst = pt * (dpt - delta) * scale
+    dk = jax.lax.dot_general(
+        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, scale, block_q, block_k):
+    # q,k,v,out are the padded [BH, S_pad, D] arrays saved by fwd;
+    # lse is [BH, 8, S_pad] (sublane-broadcast row stats).
+    q, k, v, out, lse, s = res
+    bh, s_pad, d = q.shape
+    do = g
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, s_pad))
+
+    bq = min(block_q, s_pad)
+    bk = min(block_k, s_pad)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=s),
+        grid=(bh, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * s_pad * s_pad * d,
+            bytes_accessed=4 * bh * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+    )(q, k, v, out, do)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=s),
+        grid=(bh, s_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * s_pad * s_pad * d,
+            bytes_accessed=4 * bh * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, scale, block_q, block_k):
+    out, _, _ = _flash_fwd(q, k, v, scale, block_q)
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, max(block_q, 128))
+    return out.reshape(b, h, s_pad, d)[:, :, :s, :]
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, block_k):
+    b, h, s, d = q.shape
+    out, lse, (s_pad, _) = _flash_fwd(q, k, v, scale, block_q)
+    pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+    qp = jnp.pad(q, pad).reshape(b * h, s_pad, d) if s_pad != s else q.reshape(b * h, s_pad, d)
+    kp = jnp.pad(k, pad).reshape(b * h, s_pad, d) if s_pad != s else k.reshape(b * h, s_pad, d)
+    vp = jnp.pad(v, pad).reshape(b * h, s_pad, d) if s_pad != s else v.reshape(b * h, s_pad, d)
+    res = (qp, kp, vp, out, lse, s)
+    return out.reshape(b, h, s_pad, d)[:, :, :s, :], (res, (b, h, s, d))
+
+
+def _flash_attention_bwd(scale, block_q, block_k, carry, g):
+    res, (b, h, s, d) = carry
+    s_pad = res[0].shape[1]
+    gp = jnp.pad(g, [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else g
+    gp = gp.reshape(b * h, s_pad, d)
+    dq, dk, dv = _flash_bwd(res, gp, scale, block_q, block_k)
+    dq = dq.reshape(b, h, s_pad, d)[:, :, :s, :]
+    dk = dk.reshape(b, h, s_pad, d)[:, :, :s, :]
+    dv = dv.reshape(b, h, s_pad, d)[:, :, :s, :]
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def multi_head_attention(
+    q, k, v, *, scale=None, return_probs=False, dropout_rate=0.0,
+    dropout_rng=None, deterministic=True, use_pallas=None,
+    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+):
+    """Dispatch: Pallas flash attention on TPU, XLA elsewhere.
+
+    q, k, v: [B, H, S, D] (self-attention, no causal mask — ViT).
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    needs_xla = (
+        return_probs
+        or (dropout_rate > 0.0 and not deterministic)
+    )
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if needs_xla or not use_pallas:
+        return attention_xla(
+            q, k, v, scale=scale, return_probs=return_probs,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+    return _flash_attention(q, k, v, scale, block_q, block_k)
