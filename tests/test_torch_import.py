@@ -1,0 +1,314 @@
+"""Golden-parity tests for the PyTorch checkpoint importer.
+
+Strategy: build tiny torch models *in this test* that implement the published
+reference math (q/v-only-bias attention, exact GELU, tubelet Conv3d patch
+embed, CLIP MultiheadAttention + QuickGELU), run them on random input to get
+golden outputs, export their state dicts under the reference's key names,
+import through unite_tpu.utils.torch_import, and check our flax models
+reproduce the outputs to float32 tolerance.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+from unite_tpu.utils import torch_import as ti  # noqa: E402
+
+DIM, HEADS, DEPTH = 32, 2, 2
+T, S, P, TS = 4, 32, 16, 1
+NPATCH = (T // TS) * (S // P) ** 2
+
+
+def sinusoid(n, d):
+    pos = np.arange(n)[:, None]
+    j = np.arange(d)[None, :]
+    angle = pos / np.power(10000.0, 2 * (j // 2) / d)
+    tab = np.zeros((n, d))
+    tab[:, 0::2] = np.sin(angle[:, 0::2])
+    tab[:, 1::2] = np.cos(angle[:, 1::2])
+    return torch.tensor(tab[None], dtype=torch.float32)
+
+
+class GoldBlock(nn.Module):
+    """Reference-math transformer block (q/v-bias attention, exact GELU)."""
+
+    def __init__(self, dim=DIM, heads=HEADS):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = nn.Linear(dim, 3 * dim, bias=False)
+        self.q_bias = nn.Parameter(torch.randn(dim) * 0.05)
+        self.v_bias = nn.Parameter(torch.randn(dim) * 0.05)
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, 4 * dim)
+        self.fc2 = nn.Linear(4 * dim, dim)
+
+    def attn(self, x):
+        b, n, c = x.shape
+        bias = torch.cat([self.q_bias, torch.zeros_like(self.q_bias), self.v_bias])
+        qkv = F.linear(x, self.qkv.weight, bias)
+        qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * (c // self.heads) ** -0.5
+        a = a.softmax(dim=-1)
+        return self.proj((a @ v).transpose(1, 2).reshape(b, n, c))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.fc2(F.gelu(self.fc1(self.norm2(x))))
+        return x
+
+    def export(self, i):
+        sd = {}
+        sd[f"blocks.{i}.norm1.weight"] = self.norm1.weight
+        sd[f"blocks.{i}.norm1.bias"] = self.norm1.bias
+        sd[f"blocks.{i}.attn.qkv.weight"] = self.qkv.weight
+        sd[f"blocks.{i}.attn.q_bias"] = self.q_bias
+        sd[f"blocks.{i}.attn.v_bias"] = self.v_bias
+        sd[f"blocks.{i}.attn.proj.weight"] = self.proj.weight
+        sd[f"blocks.{i}.attn.proj.bias"] = self.proj.bias
+        sd[f"blocks.{i}.norm2.weight"] = self.norm2.weight
+        sd[f"blocks.{i}.norm2.bias"] = self.norm2.bias
+        sd[f"blocks.{i}.mlp.fc1.weight"] = self.fc1.weight
+        sd[f"blocks.{i}.mlp.fc1.bias"] = self.fc1.bias
+        sd[f"blocks.{i}.mlp.fc2.weight"] = self.fc2.weight
+        sd[f"blocks.{i}.mlp.fc2.bias"] = self.fc2.bias
+        return sd
+
+
+class GoldViT(nn.Module):
+    """Reference-math classification ViT (mean pool + fc_norm)."""
+
+    def __init__(self, num_classes=5):
+        super().__init__()
+        self.patch = nn.Conv3d(3, DIM, (TS, P, P), (TS, P, P))
+        self.blocks = nn.ModuleList([GoldBlock() for _ in range(DEPTH)])
+        self.fc_norm = nn.LayerNorm(DIM, eps=1e-6)
+        self.head = nn.Linear(DIM, num_classes)
+        self.register_buffer("pos", sinusoid(NPATCH, DIM))
+
+    def forward(self, x):  # x: [B, C, T, H, W]
+        x = self.patch(x).flatten(2).transpose(1, 2)
+        x = x + self.pos
+        for b in self.blocks:
+            x = b(x)
+        return self.head(self.fc_norm(x.mean(1)))
+
+    def export(self):
+        sd = {
+            "patch_embed.proj.weight": self.patch.weight,
+            "patch_embed.proj.bias": self.patch.bias,
+            "fc_norm.weight": self.fc_norm.weight,
+            "fc_norm.bias": self.fc_norm.bias,
+            "head.weight": self.head.weight,
+            "head.bias": self.head.bias,
+        }
+        for i, b in enumerate(self.blocks):
+            sd.update(b.export(i))
+        return sd
+
+
+def test_vit_import_numerical_parity():
+    torch.manual_seed(0)
+    gold = GoldViT().eval()
+    video_t = torch.randn(2, 3, T, S, S)
+    with torch.no_grad():
+        expect = gold(video_t).numpy()
+
+    from unite_tpu.models.vit import VisionTransformer
+
+    m = VisionTransformer(
+        img_size=S, patch_size=P, embed_dim=DIM, depth=DEPTH, num_heads=HEADS,
+        num_classes=5, all_frames=T, tubelet_size=TS, qkv_bias=True,
+    )
+    video_j = jnp.asarray(video_t.permute(0, 2, 3, 4, 1).numpy())
+    target = m.init(jax.random.PRNGKey(0), video_j)["params"]
+    loaded = ti.state_to_flax_params(gold.export())
+    merged, missing, unexpected = ti.merge_params(target, loaded)
+    assert not missing and not unexpected
+    got = np.asarray(m.apply({"params": merged}, video_j))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+class GoldCLIPBlock(nn.Module):
+    """Reference-math CLIP residual block (torch MHA + QuickGELU)."""
+
+    def __init__(self, dim=DIM, heads=HEADS):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(dim, heads)
+        self.ln_1 = nn.LayerNorm(dim)
+        self.c_fc = nn.Linear(dim, 4 * dim)
+        self.c_proj = nn.Linear(4 * dim, dim)
+        self.ln_2 = nn.LayerNorm(dim)
+
+    def forward_quickgelu(self, x, need_weights=False):  # x: [L, N, D]
+        h = self.ln_1(x)
+        a, w = self.attn(h, h, h, need_weights=need_weights)
+        x = x + a
+        h = self.c_fc(self.ln_2(x))
+        h = h * torch.sigmoid(1.702 * h)
+        x = x + self.c_proj(h)
+        return x, w
+
+    def export(self, i):
+        return {
+            f"transformer.resblocks.{i}.attn.in_proj_weight": self.attn.in_proj_weight,
+            f"transformer.resblocks.{i}.attn.in_proj_bias": self.attn.in_proj_bias,
+            f"transformer.resblocks.{i}.attn.out_proj.weight": self.attn.out_proj.weight,
+            f"transformer.resblocks.{i}.attn.out_proj.bias": self.attn.out_proj.bias,
+            f"transformer.resblocks.{i}.ln_1.weight": self.ln_1.weight,
+            f"transformer.resblocks.{i}.ln_1.bias": self.ln_1.bias,
+            f"transformer.resblocks.{i}.mlp.c_fc.weight": self.c_fc.weight,
+            f"transformer.resblocks.{i}.mlp.c_fc.bias": self.c_fc.bias,
+            f"transformer.resblocks.{i}.mlp.c_proj.weight": self.c_proj.weight,
+            f"transformer.resblocks.{i}.mlp.c_proj.bias": self.c_proj.bias,
+            f"transformer.resblocks.{i}.ln_2.weight": self.ln_2.weight,
+            f"transformer.resblocks.{i}.ln_2.bias": self.ln_2.bias,
+        }
+
+
+def test_clip_import_numerical_parity():
+    torch.manual_seed(1)
+    hw = (S // P) ** 2
+    blocks = [GoldCLIPBlock().eval() for _ in range(2)]
+    conv = nn.Conv3d(3, DIM, (1, P, P), (1, P, P), bias=False)
+    class_emb = torch.randn(DIM) * DIM**-0.5
+    pos_emb = torch.randn(hw + 1, DIM) * DIM**-0.5
+    ln_pre = nn.LayerNorm(DIM)
+    ln_post = nn.LayerNorm(DIM)
+    proj = torch.randn(DIM, 24) * DIM**-0.5
+
+    video_t = torch.randn(2, 3, T, S, S)
+    with torch.no_grad():
+        x = conv(video_t)  # [B, D, T, H', W']
+        n, c, t = x.shape[:3]
+        x = x.permute(0, 2, 3, 4, 1).reshape(n * t, hw, c)
+        x = torch.cat(
+            [class_emb.expand(x.shape[0], 1, c), x], dim=1
+        )
+        x = ln_pre(x + pos_emb)
+        x = x.permute(1, 0, 2)  # LND
+        taps = []
+        attn_w = None
+        for i, blk in enumerate(blocks):
+            x, w = blk.forward_quickgelu(x, need_weights=(i == len(blocks) - 1))
+            taps.append(x)
+            if w is not None:
+                attn_w = w
+        z = torch.stack(taps)  # [K, L, NT, C]
+        z = ln_post(z[:, 1:, :, :])
+        k = z.shape[0]
+        z = z.view(k, hw, n, t, c).permute(0, 2, 3, 1, 4).reshape(k, n, t * hw, c)
+        z = z @ proj
+        expect_z = (z / z.norm(dim=-1, keepdim=True)).numpy()
+        expect_attn = attn_w[:, 0, 1:].numpy()
+
+    sd = {
+        "conv1.weight": conv.weight,
+        "class_embedding": class_emb,
+        "positional_embedding": pos_emb,
+        "ln_pre.weight": ln_pre.weight, "ln_pre.bias": ln_pre.bias,
+        "ln_post.weight": ln_post.weight, "ln_post.bias": ln_post.bias,
+        "proj": proj,
+    }
+    for i, b in enumerate(blocks):
+        sd.update(b.export(i))
+
+    from unite_tpu.models.clip import CLIPVisionTransformer
+
+    m = CLIPVisionTransformer(
+        input_resolution=S, patch_size=P, width=DIM, layers=2, heads=HEADS,
+        output_dim=24, return_attn=True, return_index=(0, 1),
+    )
+    video_j = jnp.asarray(video_t.permute(0, 2, 3, 4, 1).numpy())
+    target = m.init(jax.random.PRNGKey(0), video_j)["params"]
+    loaded = ti.clip_state_to_flax_params(sd, input_resolution=S, patch_size=P)
+    merged, missing, unexpected = ti.merge_params(target, loaded)
+    assert not missing and not unexpected
+    got_z, got_attn = m.apply({"params": merged}, video_j)
+    np.testing.assert_allclose(np.asarray(got_z), expect_z, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_attn), expect_attn, atol=3e-5)
+
+
+def test_clip_conv_inflation():
+    w2 = torch.randn(8, 3, 4, 4)
+    w3 = ti.inflate_conv_weight(w2, 3, center=True)
+    assert w3.shape == (8, 3, 3, 4, 4)
+    np.testing.assert_allclose(w3[:, :, 1].numpy(), w2.numpy())
+    assert float(w3[:, :, 0].abs().sum()) == 0.0
+    w3m = ti.inflate_conv_weight(w2, 2, center=False)
+    np.testing.assert_allclose(w3m.sum(2).numpy(), w2.numpy(), atol=1e-6)
+
+
+def test_pos_embed_interpolation_shapes():
+    # 8-frame 4x4-grid ckpt -> 16 frames, same spatial
+    pe = torch.randn(1, 8 * 16, DIM)
+    state = ti.interpolate_pos_embed(
+        {"pos_embed": pe}, num_patches=16 * 16, num_extra_tokens=0,
+        new_frames=16, tubelet_size=1,
+    )
+    assert state["pos_embed"].shape == (1, 16 * 16, DIM)
+    # identity when geometry matches
+    state2 = ti.interpolate_pos_embed(
+        {"pos_embed": pe}, num_patches=8 * 16, num_extra_tokens=0,
+        new_frames=8, tubelet_size=1,
+    )
+    np.testing.assert_allclose(state2["pos_embed"].numpy(), pe.numpy())
+
+
+def test_surgery_head():
+    sd = {"head.weight": torch.randn(710, 8), "head.bias": torch.randn(710)}
+    out = ti.surgery_head(dict(sd), nb_classes=400)
+    assert out["head.weight"].shape[0] == 400
+    out = ti.surgery_head(dict(sd), nb_classes=12, delete_head=True)
+    assert "head.weight" not in out
+
+
+def test_prefix_rules():
+    sd = {"backbone.patch_embed.proj.weight": 1, "encoder.norm.weight": 2, "x": 3}
+    out = ti.strip_prefixes(sd, ("backbone.", "encoder."))
+    assert set(out) == {"patch_embed.proj.weight", "norm.weight", "x"}
+    assert set(ti.wrap_encoder_prefix({"a": 1})) == {"encoder.a"}
+
+
+def test_merge_params_reports():
+    target = {"a": {"b": np.zeros((2,))}, "c": np.ones((3,))}
+    loaded = {"a": {"b": np.full((2,), 7.0)}, "d": np.zeros(1)}
+    merged, missing, unexpected = ti.merge_params(target, loaded)
+    np.testing.assert_allclose(merged["a"]["b"], 7.0)
+    np.testing.assert_allclose(merged["c"], 1.0)  # kept init
+    assert missing == [("c",)]
+    assert unexpected == [("d",)]
+
+
+def test_merge_params_shape_mismatch_raises():
+    with pytest.raises(ValueError):
+        ti.merge_params({"a": np.zeros((2,))}, {"a": np.zeros((3,))})
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from unite_tpu.utils import checkpoint as ck
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    ck.save_checkpoint(str(tmp_path), 4, params, opt_state={"m": np.zeros(2)},
+                       args={"lr": 1e-3}, tags=("latest", 4))
+    payload = ck.auto_load_model(str(tmp_path))
+    assert payload["epoch"] == 4
+    np.testing.assert_allclose(payload["model"]["w"], params["w"])
+    assert payload["args"]["lr"] == 1e-3
+
+    # resume priority: latest > best > numbered
+    import os
+    os.remove(tmp_path / "checkpoint-latest.msgpack")
+    ck.save_checkpoint(str(tmp_path), 9, params, tags=("best",))
+    assert ck.find_resume_checkpoint(str(tmp_path)).endswith("checkpoint-best.msgpack")
+    os.remove(tmp_path / "checkpoint-best.msgpack")
+    assert ck.find_resume_checkpoint(str(tmp_path)).endswith("checkpoint-4.msgpack")

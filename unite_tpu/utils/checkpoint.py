@@ -1,0 +1,111 @@
+"""Checkpoint save / auto-resume with the reference's artifact semantics.
+
+Counterpart of /root/reference/src/utils.py:689-776 (`save_model`,
+`save_latest_model`, `auto_load_model`): periodic ``checkpoint-{epoch}``
+(the every-``save_ckpt_freq`` policy lives in the entry scripts, as in
+run_stage1.py:880-889), rolling ``checkpoint-latest`` every epoch,
+``checkpoint-best`` on val improvement; auto-resume prefers latest, then
+best, then the highest-numbered periodic checkpoint.
+
+Format: flax msgpack of a plain dict
+``{model, optimizer, epoch, args, [model_ema], [extra]}`` — the same logical
+contents as the reference's torch.save payload (minus the AMP GradScaler,
+which bf16 training does not need). Process-0-only writes in multihost runs;
+writes are atomic (tmp + rename) so a crash never corrupts an existing file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_PREFIX = "checkpoint"
+CKPT_EXT = ".msgpack"
+
+
+def _path(output_dir: str, tag) -> str:
+    return os.path.join(output_dir, f"{CKPT_PREFIX}-{tag}{CKPT_EXT}")
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def _payload(epoch, model_params, opt_state, model_ema, args, extra):
+    payload = {
+        "model": _to_numpy_tree(model_params),
+        "optimizer": _to_numpy_tree(opt_state) if opt_state is not None else None,
+        "epoch": int(epoch),
+        "args": dict(args) if args else {},
+    }
+    if model_ema is not None:
+        payload["model_ema"] = _to_numpy_tree(model_ema)
+    if extra:
+        payload["extra"] = _to_numpy_tree(extra)
+    return payload
+
+
+def _atomic_write(path: str, blob: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def save_checkpoint(
+    output_dir: str,
+    epoch: int,
+    model_params,
+    opt_state=None,
+    model_ema=None,
+    args: Optional[dict] = None,
+    extra: Optional[Dict[str, Any]] = None,
+    tags=("latest",),
+) -> None:
+    """Serialize once, write under each tag ('latest', 'best', or epoch int)."""
+    if not is_main_process():
+        return
+    blob = serialization.msgpack_serialize(
+        _payload(epoch, model_params, opt_state, model_ema, args, extra)
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    for tag in tags:
+        _atomic_write(_path(output_dir, tag), blob)
+
+
+def find_resume_checkpoint(output_dir: str) -> Optional[str]:
+    """latest > best > highest-numbered (reference utils.py:739-776 order)."""
+    for tag in ("latest", "best"):
+        p = _path(output_dir, tag)
+        if os.path.exists(p):
+            return p
+    best_epoch, best_path = -1, None
+    for p in glob.glob(_path(output_dir, "*")):
+        m = re.search(rf"{CKPT_PREFIX}-(\d+){re.escape(CKPT_EXT)}$", p)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch, best_path = int(m.group(1)), p
+    return best_path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def auto_load_model(output_dir: str):
+    """Returns the restored payload dict or None if nothing to resume."""
+    path = find_resume_checkpoint(output_dir)
+    if path is None:
+        return None
+    print(f"Auto resume checkpoint: {path}")
+    return load_checkpoint(path)

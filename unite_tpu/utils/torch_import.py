@@ -1,0 +1,371 @@
+"""PyTorch-checkpoint importer: published UMT/CLIP weights → flax param trees.
+
+The pipeline is initialized from published PyTorch checkpoints (UMT K710
+student `b16_ptk710_f8_res224.pth`, extracted OpenAI CLIP visual weights —
+/root/reference/README.md:42-47), so faithful import is accuracy-critical.
+This module reproduces every key-surgery path of the reference:
+
+* model-key search over 'model|module' (run_stage1.py:522-533);
+* stage-1 wrap-in-``encoder.`` + ``backbone.`` strip (run_stage1.py:525-542)
+  vs stage-2 ``backbone.``/``encoder.`` strip (run_stage2.py:384-393);
+* head deletion / K710 710→nb_classes slicing (run_stage2.py:366-382);
+* temporal (linear) + spatial (bicubic) positional-embedding interpolation
+  (run_stage2.py:395-435) — done **with torch** so the resampling matches the
+  reference bit-for-bit;
+* CLIP 2D→3D patch-conv inflation and positional interpolation
+  (clip.py:191-229).
+
+Layout conversions torch → flax:
+* Linear ``weight [out,in]`` → ``kernel = weight.T``;
+* LayerNorm ``weight`` → ``scale``;
+* patch-embed Conv3d ``weight [D,C,kt,kh,kw]`` → matmul kernel
+  ``[kt*kh*kw*C, D]`` (transpose (2,3,4,1,0) then reshape) matching
+  models/layers.PatchEmbed's (kt,kh,kw,c) patch-vector ordering;
+* packed qkv / in_proj weights keep torch's (q,k,v) row order, which equals
+  our Dense(3C) column order after transposition.
+
+torch is used host-side only (CPU) to read ``.pth`` files and resample.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+LN_NAMES = {"norm", "norm1", "norm2", "fc_norm", "ln_1", "ln_2", "ln_pre", "ln_post"}
+
+
+def _torch():
+    import torch  # local import: only the importer needs torch
+
+    return torch
+
+
+# ---------------------------------------------------------------------------
+# Loading + key surgery
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state(path: str, model_key: str = "model|module") -> Dict[str, np.ndarray]:
+    """torch.load + model-key search; values stay torch tensors (CPU)."""
+    torch = _torch()
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in model_key.split("|"):
+            if key in ckpt:
+                print(f"Load state_dict by model_key = {key}")
+                return dict(ckpt[key])
+    return dict(ckpt)
+
+
+def strip_prefixes(state: dict, strip=("backbone.",)) -> dict:
+    """Remove leading prefixes (run_stage1.py:536-542 / run_stage2.py:384-393)."""
+    out = {}
+    for k, v in state.items():
+        for p in strip:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def wrap_encoder_prefix(state: dict) -> dict:
+    """Prefix every key with ``encoder.`` (stage-1 semantics when the ckpt
+    came from a bare-encoder model, run_stage1.py:525-527)."""
+    return {f"encoder.{k}": v for k, v in state.items()}
+
+
+def surgery_head(state: dict, nb_classes: int, delete_head: bool = False) -> dict:
+    """Delete or slice the classifier head (run_stage2.py:366-382)."""
+    state = dict(state)
+    if "head.weight" in state:
+        if delete_head:
+            print("Removing head from pretrained checkpoint")
+            state.pop("head.weight")
+            state.pop("head.bias", None)
+        elif state["head.weight"].shape[0] == 710 and nb_classes == 400:
+            state["head.weight"] = state["head.weight"][:nb_classes]
+            state["head.bias"] = state["head.bias"][:nb_classes]
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Positional-embedding interpolation (torch-exact)
+# ---------------------------------------------------------------------------
+
+
+def interpolate_pos_embed(
+    state: dict,
+    num_patches: int,
+    num_extra_tokens: int,
+    new_frames: int,
+    tubelet_size: int,
+    orig_frames: int = 8,
+    key: str = "pos_embed",
+) -> dict:
+    """Temporal linear + spatial bicubic resample (run_stage2.py:395-435)."""
+    if key not in state:
+        return state
+    torch = _torch()
+    state = dict(state)
+    pe = torch.as_tensor(state[key])
+    c = pe.shape[-1]
+    orig_t = orig_frames // tubelet_size
+    new_t = new_frames // tubelet_size
+    orig_size = int(((pe.shape[-2] - num_extra_tokens) // orig_t) ** 0.5)
+    new_size = int((num_patches // new_t) ** 0.5)
+
+    if orig_t != new_t:
+        print(f"Temporal interpolate from {orig_t} to {new_t}")
+        tmp = pe.view(1, orig_t, -1, c).permute(0, 2, 3, 1).reshape(-1, c, orig_t)
+        tmp = torch.nn.functional.interpolate(tmp, size=new_t, mode="linear")
+        tmp = tmp.view(1, -1, c, new_t).permute(0, 3, 1, 2).reshape(1, -1, c)
+        pe = tmp
+
+    if orig_size != new_size:
+        print(f"Position interpolate from {orig_size}x{orig_size} to {new_size}x{new_size}")
+        extra = pe[:, :num_extra_tokens]
+        pos = pe[:, num_extra_tokens:]
+        pos = pos.reshape(-1, new_t, orig_size, orig_size, c)
+        pos = pos.reshape(-1, orig_size, orig_size, c).permute(0, 3, 1, 2)
+        pos = torch.nn.functional.interpolate(
+            pos, size=(new_size, new_size), mode="bicubic", align_corners=False
+        )
+        pos = pos.permute(0, 2, 3, 1).reshape(-1, new_t, new_size, new_size, c)
+        pos = pos.flatten(1, 3)
+        pe = torch.cat((extra, pos), dim=1)
+
+    state[key] = pe
+    return state
+
+
+def inflate_conv_weight(weight_2d, time_dim: int, center: bool = True):
+    """2D conv weight → 3D by center init or mean-preserving tile (clip.py:191-201)."""
+    torch = _torch()
+    w = torch.as_tensor(weight_2d)
+    if center:
+        w3 = torch.zeros(*w.shape).unsqueeze(2).repeat(1, 1, time_dim, 1, 1)
+        w3[:, :, time_dim // 2] = w
+    else:
+        w3 = w.unsqueeze(2).repeat(1, 1, time_dim, 1, 1) / time_dim
+    return w3
+
+
+def interpolate_clip_pos_embed(state: dict, input_resolution: int, patch_size: int) -> dict:
+    """CLIP [HW+1, C] positional embedding bicubic resample (clip.py:215-229)."""
+    torch = _torch()
+    state = dict(state)
+    pe = torch.as_tensor(state["positional_embedding"])
+    c = pe.shape[-1]
+    num_patches = (input_resolution // patch_size) ** 2
+    orig_size = int((pe.shape[-2] - 1) ** 0.5)
+    new_size = int(num_patches**0.5)
+    if orig_size != new_size:
+        print(f"Pos_emb from {orig_size} to {new_size}")
+        extra = pe[:1]
+        pos = pe[1:].reshape(-1, orig_size, orig_size, c).permute(0, 3, 1, 2)
+        pos = torch.nn.functional.interpolate(
+            pos, size=(new_size, new_size), mode="bicubic", align_corners=False
+        )
+        pos = pos.permute(0, 2, 3, 1).flatten(0, 2)
+        state["positional_embedding"] = torch.cat((extra, pos), dim=0)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# torch key → flax path + layout transform
+# ---------------------------------------------------------------------------
+
+
+def _np(v) -> np.ndarray:
+    try:
+        return v.detach().cpu().numpy().astype(np.float32)
+    except AttributeError:
+        return np.asarray(v, dtype=np.float32)
+
+
+def _patch_embed_kernel(w: np.ndarray) -> np.ndarray:
+    """[D, C, kt, kh, kw] conv weight → [kt*kh*kw*C, D] matmul kernel."""
+    d = w.shape[0]
+    return w.transpose(2, 3, 4, 1, 0).reshape(-1, d)
+
+
+def torch_key_to_flax(key: str, value) -> Optional[Tuple[Tuple[str, ...], np.ndarray]]:
+    """Map one student/ViT-family torch key to (flax path, array).
+
+    Returns None for keys with no flax counterpart (e.g. fixed sinusoid
+    pos_embed buffers — our models regenerate them).
+    """
+    v = _np(value)
+    parts = key.split(".")
+
+    # blocks.N.x -> blocks_N.x ; clip_decoder.N.x -> clip_decoder_N.x
+    out: list = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p in ("blocks", "clip_decoder", "resblocks") and i + 1 < len(parts) \
+                and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    parts = out
+
+    leaf = parts[-1]
+    ctx = parts[-2] if len(parts) >= 2 else ""
+
+    if leaf == "num_batches_tracked":
+        return None
+    if key.endswith("pos_embed") and v.ndim == 2:
+        # fixed sinusoid buffer saved by some ckpts; regenerate instead
+        return None
+
+    if leaf == "weight":
+        if ctx in LN_NAMES:
+            return tuple(parts[:-1] + ["scale"]), v
+        if v.ndim == 5:  # patch-embed conv3d
+            return tuple(parts[:-1] + ["kernel"]), _patch_embed_kernel(v)
+        if v.ndim == 2:  # linear
+            return tuple(parts[:-1] + ["kernel"]), v.T
+        if v.ndim == 1:  # layernorm under an unknown name
+            return tuple(parts[:-1] + ["scale"]), v
+        raise ValueError(f"unhandled weight shape {v.shape} for {key}")
+    if leaf == "bias":
+        return tuple(parts[:-1] + ["bias"]), v
+    # plain parameters: cls_token, q_bias, v_bias, gamma_1/2, mask_token,
+    # (learnable) pos_embed with batch dim, class_embedding, proj, ...
+    return tuple(parts), v
+
+
+def unflatten(entries: Dict[Tuple[str, ...], np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, v in entries.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def state_to_flax_params(state: dict) -> dict:
+    """Convert a (surgered) torch state dict to a nested flax param dict."""
+    entries = {}
+    for k, v in state.items():
+        mapped = torch_key_to_flax(k, v)
+        if mapped is None:
+            continue
+        path, arr = mapped
+        entries[path] = arr
+    return unflatten(entries)
+
+
+def clip_key_to_flax(key: str, value) -> Optional[Tuple[Tuple[str, ...], np.ndarray]]:
+    """Map one CLIP-visual torch key to (flax path, array)."""
+    v = _np(value)
+    if key == "conv1.weight":
+        return ("conv1", "proj", "kernel"), _patch_embed_kernel(v)
+    if key in ("class_embedding", "positional_embedding", "proj"):
+        return (key,), v
+    m = re.match(r"(?:transformer\.)?resblocks\.(\d+)\.(.*)", key)
+    if m:
+        idx, rest = m.group(1), m.group(2)
+        base = (f"resblocks_{idx}",)
+        if rest == "attn.in_proj_weight":
+            return base + ("attn", "in_proj", "kernel"), v.T
+        if rest == "attn.in_proj_bias":
+            return base + ("attn", "in_proj", "bias"), v
+        if rest == "attn.out_proj.weight":
+            return base + ("attn", "out_proj", "kernel"), v.T
+        if rest == "attn.out_proj.bias":
+            return base + ("attn", "out_proj", "bias"), v
+        m2 = re.match(r"(ln_1|ln_2)\.(weight|bias)", rest)
+        if m2:
+            leaf = "scale" if m2.group(2) == "weight" else "bias"
+            return base + (m2.group(1), leaf), v
+        m2 = re.match(r"mlp\.(c_fc|c_proj)\.(weight|bias)", rest)
+        if m2:
+            leaf = "kernel" if m2.group(2) == "weight" else "bias"
+            arr = v.T if m2.group(2) == "weight" else v
+            return base + (f"mlp_{m2.group(1)}", leaf), arr
+        raise ValueError(f"unhandled CLIP resblock key: {key}")
+    m = re.match(r"(ln_pre|ln_post)\.(weight|bias)", key)
+    if m:
+        leaf = "scale" if m.group(2) == "weight" else "bias"
+        return (m.group(1), leaf), v
+    print(f"Ignore CLIP key: {key}")
+    return None
+
+
+def clip_state_to_flax_params(
+    state: dict,
+    input_resolution: int = 224,
+    patch_size: int = 16,
+    kernel_size: int = 1,
+    center: bool = True,
+) -> dict:
+    """Full CLIP import: inflate conv, resample pos-emb, convert layout."""
+    torch = _torch()
+    state = dict(state)
+    w = torch.as_tensor(state["conv1.weight"])
+    if w.ndim == 4:  # 2D image weights → inflate over time (clip.py:204-213)
+        state["conv1.weight"] = inflate_conv_weight(w, kernel_size, center=center)
+    state = interpolate_clip_pos_embed(state, input_resolution, patch_size)
+    entries = {}
+    for k, v in state.items():
+        mapped = clip_key_to_flax(k, v)
+        if mapped is None:
+            continue
+        entries[mapped[0]] = mapped[1]
+    return unflatten(entries)
+
+
+# ---------------------------------------------------------------------------
+# Merge into a target param tree (utils.load_state_dict semantics: load what
+# matches, report missing/unexpected keys)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: dict, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flat.update(_flatten(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = v
+    return flat
+
+
+def merge_params(target: dict, loaded: dict, strict_shapes: bool = True):
+    """Overlay ``loaded`` onto ``target``; returns (merged, missing, unexpected).
+
+    ``target`` is a freshly-initialized flax param dict (``variables['params']``).
+    Missing keys keep their init values (reference prints and continues,
+    src/utils.py load_state_dict).
+    """
+    tflat = _flatten(target)
+    lflat = _flatten(loaded)
+    merged = dict(tflat)
+    missing = [k for k in tflat if k not in lflat]
+    unexpected = [k for k in lflat if k not in tflat]
+    for k, v in lflat.items():
+        if k not in tflat:
+            continue
+        if tuple(v.shape) != tuple(np.shape(tflat[k])):
+            msg = (f"shape mismatch for {'.'.join(k)}: "
+                   f"ckpt {v.shape} vs model {np.shape(tflat[k])}")
+            if strict_shapes:
+                raise ValueError(msg)
+            print("Skip:", msg)
+            unexpected.append(k)
+            continue
+        merged[k] = v.astype(np.asarray(tflat[k]).dtype)
+    if missing:
+        print("Missing keys:", sorted(".".join(k) for k in missing))
+    if unexpected:
+        print("Unexpected keys:", sorted(".".join(k) for k in unexpected))
+    return unflatten(merged), missing, unexpected
