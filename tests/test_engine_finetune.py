@@ -1,0 +1,148 @@
+"""Stage-2 engine integration tests on the 8-fake-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unite_tpu.engines.finetune import (
+    make_eval_step,
+    make_finetune_train_step,
+    merge,
+    write_preds_file,
+)
+from unite_tpu.models.vit import VisionTransformer
+from unite_tpu.optim.factory import create_optimizer
+from unite_tpu.parallel.mesh import data_parallel_jit, make_mesh, shard_batch
+from unite_tpu.train.train_state import TrainState
+
+
+def tiny_model(num_classes=4):
+    return VisionTransformer(
+        img_size=16, patch_size=8, embed_dim=16, depth=1, num_heads=2,
+        num_classes=num_classes, all_frames=2, tubelet_size=1, qkv_bias=True,
+    )
+
+
+def synthetic_batch(n=16, num_classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, n)
+    # class-dependent mean so the task is learnable
+    videos = rng.standard_normal((n, 2, 16, 16, 3)).astype(np.float32) * 0.1
+    videos += labels[:, None, None, None, None] / num_classes
+    return {"videos": videos, "labels": labels.astype(np.int32)}
+
+
+def test_dp_training_decreases_loss_on_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model = tiny_model()
+    batch = synthetic_batch()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["videos"][:1])
+    )["params"]
+    tx, _ = create_optimizer("adamw", lr=1e-2, params=params, weight_decay=0.0)
+    state = TrainState.create(params, tx)
+    train_step = data_parallel_jit(
+        make_finetune_train_step(model), mesh
+    )
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        sb = shard_batch(synthetic_batch(seed=i % 3), mesh)
+        state, metrics = train_step(state, sb, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    assert int(state.step) == 30
+
+
+def test_ema_tracks_params():
+    model = tiny_model()
+    batch = synthetic_batch(8)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["videos"][:1]))["params"]
+    tx, _ = create_optimizer("sgd", lr=0.1, params=params, momentum=0.0)
+    state = TrainState.create(params, tx, ema_decay=0.9)
+    step = make_finetune_train_step(model, ema_decay=0.9)
+    state2, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                     jax.random.PRNGKey(1))
+    p = np.asarray(state2.params["head"]["kernel"])
+    e = np.asarray(state2.ema_params["head"]["kernel"])
+    p0 = np.asarray(state.params["head"]["kernel"])
+    np.testing.assert_allclose(e, 0.9 * p0 + 0.1 * p, atol=1e-6)
+
+
+def test_eval_step_outputs():
+    model = tiny_model()
+    batch = synthetic_batch(8)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["videos"][:1]))["params"]
+    tx, _ = create_optimizer("sgd", lr=0.1, params=params)
+    state = TrainState.create(params, tx)
+    out = make_eval_step(model)(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert out["probs"].shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(-1), 1.0, atol=1e-5)
+    assert 0.0 <= float(out["acc1"]) <= 100.0
+
+
+def test_grad_accumulation_multisteps():
+    import optax
+    model = tiny_model()
+    batch = synthetic_batch(8)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["videos"][:1]))["params"]
+    tx, _ = create_optimizer("sgd", lr=0.1, params=params, momentum=0.0)
+    tx = optax.MultiSteps(tx, every_k_schedule=2)
+    state = TrainState.create(params, tx)
+    step = make_finetune_train_step(model)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, _ = step(state, jb, jax.random.PRNGKey(1))
+    # first micro-step: params unchanged (accumulating)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]),
+    )
+    s2, _ = step(s1, jb, jax.random.PRNGKey(1))
+    assert not np.allclose(
+        np.asarray(s2.params["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]),
+    )
+
+
+def test_merge_multi_view(tmp_path):
+    # video A: 2 views (+1 duplicate) agreeing on class 1; video B: class 0
+    a1 = np.array([0.1, 0.8, 0.1])
+    a2 = np.array([0.2, 0.5, 0.3])
+    b1 = np.array([0.9, 0.05, 0.05])
+    write_preds_file(str(tmp_path / "0.txt"),
+                     [("vidA", a1, 1, 0, 0), ("vidA", a2, 1, 1, 0)])
+    write_preds_file(str(tmp_path / "1.txt"),
+                     [("vidA", a1, 1, 0, 0),  # duplicate view, must dedupe
+                      ("vidB", b1, 0, 0, 0)])
+    top1, top5 = merge(str(tmp_path), num_tasks=2)
+    assert top1 == 100.0
+    assert top5 == 100.0
+
+    # wrong label -> top1 drops
+    write_preds_file(str(tmp_path / "0.txt"), [("vidC", b1, 2, 0, 0)])
+    top1, _ = merge(str(tmp_path), num_tasks=2)
+    assert abs(top1 - 100.0 * 2 / 3) < 1e-6
+
+
+def test_mixup_soft_targets():
+    from unite_tpu.ops.mixup import Mixup
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=4,
+                label_smoothing=0.1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((6, 2, 16, 16, 3)),
+                    jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    mixed, targets = mix(jax.random.PRNGKey(0), x, labels)
+    assert mixed.shape == x.shape
+    assert targets.shape == (6, 4)
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
+
+
+def test_mixup_elem_mode():
+    from unite_tpu.ops.mixup import Mixup
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, mode="elem", num_classes=4)
+    x = jnp.ones((4, 2, 16, 16, 3))
+    labels = jnp.asarray([0, 1, 2, 3])
+    mixed, targets = mix(jax.random.PRNGKey(0), x, labels)
+    assert mixed.shape == x.shape
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)

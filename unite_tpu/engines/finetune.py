@@ -1,0 +1,139 @@
+"""Stage-2 fine-tuning engine: jitted train/eval steps + multi-view test merge.
+
+Counterpart of /root/reference/src/engines/engine_for_finetuning.py:48-351
+(`train_one_epoch`, `validation_one_epoch`, `final_test`, `merge`),
+restructured TPU-first: the per-step body is one pure jitted function
+``train_step(state, batch, rng) -> (state, metrics)``; gradient accumulation
+uses optax.MultiSteps (reference ``update_freq``); mixup runs on device;
+EMA updates fuse into the same step. The epoch loop, metric logging, and
+checkpointing live in the entry scripts (as in the reference).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unite_tpu.engines.losses import (
+    accuracy_topk,
+    cross_entropy,
+    soft_target_cross_entropy,
+)
+from unite_tpu.ops.mixup import Mixup
+from unite_tpu.train.train_state import TrainState, clip_by_global_norm
+
+
+def make_finetune_train_step(
+    model,
+    mixup: Optional[Mixup] = None,
+    label_smoothing: float = 0.0,
+    clip_grad: Optional[float] = None,
+    ema_decay: Optional[float] = None,
+) -> Callable:
+    """Build the jitted stage-2 train step (criterion selection mirrors
+    run_stage2.py:675-683: soft-target CE if mixup, else smoothed/plain CE)."""
+
+    def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        videos, labels = batch["videos"], batch["labels"]
+        step_rng = jax.random.fold_in(rng, state.step)
+        mix_rng, drop_rng = jax.random.split(step_rng)
+
+        if mixup is not None:
+            videos, soft_targets = mixup(mix_rng, videos, labels)
+        else:
+            soft_targets = None
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, videos, False, rngs={"dropout": drop_rng}
+            )
+            if soft_targets is not None:
+                loss = soft_target_cross_entropy(logits, soft_targets)
+            else:
+                loss = cross_entropy(logits, labels, label_smoothing)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads, grad_norm = clip_by_global_norm(grads, clip_grad)
+        state = state.apply_gradients(grads, ema_decay=ema_decay)
+
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if mixup is None:
+            acc1, acc5 = accuracy_topk(logits, labels)
+            metrics["class_acc"] = acc1 / 100.0  # reference logs fraction
+            metrics["acc5"] = acc5 / 100.0
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, use_ema: bool = False) -> Callable:
+    """Validation step: returns per-batch (softmax probs, labels, top1/5)."""
+
+    def eval_step(state: TrainState, batch: Dict) -> Dict:
+        params = state.ema_params if use_ema and state.ema_params is not None \
+            else state.params
+        logits = model.apply({"params": params}, batch["videos"], True)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        acc1, acc5 = accuracy_topk(logits, batch["labels"])
+        return {"probs": probs, "labels": batch["labels"],
+                "acc1": acc1, "acc5": acc5,
+                "loss": cross_entropy(logits, batch["labels"])}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Multi-view test + merge (engine_for_finetuning.py:241-351)
+# ---------------------------------------------------------------------------
+
+
+def write_preds_file(path: str, records: List[Tuple[str, np.ndarray, int, int, int]]):
+    """Append per-view predictions: (video_id, probs, label, chunk, crop).
+
+    Same role as the per-rank ``{rank}.txt`` files (:276-292): one line per
+    view so ``merge`` can de-duplicate repeated views across data padding.
+    """
+    with open(path, "a") as f:
+        for vid, probs, label, chunk_nb, split_nb in records:
+            probs_str = ",".join(f"{p:.8f}" for p in np.asarray(probs))
+            f.write(f"{vid}\t{probs_str}\t{label}\t{chunk_nb}\t{split_nb}\n")
+
+
+def merge(eval_path: str, num_tasks: int) -> Tuple[float, float]:
+    """Combine per-process view files → per-video mean softmax → top1/top5.
+
+    Reproduces merge+compute_video (:302-351): views are de-duplicated by
+    (chunk, crop) id, the video's probability is the mean softmax over its
+    unique views, prediction is the argmax.
+    """
+    videos: Dict[str, Dict] = {}
+    for rank in range(num_tasks):
+        path = os.path.join(eval_path, f"{rank}.txt")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                vid, probs_str, label, chunk_nb, split_nb = line.strip().split("\t")
+                entry = videos.setdefault(
+                    vid, {"label": int(label), "views": {}}
+                )
+                entry["views"][(chunk_nb, split_nb)] = np.fromstring(
+                    probs_str, dtype=np.float64, sep=","
+                )
+    if not videos:
+        return 0.0, 0.0
+    top1 = top5 = 0
+    for entry in videos.values():
+        feat = np.mean(list(entry["views"].values()), axis=0)
+        order = np.argsort(-feat)
+        top1 += int(order[0] == entry["label"])
+        top5 += int(entry["label"] in order[:5])
+    n = len(videos)
+    return 100.0 * top1 / n, 100.0 * top5 / n

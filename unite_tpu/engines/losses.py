@@ -1,0 +1,77 @@
+"""Loss functions used across the three stages.
+
+Counterparts of the reference's criterion selection (run_stage2.py:675-683:
+SoftTargetCrossEntropy if mixup, LabelSmoothingCrossEntropy if smoothing>0,
+else CrossEntropyLoss) and the stage-1 CLIP alignment losses
+(run_stage1.py:403-438). All computed in fp32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits, labels, label_smoothing: float = 0.0,
+                  reduction: str = "mean", weights=None):
+    """CE over int labels with optional smoothing (torch semantics).
+
+    ``weights``: optional per-sample weights (stage-3 confidence weighting,
+    run_stage3.py:608-613 — `weight` multiplies each sample's CE before the
+    mean over the *selected* samples; pass the weights and normalizer the
+    caller wants via reduction='none').
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        n = logits.shape[-1]
+        smooth = -logp.mean(axis=-1)
+        loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    else:
+        loss = nll
+    if weights is not None:
+        loss = loss * weights
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
+def soft_target_cross_entropy(logits, soft_targets):
+    """timm SoftTargetCrossEntropy: mean over batch of -sum(t * logp)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.mean(jnp.sum(-soft_targets * logp, axis=-1))
+
+
+def clip_alignment_loss(x_clip, targets, loss_type: str = "l2"):
+    """Stage-1 student→teacher alignment (run_stage1.py:403-438).
+
+    x_clip, targets: [K, B, N_vis, C] (both L2-normalized when loss_type
+    is 'l2'). 'l2' = mean over everything of (2 - 2·cos); others are plain
+    elementwise regressions.
+    """
+    x = x_clip.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    if loss_type == "l2":
+        return jnp.mean(2.0 - 2.0 * jnp.sum(x * t, axis=-1))
+    if loss_type == "mse":
+        return jnp.mean(jnp.square(x - t))
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(x - t))
+    if loss_type == "smooth_l1":
+        d = jnp.abs(x - t)
+        return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+    raise NotImplementedError(loss_type)
+
+
+def accuracy_topk(logits, labels, ks=(1, 5)):
+    """Top-k accuracies in percent, computed on device. k is clamped to the
+    class count (5-class tasks still report 'top5' = 100%)."""
+    ks = [min(k, logits.shape[-1]) for k in ks]
+    maxk = max(ks)
+    _, pred = jax.lax.top_k(logits.astype(jnp.float32), maxk)  # [B, maxk]
+    correct = pred == labels[:, None]
+    return [100.0 * jnp.mean(jnp.any(correct[:, :k], axis=1)) for k in ks]

@@ -1,0 +1,132 @@
+"""Device-side Mixup / CutMix producing soft targets.
+
+Counterpart of /root/reference/src/datasets/mixup.py:37-240 (`Mixup`,
+`one_hot`, `mixup_target`, `rand_bbox`, `cutmix_bbox_and_lam`), redesigned
+to run *inside the jitted train step* on TPU instead of on CPU tensors:
+static shapes, explicit PRNG, cutmix boxes expressed as coordinate masks
+(no dynamic slicing). Used by stage 2 (run_stage2.py:565-572; shipped
+configs have mixup 0.0 but the capability is part of the surface).
+
+Video layout [B, T, H, W, C]; the spatial box is applied to every frame
+(the reference mixes [B, C, T, H, W] tensors the same way — the box spans
+all frames).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def one_hot(labels, num_classes: int, on_value: float, off_value: float):
+    return jax.nn.one_hot(labels, num_classes) * (on_value - off_value) + off_value
+
+
+def mixup_target(labels, num_classes: int, lam, smoothing: float = 0.0):
+    """lam * y + (1-lam) * y.flip(0) with label smoothing (mixup.py:42-49)."""
+    off = smoothing / num_classes
+    on = 1.0 - smoothing + off
+    y1 = one_hot(labels, num_classes, on, off)
+    y2 = one_hot(jnp.flip(labels, 0), num_classes, on, off)
+    lam = jnp.asarray(lam, jnp.float32)
+    lam = lam.reshape(lam.shape + (1,) * (y1.ndim - lam.ndim))
+    return y1 * lam + y2 * (1.0 - lam)
+
+
+def _rand_bbox_mask(rng, h: int, w: int, lam, count=()):
+    """Boolean [*count, H, W] cutmix box mask with area ratio ~= 1-lam.
+
+    Follows rand_bbox (mixup.py:50-63): box half-extents from sqrt(1-lam),
+    center uniform, clipped at borders; returns (mask, corrected_lam).
+    """
+    ratio = jnp.sqrt(1.0 - lam)  # [*count]
+    cut_h = (h * ratio).astype(jnp.int32)
+    cut_w = (w * ratio).astype(jnp.int32)
+    k1, k2 = jax.random.split(rng)
+    cy = jax.random.randint(k1, count, 0, h)
+    cx = jax.random.randint(k2, count, 0, w)
+    y1 = jnp.clip(cy - cut_h // 2, 0, h)
+    y2 = jnp.clip(cy + cut_h // 2, 0, h)
+    x1 = jnp.clip(cx - cut_w // 2, 0, w)
+    x2 = jnp.clip(cx + cut_w // 2, 0, w)
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    rmask = (rows >= y1[..., None]) & (rows < y2[..., None])  # [*count, H]
+    cmask = (cols >= x1[..., None]) & (cols < x2[..., None])  # [*count, W]
+    mask = rmask[..., :, None] & cmask[..., None, :]  # [*count, H, W]
+    box_area = ((y2 - y1) * (x2 - x1)).astype(jnp.float32)
+    lam_corrected = 1.0 - box_area / float(h * w)  # correct_lam=True default
+    return mask, lam_corrected
+
+
+class Mixup:
+    """Batch/elem mixup+cutmix with soft targets (mixup.py:110-240 surface)."""
+
+    def __init__(self, mixup_alpha=1.0, cutmix_alpha=0.0, cutmix_minmax=None,
+                 prob=1.0, switch_prob=0.5, mode="batch", correct_lam=True,
+                 label_smoothing=0.1, num_classes=1000):
+        if cutmix_minmax is not None:
+            raise NotImplementedError("cutmix_minmax ranges not supported")
+        if mode == "pair":
+            raise NotImplementedError("pair mode not supported")
+        self.mixup_alpha = mixup_alpha
+        self.cutmix_alpha = cutmix_alpha
+        self.prob = prob
+        self.switch_prob = switch_prob
+        self.mode = mode
+        self.correct_lam = correct_lam
+        self.label_smoothing = label_smoothing
+        self.num_classes = num_classes
+
+    def _sample_lam(self, rng, shape=()):
+        """(lam, use_cutmix) draws honoring prob/switch_prob (mixup.py:152-176)."""
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        use_mix = jax.random.uniform(k1, shape) < self.prob
+        both = self.mixup_alpha > 0.0 and self.cutmix_alpha > 0.0
+        if both:
+            use_cutmix = jax.random.uniform(k2, shape) < self.switch_prob
+        else:
+            use_cutmix = jnp.full(shape, self.cutmix_alpha > 0.0)
+        a_mix = max(self.mixup_alpha, 1e-8)
+        a_cut = max(self.cutmix_alpha, 1e-8)
+        lam_mix = jax.random.beta(k3, a_mix, a_mix, shape)
+        lam_cut = jax.random.beta(k4, a_cut, a_cut, shape)
+        lam = jnp.where(use_cutmix, lam_cut, lam_mix)
+        lam = jnp.where(use_mix, lam, 1.0)
+        return lam.astype(jnp.float32), use_cutmix, use_mix
+
+    def __call__(self, rng, x, labels) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [B, T, H, W, C]; labels: int [B] → (mixed_x, soft_targets)."""
+        b, t, h, w, c = x.shape
+        k_lam, k_box = jax.random.split(rng)
+        if self.mode == "batch":
+            lam, use_cutmix, _ = self._sample_lam(k_lam)
+            box, lam_cut = _rand_bbox_mask(k_box, h, w, lam)
+            if self.correct_lam:
+                lam_cut_final = jnp.where(use_cutmix, lam_cut, lam)
+            else:
+                lam_cut_final = lam
+            x_flip = jnp.flip(x, 0)
+            mixed_mix = x * lam + x_flip * (1.0 - lam)
+            mixed_cut = jnp.where(box[None, None, :, :, None], x_flip, x)
+            mixed = jnp.where(use_cutmix, mixed_cut, mixed_mix)
+            lam_final = jnp.where(use_cutmix, lam_cut_final, lam)
+        else:  # elem
+            lam, use_cutmix, _ = self._sample_lam(k_lam, (b,))
+            box, lam_cut = _rand_bbox_mask(k_box, h, w, lam, (b,))
+            lam_cut_final = jnp.where(use_cutmix, lam_cut, lam) \
+                if self.correct_lam else lam
+            x_flip = jnp.flip(x, 0)
+            lam_b = lam.reshape(b, 1, 1, 1, 1)
+            mixed_mix = x * lam_b + x_flip * (1.0 - lam_b)
+            mixed_cut = jnp.where(box[:, None, :, :, None], x_flip, x)
+            mixed = jnp.where(
+                use_cutmix.reshape(b, 1, 1, 1, 1), mixed_cut, mixed_mix
+            )
+            lam_final = jnp.where(use_cutmix, lam_cut_final, lam)
+        targets = mixup_target(
+            labels, self.num_classes, lam_final, self.label_smoothing
+        )
+        return mixed.astype(x.dtype), targets

@@ -1,0 +1,116 @@
+"""Device mesh, sharding helpers, and the data-parallel step wrapper.
+
+TPU-native replacement for the reference's DDP/NCCL layer
+(/root/reference/src/utils.py:510-551 init_distributed_mode + implicit DDP
+allreduce): one JAX process per host drives all local chips; the train step
+is jitted with explicit NamedShardings over a ``Mesh(('data',))`` so GSPMD
+emits the gradient psum over ICI (DCN across slices). DDP's grad-*mean*
+semantics fall out of the mean-over-global-batch loss.
+
+The mesh is 1-D data-parallel by default (the reference's only strategy —
+SURVEY §2.3) but every helper takes an axis-names tuple so wider meshes
+(('data','model')) compose when models grow.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim sharding for batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch with the leading dim sharded over ``axis``.
+
+    The global batch must be divisible by the axis size (the reference's
+    sampler pads per-rank shards to equal length, datasets/distributed.py:
+    133-147 — our data layer does the same per host).
+    """
+    sharding = batch_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        assert x.shape[0] % mesh.shape[axis] == 0, (
+            f"batch dim {x.shape[0]} not divisible by {axis}={mesh.shape[axis]}"
+        )
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        )
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
+                      donate_state: bool = True, axis: str = "data",
+                      static_argnums=()):
+    """jit ``fn(state, batch, ...)`` with params replicated and batches
+    sharded on ``axis``; gradient collectives are emitted by GSPMD.
+
+    IMPORTANT: pass the state through ``replicate(state, mesh)`` before the
+    first call. A host-resident state compiles once with unspecified input
+    sharding and then AGAIN when the first returned (NamedSharding) state is
+    fed back — a double compile that costs minutes at ViT-B scale.
+    """
+    import inspect
+
+    n_known = len(inspect.signature(fn).parameters)
+    in_shardings = []
+    for i in range(n_known):
+        if i in state_argnums:
+            in_shardings.append(replicated(mesh))
+        elif i in batch_argnums:
+            in_shardings.append(batch_sharding(mesh, axis))
+        else:
+            in_shardings.append(replicated(mesh))
+    return jax.jit(
+        fn,
+        in_shardings=tuple(in_shardings),
+        donate_argnums=tuple(state_argnums) if donate_state else (),
+        static_argnums=static_argnums,
+    )
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This host's contiguous shard of the global batch (multihost input)."""
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)
