@@ -1,0 +1,334 @@
+"""Data layer tests: samplers, sharding, transforms, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from unite_tpu.data import transforms as T
+from unite_tpu.data.datasets import VideoClsDatasetSparse, VideoMAEPretrainDataset
+from unite_tpu.data.loader import DataLoader, cycle, default_collate
+from unite_tpu.data.rand_augment import rand_augment_transform
+from unite_tpu.data.random_erasing import RandomErasing
+from unite_tpu.data.samplers import (
+    dense_frame_indices,
+    pretrain_segment_indices,
+    sparse_frame_indices,
+    enumerate_test_views,
+)
+from unite_tpu.data.sharding import ShardedSampler, repetitions_to_match
+from unite_tpu.data.video_reader import SyntheticVideoReader
+
+
+# --- samplers ---------------------------------------------------------------
+
+
+def test_sparse_indices_train_within_segments():
+    rng = np.random.default_rng(0)
+    for n in (8, 30, 100, 301):
+        idx = sparse_frame_indices(n, 8, clip_idx=-1, rng=rng)
+        assert len(idx) == 8
+        assert all(0 <= i < n for i in idx)
+        assert idx == sorted(idx) or n < 16  # near-sorted TSN draws
+
+
+def test_sparse_indices_deterministic_views():
+    a = sparse_frame_indices(100, 8, clip_idx=0, test_num_segment=5)
+    b = sparse_frame_indices(100, 8, clip_idx=4, test_num_segment=5)
+    assert a != b
+    assert a == sparse_frame_indices(100, 8, clip_idx=0, test_num_segment=5)
+    # validation protocol: clip 0 of 1 = segment midpoints
+    v = sparse_frame_indices(16, 8, clip_idx=0, test_num_segment=1)
+    assert all(0 <= i < 16 for i in v)
+
+
+def test_sparse_indices_short_video():
+    idx = sparse_frame_indices(3, 8, clip_idx=0)
+    assert len(idx) == 8
+    assert max(idx) <= 2
+
+
+def test_dense_indices():
+    idx = dense_frame_indices(100, 8, skip_frames=4, start=10)
+    assert idx == [10, 14, 18, 22, 26, 30, 34, 38]
+    idx = dense_frame_indices(10, 8, skip_frames=4, start=0)
+    assert max(idx) == 9  # clamped
+
+
+def test_pretrain_segment_indices():
+    rng = np.random.default_rng(0)
+    ids = pretrain_segment_indices(64, num_segments=8, skip_length=1,
+                                   new_step=1, rng=rng)
+    assert len(ids) == 8
+    assert all(0 <= i < 64 for i in ids)
+    # sparse mode: one frame per segment, spread across the video
+    assert ids == sorted(ids)
+    # short video falls back to zeros+1-1 = 0
+    ids = pretrain_segment_indices(1, 8, 1, 1)
+    assert ids == [0] * 8
+
+
+def test_enumerate_test_views_order():
+    grid = enumerate_test_views(2, 2, 3)
+    assert len(grid) == 12
+    assert grid[0] == (0, 0, 0)
+    assert grid[1] == (0, 0, 1)
+    assert grid[2] == (0, 1, 0)  # crop advances before chunk
+
+
+# --- sharding ---------------------------------------------------------------
+
+
+def test_sharded_sampler_partition():
+    n, shards = 10, 4
+    all_idx = []
+    lens = set()
+    for s in range(shards):
+        smp = ShardedSampler(n, shards, s, shuffle=False)
+        idx = smp.indices()
+        lens.add(len(idx))
+        all_idx.extend(idx)
+    assert lens == {3}  # padded to 12 total
+    assert set(all_idx) == set(range(10))
+
+
+def test_sharded_sampler_repetitions():
+    smp = ShardedSampler(5, 2, 0, shuffle=True, repetitions=3, seed=1)
+    idx = smp.indices()
+    assert len(idx) == 8  # ceil(15/2)
+    smp.set_epoch(1)
+    assert smp.indices() != idx  # epoch reshuffles
+
+
+def test_sharded_sampler_drop_last():
+    smp = ShardedSampler(10, 4, 0, shuffle=False, drop_last=True)
+    assert len(smp) == 2  # floor semantics via (total - shards) ceil
+
+
+def test_repetitions_to_match():
+    assert repetitions_to_match(10, 100) == 10
+    assert repetitions_to_match(100, 10) == 1
+    assert repetitions_to_match(3, 10) == 4
+
+
+# --- transforms -------------------------------------------------------------
+
+
+def test_group_multiscale_crop():
+    from PIL import Image
+
+    frames = [Image.fromarray(np.zeros((120, 160, 3), np.uint8))] * 4
+    crop = T.GroupMultiScaleCrop(64)
+    out = crop(frames)
+    assert len(out) == 4
+    assert out[0].size == (64, 64)
+
+
+def test_stack_normalize_range():
+    from PIL import Image
+
+    frames = [Image.fromarray(np.full((8, 8, 3), 255, np.uint8))]
+    arr = T.stack_normalize(frames)
+    np.testing.assert_allclose(arr[0, 0, 0], (1.0 - T.IMAGENET_MEAN) / T.IMAGENET_STD,
+                               rtol=1e-5)
+
+
+def test_spatial_sampling_modes():
+    clip = np.random.default_rng(0).integers(0, 255, (4, 120, 160, 3)).astype(np.float32)
+    out = T.spatial_sampling(clip, -1, crop_size=64, scale=(0.5, 1.0),
+                             aspect_ratio=(0.75, 4 / 3),
+                             rng=np.random.default_rng(1))
+    assert out.shape == (4, 64, 64, 3)
+    for si in (0, 1, 2):
+        out = T.spatial_sampling(clip, si, min_scale=64, max_scale=64, crop_size=64)
+        assert out.shape == (4, 64, 64, 3)
+    # the three test crops differ
+    o0 = T.spatial_sampling(clip, 0, 64, 64, 64)
+    o2 = T.spatial_sampling(clip, 2, 64, 64, 64)
+    assert not np.array_equal(o0, o2)
+
+
+def test_uniform_crop_positions():
+    clip = np.arange(1 * 4 * 10 * 3, dtype=np.float32).reshape(1, 4, 10, 3)
+    left = T.uniform_crop(clip, 4, 0)
+    right = T.uniform_crop(clip, 4, 2)
+    np.testing.assert_array_equal(left, clip[:, :, :4])
+    np.testing.assert_array_equal(right, clip[:, :, 6:])
+
+
+def test_rand_augment_runs_all_ops():
+    from PIL import Image
+
+    frames = [Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    ) for _ in range(2)]
+    aug = rand_augment_transform("rand-m7-n4-mstd0.5-inc1")
+    assert len(aug.ops) == 15
+    assert aug.num_layers == 4
+    for op in aug.ops:  # every op must run without error at full magnitude
+        op.prob = 1.0
+        out = op(frames)
+        assert out[0].size == (32, 32)
+
+
+def test_rand_augment_policy_parse():
+    aug = rand_augment_transform("rand-m3-n2-mstd0.5-inc1")
+    assert aug.num_layers == 2
+    assert aug.ops[0].magnitude == 3
+    assert aug.ops[0].magnitude_std == 0.5
+
+
+def test_random_erasing():
+    clip = np.zeros((4, 32, 32, 3), np.float32)
+    erase = RandomErasing(probability=1.0, mode="pixel", cube=True)
+    out = erase(clip)
+    assert out.shape == clip.shape
+    changed = np.abs(out).sum(axis=(1, 2, 3))
+    assert (changed > 0).all()  # same cube across every frame
+    # erased region identical across frames (cube=True)
+    mask = np.abs(out[0]).sum(-1) > 0
+    for t in range(1, 4):
+        np.testing.assert_array_equal(np.abs(out[t]).sum(-1) > 0, mask)
+
+
+# --- datasets ---------------------------------------------------------------
+
+
+@pytest.fixture
+def anno_file(tmp_path):
+    lines = [f"/fake/video_{i}.mp4 {i % 3}" for i in range(6)]
+    p = tmp_path / "train.csv"
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+def test_cls_dataset_train(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=4, crop_size=64, short_side_size=80,
+        reader=SyntheticVideoReader(96, 128), seed=0, reprob=0.25,
+        aa="rand-m3-n2-mstd0.5-inc1",
+    )
+    assert len(ds) == 6
+    clip, label, index, extra = ds[0]
+    assert clip.shape == (4, 64, 64, 3)
+    assert clip.dtype == np.float32
+    assert label == 0
+    # normalized space
+    assert -4 < clip.mean() < 4
+
+
+def test_cls_dataset_validation_and_aug_for_val(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="validation", clip_len=4, crop_size=64,
+        short_side_size=80, reader=SyntheticVideoReader(96, 128),
+        return_aug_for_val=True,
+    )
+    clip, aug, label, vid = ds[1]
+    assert clip.shape == (4, 64, 64, 3)
+    assert aug.shape == (4, 64, 64, 3)
+    assert vid == "video_1"
+
+
+def test_cls_dataset_test_views(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="test", clip_len=4, crop_size=64, short_side_size=64,
+        test_num_segment=2, test_num_crop=3, reader=SyntheticVideoReader(96, 128),
+    )
+    assert len(ds) == 6 * 2 * 3
+    clip, label, vid, chunk, crop = ds[0]
+    assert clip.shape[0] == 4
+    assert clip.shape[3] == 3
+    assert (chunk, crop) == (0, 0)
+    clip2, _, _, chunk2, crop2 = ds[6]  # after one full crop sweep of 6 samples
+    assert (chunk2, crop2) == (0, 1)
+
+
+def test_cls_dataset_retry_on_bad_video(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("/fake/ok.mp4 0\n/fake/bad.mp4 1")
+
+    class FlakyReader(SyntheticVideoReader):
+        def num_frames(self, path):
+            if "bad" in path:
+                raise RuntimeError("decode error")
+            return super().num_frames(path)
+
+    ds = VideoClsDatasetSparse(
+        p.as_posix(), mode="train", clip_len=4, crop_size=64,
+        short_side_size=80, reader=FlakyReader(96, 128), seed=0, aa="",
+        reprob=0.0,
+    )
+    with pytest.warns(UserWarning):
+        clip, label, _, _ = ds[1]  # bad video -> re-rolls to the good one
+    assert clip.shape == (4, 64, 64, 3)
+
+
+def test_pretrain_dataset(anno_file):
+    from unite_tpu.ops.masking import TubeMaskingGenerator
+
+    ds = VideoMAEPretrainDataset(
+        anno_file, mask_gen=TubeMaskingGenerator((4, 4, 4), 0.75),
+        num_segments=4, skip_length=1, new_step=1, input_size=64,
+        reader=SyntheticVideoReader(96, 128), seed=0,
+    )
+    video, mask, label = ds[0]
+    assert video.shape == (4, 64, 64, 3)
+    assert mask.shape == (4 * 16,)
+    assert mask.sum() == 4 * 12  # 75% of 16 per frame
+
+
+def test_pretrain_dataset_attention_mode(anno_file):
+    ds = VideoMAEPretrainDataset(
+        anno_file, mask_gen=None, num_segments=4, skip_length=1, new_step=1,
+        input_size=64, reader=SyntheticVideoReader(96, 128),
+    )
+    video, mask, label = ds[0]
+    assert mask == -1  # device-side attention masking placeholder
+
+
+# --- loader -----------------------------------------------------------------
+
+
+def test_loader_batches_and_order(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=2, crop_size=32, short_side_size=48,
+        reader=SyntheticVideoReader(64, 64), seed=0, aa="", reprob=0.0,
+    )
+    loader = DataLoader(ds, batch_size=4, num_workers=2, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    clips, labels, idx, _ = batches[0]
+    assert clips.shape == (4, 2, 32, 32, 3)
+    assert labels.shape == (4,)
+    # drop_last
+    loader2 = DataLoader(ds, batch_size=4, num_workers=2, drop_last=True)
+    assert len(list(loader2)) == 1
+
+
+def test_loader_with_sharded_sampler(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=2, crop_size=32, short_side_size=48,
+        reader=SyntheticVideoReader(64, 64), seed=0, aa="", reprob=0.0,
+    )
+    smp = ShardedSampler(len(ds), num_shards=2, shard_id=0, shuffle=True)
+    loader = DataLoader(ds, batch_size=3, sampler=smp, num_workers=2)
+    batches = list(loader)
+    assert sum(b[0].shape[0] for b in batches) == 3  # half the (padded) data
+
+
+def test_cycle_wraps(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=2, crop_size=32, short_side_size=48,
+        reader=SyntheticVideoReader(64, 64), seed=0, aa="", reprob=0.0,
+    )
+    loader = DataLoader(ds, batch_size=4, num_workers=1)
+    it = cycle(loader)
+    for _ in range(5):  # more than one epoch's worth of batches
+        batch = next(it)
+        assert batch[0].shape[0] in (2, 4)
+
+
+def test_collate_num_sample_flatten():
+    a = [(np.zeros((2, 2)), 1), (np.ones((2, 2)), 2)]
+    items = [a, a]  # two dataset items, each num_sample=2 list of tuples
+    clips, labels = default_collate(items)
+    assert clips.shape == (4, 2, 2)
+    assert labels.tolist() == [1, 2, 1, 2]

@@ -1,0 +1,98 @@
+"""Dataset factory: name-dispatch + nb_classes checks + mask-generator wiring.
+
+Counterpart of /root/reference/src/datasets/build.py:32-257
+(`DataAugmentationForVideoMAE`, `build_pretraining_dataset`,
+`build_dataset`). The sparse dataset serves Kinetics_sparse / mitv1_sparse /
+UCF101 / HMDB51 (all CSV video lists); SSV2 disables horizontal flip
+(kinetics_sparse.py:258, build.py:166-199).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from unite_tpu.data.datasets import VideoClsDatasetSparse, VideoMAEPretrainDataset
+from unite_tpu.ops.masking import RandomMaskingGenerator, TubeMaskingGenerator
+
+DATASET_NB_CLASSES = {
+    "Kinetics": 400,
+    "Kinetics_sparse": 400,
+    "SSV2": 174,
+    "UCF101": 101,
+    "HMDB51": 51,
+    "mitv1_sparse": 339,
+}
+
+
+def make_mask_generator(mask_type: str, window_size, mask_ratio: float):
+    """build.py:55-69: tube/random generators; 'attention' masks on device
+    (the dataset then emits -1 placeholders)."""
+    if mask_type == "tube":
+        return TubeMaskingGenerator(window_size, mask_ratio)
+    if mask_type == "random":
+        return RandomMaskingGenerator(window_size, mask_ratio)
+    if mask_type in ("attention", "none"):
+        return None
+    raise NotImplementedError(f"mask type {mask_type}")
+
+
+def build_pretraining_dataset(args, anno_path: Optional[str] = None,
+                              reader=None):
+    """build.py:81-102 surface; args uses the stage-1 config names."""
+    window_size = (
+        args.num_frames // args.tubelet_size,
+        args.input_size // args.patch_size,
+        args.input_size // args.patch_size,
+    )
+    return VideoMAEPretrainDataset(
+        anno_path=anno_path or args.data_path,
+        mask_gen=make_mask_generator(args.mask_type, window_size, args.mask_ratio),
+        num_segments=args.num_segments,
+        skip_length=getattr(args, "skip_length", args.num_frames
+                            * getattr(args, "sampling_rate", 1)),
+        new_step=getattr(args, "sampling_rate", 1),
+        input_size=args.input_size,
+        color_jitter=getattr(args, "color_jitter", 0) > 0,
+        flip=getattr(args, "flip", False),
+        num_sample=getattr(args, "num_sample", 1),
+        fraction=getattr(args, "fraction", 1.0),
+        reader=reader,
+    )
+
+
+def build_dataset(mode: str, args, anno_path: Optional[str] = None,
+                  reader=None):
+    """build.py:105-257 surface: (dataset, nb_classes). mode in
+    train/validation/test."""
+    data_set = getattr(args, "data_set", "Kinetics_sparse")
+    if data_set not in DATASET_NB_CLASSES and not getattr(args, "nb_classes", 0):
+        raise NotImplementedError(f"unknown dataset {data_set}")
+    nb_classes = getattr(args, "nb_classes", 0) or DATASET_NB_CLASSES[data_set]
+
+    if anno_path is None:
+        anno_path = {
+            "train": getattr(args, "train_anno_path", None) or args.data_path,
+            "validation": getattr(args, "val_anno_path", None) or args.data_path,
+            "test": getattr(args, "test_anno_path", None) or args.data_path,
+        }[mode]
+
+    ds = VideoClsDatasetSparse(
+        anno_path=anno_path,
+        mode=mode,
+        clip_len=args.num_frames,
+        crop_size=args.input_size,
+        short_side_size=getattr(args, "short_side_size", 256),
+        test_num_segment=getattr(args, "test_num_segment", 5),
+        test_num_crop=getattr(args, "test_num_crop", 3),
+        aa=getattr(args, "aa", "rand-m7-n4-mstd0.5-inc1"),
+        reprob=getattr(args, "reprob", 0.25),
+        remode=getattr(args, "remode", "pixel"),
+        recount=getattr(args, "recount", 1),
+        num_sample=getattr(args, "num_sample", 1),
+        train_fraction=getattr(args, "train_fraction", 1.0),
+        return_aug_for_val=getattr(args, "return_aug_for_val", False),
+        no_horizontal_flip=(data_set == "SSV2"),
+        reader=reader,
+    )
+    assert nb_classes > 0, "nb_classes must be resolved (build.py:254)"
+    return ds, nb_classes

@@ -1,0 +1,307 @@
+"""Dataset classes: sparse classification dataset + UMT pretrain dataset.
+
+Counterparts of /root/reference/src/datasets/kinetics_sparse.py:48-357
+(`VideoClsDataset_sparse` — the default `data_set: Kinetics_sparse` for all
+three stages) and mae.py:38-307 (`VideoMAE` pretrain dataset). Behavior
+preserved: CSV annotations (path<sep>label), TSN sparse sampling, the train
+augmentation order (rand-augment → normalize → random-resized-crop →
+erasing, kinetics_sparse.py:218-281), validation resize+center-crop, the
+(chunk, crop) test-view protocol with its spatial-start arithmetic
+(:186-208), `train_fraction` subsampling (:90-95), `return_aug_for_val`
+with the milder rand-m3-n2 policy (:174-182), and bounded retry-on-decode-
+failure re-rolling a random index (:138-143 — bounded here instead of the
+reference's infinite loop).
+
+Output layout is [T, H, W, C] float32 (channels-last, model-native).
+"""
+
+from __future__ import annotations
+
+import random
+import warnings
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from unite_tpu.data import transforms as T
+from unite_tpu.data.rand_augment import rand_augment_transform
+from unite_tpu.data.random_erasing import RandomErasing
+from unite_tpu.data.samplers import (
+    pretrain_segment_indices,
+    sparse_frame_indices,
+)
+from unite_tpu.data.video_reader import VideoReaderBase, default_reader
+
+MAX_DECODE_RETRIES = 50
+
+
+def load_annotations(anno_path: str, sep: str = " ") -> Tuple[List[str], List[int]]:
+    """path<sep>label lines (kinetics_sparse.py:85-88)."""
+    paths, labels = [], []
+    with open(anno_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(sep)
+            paths.append(parts[0])
+            labels.append(int(parts[-1]))
+    return paths, labels
+
+
+def _to_pil(clip: np.ndarray) -> List[Image.Image]:
+    return [Image.fromarray(f) for f in clip]
+
+
+def _from_pil(frames: List[Image.Image]) -> np.ndarray:
+    return np.stack([np.asarray(f, np.uint8) for f in frames])
+
+
+class VideoClsDatasetSparse:
+    """Sparse-sampling classification dataset (train/validation/test)."""
+
+    def __init__(
+        self,
+        anno_path: str,
+        mode: str = "train",
+        clip_len: int = 8,
+        crop_size: int = 224,
+        short_side_size: int = 256,
+        test_num_segment: int = 5,
+        test_num_crop: int = 3,
+        sep: str = " ",
+        aa: str = "rand-m7-n4-mstd0.5-inc1",
+        train_interpolation: str = "bicubic",
+        reprob: float = 0.25,
+        remode: str = "pixel",
+        recount: int = 1,
+        num_sample: int = 1,
+        train_fraction: float = 1.0,
+        return_aug_for_val: bool = False,
+        no_horizontal_flip: bool = False,
+        reader: Optional[VideoReaderBase] = None,
+        seed: Optional[int] = None,
+    ):
+        assert mode in ("train", "validation", "test")
+        self.mode = mode
+        self.clip_len = clip_len
+        self.crop_size = crop_size
+        self.short_side_size = short_side_size
+        self.test_num_segment = test_num_segment
+        self.test_num_crop = test_num_crop
+        self.aa = aa
+        self.reprob = reprob
+        self.remode = remode
+        self.recount = recount
+        self.num_sample = num_sample
+        self.return_aug_for_val = return_aug_for_val
+        self.no_horizontal_flip = no_horizontal_flip
+        self.reader = reader or default_reader()
+        self.rng = np.random.default_rng(seed)
+
+        self.samples, self.labels = load_annotations(anno_path, sep)
+        if train_fraction < 1.0 and mode == "train":
+            keep = int(train_fraction * len(self.samples))
+            idx = random.sample(range(len(self.samples)), keep)
+            self.samples = [self.samples[i] for i in idx]
+            self.labels = [self.labels[i] for i in idx]
+
+        if mode == "test":
+            self.test_items = []
+            for ck in range(test_num_segment):
+                for cp in range(test_num_crop):
+                    for i in range(len(self.samples)):
+                        self.test_items.append((ck, cp, i))
+
+    def __len__(self):
+        if self.mode == "test":
+            return len(self.test_items)
+        return len(self.samples)
+
+    # -- decode ------------------------------------------------------------
+
+    def _load_clip(self, path: str, chunk_nb: int) -> np.ndarray:
+        """TSN-sample clip_len frames (kinetics_sparse.py:314-351)."""
+        n = self.reader.num_frames(path)
+        if n <= 0:
+            raise RuntimeError(f"empty video {path}")
+        nseg = self.test_num_segment if self.mode == "test" else 1
+        idx = sparse_frame_indices(
+            n, self.clip_len, clip_idx=chunk_nb, test_num_segment=nseg,
+            rng=self.rng,
+        )
+        return self.reader.get_batch(path, idx)
+
+    def _load_with_retry(self, index: int, chunk_nb: int):
+        for _ in range(MAX_DECODE_RETRIES):
+            if self.mode == "test":
+                ck, cp, i = self.test_items[index]
+                path, label = self.samples[i], self.labels[i]
+                chunk = ck
+            else:
+                path, label = self.samples[index], self.labels[index]
+                chunk = chunk_nb
+                cp = None
+            try:
+                return self._load_clip(path, chunk), path, label, cp, chunk
+            except Exception:
+                warnings.warn(f"video {path} not correctly loaded ({self.mode})")
+                index = int(self.rng.integers(0, len(self)))
+        raise RuntimeError("too many consecutive decode failures")
+
+    # -- augmentation ------------------------------------------------------
+
+    def _aug_frame(self, buffer: np.ndarray, aa: Optional[str] = None,
+                   reprob: Optional[float] = None) -> np.ndarray:
+        """Train augmentation, same order as kinetics_sparse.py:218-281."""
+        aa = aa if aa is not None else self.aa
+        reprob = reprob if reprob is not None else self.reprob
+        if aa:
+            interp = (Image.BICUBIC, Image.BILINEAR)
+            augment = rand_augment_transform(
+                aa,
+                {"translate_pct": 0.45,
+                 "img_mean": tuple(int(round(m * 255)) for m in T.IMAGENET_MEAN),
+                 "interpolation": interp},
+            )
+            buffer = _from_pil(augment(_to_pil(buffer)))
+        clip = T.tensor_normalize(buffer)
+        clip = T.spatial_sampling(
+            clip, spatial_idx=-1, min_scale=256, max_scale=320,
+            crop_size=self.crop_size,
+            random_horizontal_flip=not self.no_horizontal_flip,
+            scale=(0.08, 1.0), aspect_ratio=(0.75, 4 / 3),
+            rng=self.rng,
+        )
+        if reprob > 0:
+            erase = RandomErasing(reprob, mode=self.remode,
+                                  max_count=self.recount, cube=True)
+            clip = erase(np.ascontiguousarray(clip))
+        return clip.astype(np.float32)
+
+    # -- items -------------------------------------------------------------
+
+    def __getitem__(self, index: int):
+        if self.mode == "train":
+            buffer, path, label, _, _ = self._load_with_retry(index, -1)
+            if self.num_sample > 1:
+                clips = [self._aug_frame(buffer) for _ in range(self.num_sample)]
+                return clips, [label] * self.num_sample, index, {}
+            return self._aug_frame(buffer), label, index, {}
+
+        if self.mode == "validation":
+            buffer, path, label, _, _ = self._load_with_retry(index, 0)
+            clip = T.val_transform(buffer, self.short_side_size, self.crop_size)
+            vid = path.split("/")[-1].split(".")[0]
+            if self.return_aug_for_val:
+                # milder policy for the stage-3 target stream (:174-182)
+                aug = self._aug_frame(buffer, aa="rand-m3-n2-mstd0.5-inc1",
+                                      reprob=0.0)
+                return clip.astype(np.float32), aug, label, vid
+            return clip.astype(np.float32), label, vid
+
+        # test: short-side resize then strided spatial window (:186-208)
+        buffer, path, label, split_nb, chunk_nb = self._load_with_retry(index, 0)
+        buffer = T.resize_clip(buffer.astype(np.float32), self.short_side_size)
+        h, w = buffer.shape[1], buffer.shape[2]
+        long_side = max(h, w)
+        if self.test_num_crop == 1:
+            start = int((long_side - self.short_side_size) / 2)
+        else:
+            step = (long_side - self.short_side_size) / (self.test_num_crop - 1)
+            start = int(split_nb * step)
+        if h >= w:
+            buffer = buffer[:, start : start + self.short_side_size, :, :]
+        else:
+            buffer = buffer[:, :, start : start + self.short_side_size, :]
+        clip = T.tensor_normalize(buffer)
+        vid = path.split("/")[-1].split(".")[0]
+        return clip.astype(np.float32), label, vid, chunk_nb, split_nb
+
+
+class VideoMAEPretrainDataset:
+    """UMT pretrain dataset: group-transform stack + data-side mask
+    (mae.py:38-307 + build.py:32-78)."""
+
+    def __init__(
+        self,
+        anno_path: str,
+        mask_gen: Optional[Callable] = None,
+        num_segments: int = 8,
+        skip_length: int = 8,
+        new_step: int = 1,
+        input_size: int = 224,
+        scales=(1.0, 0.875, 0.75, 0.66),
+        color_jitter: bool = False,
+        flip: bool = False,
+        temporal_jitter: bool = False,
+        num_sample: int = 1,
+        fraction: float = 1.0,
+        sep: str = " ",
+        reader: Optional[VideoReaderBase] = None,
+        seed: Optional[int] = None,
+    ):
+        self.samples, self.labels = load_annotations(anno_path, sep)
+        if fraction < 1.0:
+            keep = int(fraction * len(self.samples))
+            idx = random.sample(range(len(self.samples)), keep)
+            self.samples = [self.samples[i] for i in idx]
+            self.labels = [self.labels[i] for i in idx]
+        self.mask_gen = mask_gen
+        self.num_segments = num_segments
+        self.skip_length = skip_length
+        self.new_step = new_step
+        self.temporal_jitter = temporal_jitter
+        self.num_sample = num_sample
+        self.reader = reader or default_reader()
+        self.rng = np.random.default_rng(seed)
+
+        # build.py:36-54 pipeline
+        self.crop = T.GroupMultiScaleCrop(input_size, scales)
+        self.color_jitter = T.GroupColorJitter() if color_jitter else None
+        self.gray = T.GroupGrayScale(0.2) if color_jitter else None
+        self.flip = T.GroupRandomHorizontalFlip(0.5) if flip else None
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _load(self, index: int) -> Tuple[np.ndarray, int]:
+        for _ in range(MAX_DECODE_RETRIES):
+            path = self.samples[index]
+            try:
+                n = self.reader.num_frames(path)
+                ids = pretrain_segment_indices(
+                    n, self.num_segments, self.skip_length, self.new_step,
+                    self.temporal_jitter, self.rng,
+                )
+                return self.reader.get_batch(path, ids), self.labels[index]
+            except Exception:
+                warnings.warn(f"pretrain video {path} failed to decode")
+                index = int(self.rng.integers(0, len(self)))
+        raise RuntimeError("too many consecutive decode failures")
+
+    def _transform(self, clip: np.ndarray) -> np.ndarray:
+        frames = _to_pil(clip)
+        frames = self.crop(frames)
+        if self.color_jitter is not None:
+            frames = self.color_jitter(frames)
+        if self.gray is not None:
+            frames = self.gray(frames)
+        if self.flip is not None:
+            frames = self.flip(frames)
+        return T.stack_normalize(frames).astype(np.float32)
+
+    def __getitem__(self, index: int):
+        clip, label = self._load(index)
+        if self.num_sample > 1:
+            out = []
+            for _ in range(self.num_sample):
+                video = self._transform(clip)
+                mask = self.mask_gen() if self.mask_gen else -1
+                out.append((video, mask))
+            return out, label
+        video = self._transform(clip)
+        # attention masking is device-side: emit -1 like build.py:68-69
+        mask = self.mask_gen() if self.mask_gen else -1
+        return video, mask, label

@@ -1,0 +1,145 @@
+"""Batched, prefetching host data loader.
+
+Replacement for the reference's torch DataLoader(num_workers=10,
+persistent_workers=True) (run_stage1.py:676-692): a thread-pool loader
+(decode + PIL augmentation release the GIL in native code) with a bounded
+prefetch window, deterministic per-epoch ordering from a ShardedSampler, and
+optional uint8 output + on-device normalization to respect the narrow
+host→device link (BASELINE.md north star: fused on-device transforms).
+
+Also provides ``device_prefetch`` — an iterator wrapper that keeps N batches
+in flight on the accelerator so H2D copy overlaps compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(items: List):
+    """Stack tuple/list items leaf-wise into numpy batches (utils.py:854-898
+    multiple_samples_collate flattens num_sample lists — handled here too)."""
+    if isinstance(items[0], (list,)) and items and isinstance(items[0][0], tuple):
+        # num_sample>1: each item is a list of tuples -> flatten
+        items = [x for sub in items for x in sub]
+    first = items[0]
+    if isinstance(first, tuple):
+        return tuple(default_collate([it[i] for it in items])
+                     for i in range(len(first)))
+    if isinstance(first, np.ndarray):
+        return np.stack(items)
+    if isinstance(first, (int, np.integer)):
+        return np.asarray(items, np.int32)
+    if isinstance(first, float):
+        return np.asarray(items, np.float32)
+    return list(items)
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler: Optional[Iterable[int]] = None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch_batches: int = 4,
+        collate_fn: Callable = default_collate,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = prefetch_batches
+        self.collate_fn = collate_fn
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def _indices(self) -> List[int]:
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        indices = self._indices()
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if not batches:
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            window = self.prefetch_batches
+
+            def load_batch(batch_idx: Sequence[int]):
+                return self.collate_fn([self.dataset[i] for i in batch_idx])
+
+            futures = [pool.submit(load_batch, b) for b in batches[:window]]
+            next_submit = window
+            for i in range(len(batches)):
+                yield futures[i % window].result()
+                if next_submit < len(batches):
+                    futures[next_submit % window] = pool.submit(
+                        load_batch, batches[next_submit]
+                    )
+                    next_submit += 1
+
+
+def cycle(loader: DataLoader) -> Iterator:
+    """Infinite re-iteration (run_stage1.py:313-321 target-stream cycling).
+    Bumps the epoch on wrap so shuffles differ."""
+    epoch = loader.epoch
+    while True:
+        for batch in loader:
+            yield batch
+        epoch += 1
+        loader.set_epoch(epoch)
+
+
+def device_prefetch(iterator: Iterable, put: Callable, depth: int = 2):
+    """Keep ``depth`` device batches in flight (H2D overlaps compute).
+
+    ``put`` maps a host batch to device arrays (e.g. mesh.shard_batch)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(put(item))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

@@ -1,0 +1,80 @@
+"""Random erasing over normalized video clips.
+
+Counterpart of /root/reference/src/datasets/random_erasing.py:47-193: erases
+a random rectangle (same cube across all frames when ``cube=True``) with
+per-pixel gaussian noise ('pixel'), per-channel noise ('rand'), or a
+constant ('const'), in *normalized* space (applied after tensor_normalize,
+kinetics_sparse.py:272-281). Count/area/aspect semantics preserved.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+import numpy as np
+
+
+class RandomErasing:
+    def __init__(self, probability: float = 0.25, min_area: float = 0.02,
+                 max_area: float = 1 / 3, min_aspect: float = 0.3,
+                 max_aspect: Optional[float] = None, mode: str = "pixel",
+                 min_count: int = 1, max_count: Optional[int] = None,
+                 num_splits: int = 0, cube: bool = True):
+        self.probability = probability
+        self.min_area = min_area
+        self.max_area = max_area
+        max_aspect = max_aspect or 1 / min_aspect
+        self.log_aspect_ratio = (math.log(min_aspect), math.log(max_aspect))
+        self.min_count = min_count
+        self.max_count = max_count or min_count
+        self.num_splits = num_splits
+        self.cube = cube
+        mode = mode.lower()
+        self.rand_color = mode == "rand"
+        self.per_pixel = mode == "pixel"
+        assert mode in ("rand", "pixel", "const")
+
+    def _fill(self, shape):
+        if self.per_pixel:
+            return np.random.standard_normal(shape).astype(np.float32)
+        if self.rand_color:
+            return np.random.standard_normal(
+                (1,) * (len(shape) - 1) + (shape[-1],)
+            ).astype(np.float32)
+        return np.zeros(shape, np.float32)
+
+    def _erase_cube(self, clip: np.ndarray):
+        t, h, w, c = clip.shape
+        area = h * w
+        count = (self.min_count if self.min_count == self.max_count
+                 else random.randint(self.min_count, self.max_count))
+        for _ in range(count):
+            for _attempt in range(10):
+                target_area = random.uniform(
+                    self.min_area, self.max_area
+                ) * area / count
+                aspect = math.exp(random.uniform(*self.log_aspect_ratio))
+                eh = int(round(math.sqrt(target_area * aspect)))
+                ew = int(round(math.sqrt(target_area / aspect)))
+                if ew < w and eh < h:
+                    top = random.randint(0, h - eh)
+                    left = random.randint(0, w - ew)
+                    if self.cube:
+                        fill = self._fill((eh, ew, c))
+                        for ti in range(t):
+                            clip[ti, top : top + eh, left : left + ew] = fill
+                    else:
+                        for ti in range(t):
+                            clip[ti, top : top + eh, left : left + ew] = (
+                                self._fill((eh, ew, c))
+                            )
+                    break
+        return clip
+
+    def __call__(self, clip: np.ndarray) -> np.ndarray:
+        """clip: float32 [T, H, W, C] normalized; modified copy returned."""
+        if random.random() >= self.probability:
+            return clip
+        return self._erase_cube(clip.copy())

@@ -1,0 +1,125 @@
+"""Frame-index samplers: TSN sparse, skip/dense, and pretrain segment sampling.
+
+Pure-numpy ports of the reference's sampling logic so they are unit-testable
+and shared by every dataset class:
+
+* ``sparse_frame_indices``  — kinetics_sparse._get_seq_frames (:283-312):
+  TSN over the whole video; train draws uniformly inside each segment, val
+  uses the segment midpoint (clip_idx=0 of 1), test spreads
+  ``test_num_segment`` clips per segment;
+* ``dense_frame_indices``   — kinetics._get_seq_frames skip strategy
+  (:306-311): fixed-stride window at a random/deterministic start;
+* ``pretrain_segment_indices`` — mae._sample_train_indices (:253-273) +
+  frame-id unrolling of the decord batch loader (:289-307): TSN offsets with
+  ``skip_length``-long sub-clips strided by ``new_step`` and optional
+  temporal jitter.
+
+All samplers take an explicit ``rng`` (np.random.Generator) — determinism is
+seed-threaded, never ambient.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+def sparse_frame_indices(
+    video_size: int,
+    num_frames: int,
+    clip_idx: int = -1,
+    test_num_segment: int = 1,
+    rng: Optional[np.random.Generator] = None,
+) -> List[int]:
+    """TSN sparse sampling. clip_idx=-1 → random (train); else deterministic
+    clip ``clip_idx`` out of ``test_num_segment`` (val uses (0, 1))."""
+    seg_size = max(0.0, float(video_size - 1) / num_frames)
+    max_frame = int(video_size) - 1
+    seq = []
+    if clip_idx == -1:
+        rng = rng or np.random.default_rng()
+        for i in range(num_frames):
+            start = int(np.round(seg_size * i))
+            end = int(np.round(seg_size * (i + 1)))
+            # random.randint is inclusive on both ends
+            seq.append(min(int(rng.integers(start, end + 1)), max_frame))
+    else:
+        duration = seg_size / (test_num_segment + 1)
+        for i in range(num_frames):
+            start = int(np.round(seg_size * i))
+            seq.append(min(start + int(duration * (clip_idx + 1)), max_frame))
+    return seq
+
+
+def dense_frame_indices(
+    video_size: int,
+    num_frames: int,
+    skip_frames: int,
+    rng: Optional[np.random.Generator] = None,
+    start: Optional[int] = None,
+) -> List[int]:
+    """Fixed-stride window ('skip strategy', kinetics_sparse.py:305-311)."""
+    max_frame = int(video_size) - 1
+    if start is None:
+        hi = max(0, max_frame - num_frames * skip_frames)
+        rng = rng or np.random.default_rng()
+        start = int(rng.integers(0, hi + 1))
+    seq = list(range(start, start + num_frames * skip_frames, skip_frames))
+    return [min(i, max_frame) for i in seq]
+
+
+def pretrain_segment_indices(
+    num_video_frames: int,
+    num_segments: int,
+    skip_length: int,
+    new_step: int,
+    temporal_jitter: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> List[int]:
+    """Segment offsets + strided sub-clip unrolling (mae.py:253-307).
+
+    Returns 0-based frame ids of length num_segments * (skip_length//new_step).
+    """
+    rng = rng or np.random.default_rng()
+    average_duration = (num_video_frames - skip_length + 1) // num_segments
+    if average_duration > 0:
+        offsets = np.arange(num_segments) * average_duration
+        offsets = offsets + rng.integers(0, average_duration, size=num_segments)
+    elif num_video_frames > max(num_segments, skip_length):
+        offsets = np.sort(
+            rng.integers(0, num_video_frames - skip_length + 1, size=num_segments)
+        )
+    else:
+        offsets = np.zeros((num_segments,), dtype=int)
+    offsets = offsets + 1  # reference indexes from 1 (mae.py:272)
+
+    steps = skip_length // new_step
+    if temporal_jitter:
+        skip_offsets = rng.integers(0, new_step, size=steps)
+    else:
+        skip_offsets = np.zeros(steps, dtype=int)
+
+    frame_ids = []
+    for seg_start in offsets:
+        offset = int(seg_start)
+        for i, _ in enumerate(range(0, skip_length, new_step)):
+            if offset + skip_offsets[i] <= num_video_frames:
+                frame_id = offset + skip_offsets[i] - 1
+            else:
+                frame_id = offset - 1
+            frame_ids.append(int(frame_id))
+            if offset + new_step < num_video_frames:
+                offset += new_step
+    return frame_ids
+
+
+def enumerate_test_views(num_samples: int, test_num_segment: int, test_num_crop: int):
+    """Enumerate (chunk, crop, sample) test views in the reference's order
+    (kinetics_sparse.py:124-130): for ck: for cp: for idx."""
+    views = []
+    for ck in range(test_num_segment):
+        for cp in range(test_num_crop):
+            for idx in range(num_samples):
+                views.append((ck, cp, idx))
+    return views

@@ -1,0 +1,119 @@
+"""Stage-1 engine: UMT masked pre-training against the frozen CLIP teacher.
+
+Counterpart of /root/reference/run_stage1.py:294-505 (inline train loop) and
+src/engines/engine_for_pretraining_umt.py:32-172, as one pure jitted step:
+
+    teacher fwd (stop-grad) → attention-multinomial mask → masked CLIP-target
+    gather → student fwd on visible tokens → alignment loss → update.
+
+TPU-native notes:
+* the whole step (teacher + student + update) is ONE jitted function — no
+  separate no_grad context needed, ``stop_gradient`` marks the teacher;
+* ``torch.multinomial(attn, N)`` without replacement ≡ Gumbel top-k
+  (ops/masking.attention_multinomial_mask) — a single static top_k;
+* the dual-stream source+target batch is concatenated by the host loader
+  with a *static* source size B_s, so `clip_loss_data` slicing
+  (run_stage1.py:417-427) stays shape-static;
+* mask injection: pass ``vis_idx`` in the batch to bypass the sampler (for
+  loss-curve verification against the reference given identical masks —
+  BASELINE.md parity protocol).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unite_tpu.engines.losses import clip_alignment_loss
+from unite_tpu.ops.masking import (
+    attention_multinomial_mask,
+    n_visible,
+    visible_indices,
+)
+from unite_tpu.train.train_state import TrainState, clip_by_global_norm
+
+
+def resize_for_teacher(videos, clip_input_resolution: int):
+    """Bicubic resize to the teacher's resolution (run_stage1.py:365-373)."""
+    b, t, h, w, c = videos.shape
+    if h == clip_input_resolution and w == clip_input_resolution:
+        return videos
+    return jax.image.resize(
+        videos,
+        (b, t, clip_input_resolution, clip_input_resolution, c),
+        method="bicubic",
+    )
+
+
+def make_pretrain_train_step(
+    student,
+    teacher,
+    *,
+    num_patches: int,
+    frames: int,
+    mask_ratio: float,
+    source_batch_size: int,
+    mask_type: str = "attention",
+    clip_loss_type: str = "l2",
+    clip_loss_data: str = "target",
+    clip_grad: Optional[float] = None,
+    clip_input_resolution: int = 224,
+) -> Callable:
+    """Build the stage-1 jitted step.
+
+    Batch dict: ``videos`` [B, T, H, W, C] (source then target rows),
+    optional ``vis_idx`` [B, N_vis_total] (tube/random masks from the data
+    pipeline, or injected masks for parity checks).
+    """
+    patches_per_frame = num_patches // frames
+    nv_frame = n_visible(patches_per_frame, mask_ratio)
+    nv_total = nv_frame * frames
+
+    def train_step(
+        state: TrainState, teacher_params, batch: Dict, rng
+    ) -> Tuple[TrainState, Dict]:
+        videos = batch["videos"]
+        b = videos.shape[0]
+        step_rng = jax.random.fold_in(rng, state.step)
+        mask_rng, drop_rng = jax.random.split(step_rng)
+
+        clip_videos = resize_for_teacher(videos, clip_input_resolution)
+        z, attn = teacher.apply({"params": teacher_params}, clip_videos)
+        z = jax.lax.stop_gradient(z)  # [K, B, T*HW, C_clip]
+        attn = jax.lax.stop_gradient(attn)  # [B*T, HW]
+
+        if mask_type == "attention":
+            mask_bt = attention_multinomial_mask(mask_rng, attn, mask_ratio)
+            mask = mask_bt.reshape(b, -1)  # [B, T*HW]
+            vis_idx = visible_indices(mask, nv_total)
+        else:
+            vis_idx = batch["vis_idx"]
+
+        # masked CLIP-target gather (run_stage1.py:389-397)
+        targets_clip = jnp.take_along_axis(
+            z, vis_idx[None, :, :, None], axis=2
+        )  # [K, B, N_vis, C]
+
+        def loss_fn(params):
+            x_clip = student.apply(
+                {"params": params}, videos, vis_idx, True, False,
+                rngs={"dropout": drop_rng},
+            )  # clip_only → [K, B, N_vis, C]
+            t = targets_clip
+            o = x_clip
+            if clip_loss_data == "source":
+                t, o = t[:, :source_batch_size], o[:, :source_batch_size]
+            elif clip_loss_data == "target":
+                t, o = t[:, source_batch_size:], o[:, source_batch_size:]
+            elif clip_loss_data != "mixed":
+                raise NotImplementedError(clip_loss_data)
+            return clip_alignment_loss(o, t, clip_loss_type)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads, grad_norm = clip_by_global_norm(grads, clip_grad)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss, "loss_clip": loss, "grad_norm": grad_norm}
+
+    return train_step

@@ -1,0 +1,249 @@
+"""Stage-3 engine: collaborative self-training (student + CLIP zero-shot).
+
+Counterpart of /root/reference/run_stage3.py:340-710, as one pure jitted
+step. The reference's dynamic selected-subset loss re-expresses exactly as a
+static masked mean: ``mean_over_selected(w·ce) * sel_ratio ==
+sum(sel·w·ce)/B_t`` — identical math (including the sel_ratio scaling,
+run_stage3.py:608-616), no dynamic shapes, and naturally 0 when nothing is
+selected.
+
+Components per step (all fused under jit):
+* source CE with grads through encoder+classifier (:475-486);
+* target full-video forward with encoder stop-grad, classifier grads
+  (:480-483 no_grad encoder / live classifier);
+* k=2 greedy committee masks from teacher attention (:493-506);
+* selection-strategy dispatch incl. `clip_matchORconf` (:508-593) — note
+  the reference overwrites ``most_conf_preds`` with the student predictions
+  (:578-579, dead store), so pseudo-labels are ALWAYS the student's preds;
+  replicated faithfully;
+* confidence-weighted pseudo-label CE on committee member k-1 when
+  ``train_masked`` (:599-616);
+* diagnostics: sel_ratio, precision/recall vs ground truth, match/conf
+  select+error rates (:593-597,676-703).
+
+CLIP zero-shot similarities arrive in the batch (``clip_sim`` [B_t, C]) —
+computed by ``clip_zero_shot_similarities`` below or any callable, keeping
+the text encoder pluggable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unite_tpu.engines.losses import cross_entropy
+from unite_tpu.ops.masking import greedy_committee_masks, visible_indices
+from unite_tpu.train.train_state import TrainState, clip_by_global_norm
+
+
+def pool_outputs(x, use_cls_token: bool):
+    """CLS token or token mean (run_stage3.py:333-338)."""
+    if use_cls_token:
+        return x[:, 0]
+    return jnp.mean(x, axis=1)
+
+
+def clip_zero_shot_similarities(image_features, text_features):
+    """softmax(100 · img · text^T) averaged over frames (utils.py:55-68).
+
+    image_features: [B, T, D] L2-normalized per-frame CLIP image features;
+    text_features: [C, D] L2-normalized class-prompt features.
+    """
+    logits = 100.0 * jnp.einsum(
+        "btd,cd->btc", image_features.astype(jnp.float32),
+        text_features.astype(jnp.float32),
+    )
+    return jax.nn.softmax(logits, axis=-1).mean(axis=1)  # [B, C]
+
+
+def make_selftrain_step(
+    student,
+    classifier,
+    teacher,
+    *,
+    num_patches: int,
+    frames: int,
+    mask_ratio: float,
+    committee_size: int = 2,
+    selection_strategy: str = "clip_matchORconf",
+    global_threshold: float = 0.5,
+    clip_threshold: float = 0.1,
+    conf_weighted_loss: bool = True,
+    train_masked: bool = True,
+    use_cls_token: bool = False,
+    class_loss_src_ratio_pl: float = 1.0,
+    class_loss_tgt_ratio: float = 1.0,
+    full_oracle: bool = False,
+    clip_grad: Optional[float] = None,
+    clip_input_resolution: int = 224,
+    nb_classes: int = 12,
+) -> Callable:
+    """Build the stage-3 jitted step.
+
+    ``state.params`` = {'model': student params, 'classifier': head params}.
+    Batch dict: videos_s [B_s,...], labels_s, videos_t [B_t,...] (clean),
+    labels_t (diagnostics only), optional clip_sim [B_t, nb_classes],
+    optional classwise_thresholds [nb_classes].
+    """
+    patches_per_frame = num_patches // frames
+    n_unmask_frame = patches_per_frame - int(patches_per_frame * mask_ratio)
+    nv_committee = n_unmask_frame * frames
+    k = committee_size
+
+    from unite_tpu.engines.pretrain_umt import resize_for_teacher
+
+    def train_step(
+        state: TrainState, teacher_params, batch: Dict, rng
+    ) -> Tuple[TrainState, Dict]:
+        videos_s, labels_s = batch["videos_s"], batch["labels_s"]
+        videos_t, labels_t = batch["videos_t"], batch["labels_t"]
+        b_t = videos_t.shape[0]
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        # teacher attention over target clips (run_stage3.py:434-451)
+        clip_videos_t = resize_for_teacher(videos_t, clip_input_resolution)
+        _, attn = teacher.apply({"params": teacher_params}, clip_videos_t)
+        attn = jax.lax.stop_gradient(attn)  # [B_t*T, HW]
+
+        # committee visible-index sets (utils.py:89-120, :493-506)
+        masks = greedy_committee_masks(attn, mask_ratio, k)  # [k, B_t*T, HW]
+        masks_video = masks.reshape(k * b_t, -1)  # [(k B_t), T*HW]
+        vis_idx_committee = visible_indices(masks_video, nv_committee)
+        videos_tk = jnp.concatenate([videos_t] * k, axis=0)
+
+        def forward_parts(params):
+            model_p, head_p = params["model"], params["classifier"]
+
+            def encode_pool(videos, vis_idx=None):
+                x_vis, _ = student.apply(
+                    {"params": model_p}, videos, vis_idx, False, False,
+                    rngs={"dropout": drop_rng},
+                )
+                return pool_outputs(x_vis, use_cls_token)
+
+            def head(feat):
+                return classifier.apply({"params": head_p}, feat)
+
+            logits_full_s = head(encode_pool(videos_s))
+            # encoder stop-grad, classifier live (:480-483)
+            feat_t = jax.lax.stop_gradient(encode_pool(videos_t))
+            logits_full_t = head(feat_t)
+            logits_masked_t = head(encode_pool(videos_tk, vis_idx_committee))
+            logits_masked_t = logits_masked_t.reshape(k, b_t, -1)
+            return logits_full_s, logits_full_t, logits_masked_t
+
+        def loss_fn(params):
+            logits_full_s, logits_full_t, logits_masked_t = forward_parts(params)
+            loss_class_s = cross_entropy(logits_full_s, labels_s)
+
+            probs_full_t = jax.nn.softmax(
+                jax.lax.stop_gradient(logits_full_t).astype(jnp.float32), -1
+            )
+            msp_t = probs_full_t.max(-1)
+            preds_full_t = probs_full_t.argmax(-1)
+
+            # committee agreement with the full-video prediction (:505-519)
+            preds_masked = jax.lax.stop_gradient(logits_masked_t).argmax(-1)
+            votes = (preds_masked == preds_full_t[None, :]).sum(0)
+            sel_cons = votes >= k
+            sel_conf = msp_t >= global_threshold
+
+            diag = {}
+            if selection_strategy == "conf":
+                sel = sel_conf
+            elif selection_strategy == "cons":
+                sel = sel_cons
+            elif selection_strategy == "consORconf":
+                sel = sel_cons | sel_conf
+            elif selection_strategy == "consANDconf":
+                sel = sel_cons & sel_conf
+            elif selection_strategy in ("classwise-conf", "consORclasswise-conf",
+                                        "consANDclasswise-conf"):
+                th = batch["classwise_thresholds"]  # [nb_classes]
+                sel_cw = msp_t >= th[preds_full_t]
+                sel = {"classwise-conf": sel_cw,
+                       "consORclasswise-conf": sel_cw | sel_cons,
+                       "consANDclasswise-conf": sel_cw & sel_cons}[selection_strategy]
+            elif selection_strategy == "clip_only":
+                clip_sim = batch["clip_sim"]
+                sel = clip_sim.max(-1) >= global_threshold
+            elif selection_strategy == "clip_matchORconf":
+                clip_sim = batch["clip_sim"]
+                clip_msp = clip_sim.max(-1)
+                clip_preds = clip_sim.argmax(-1)
+                match_mask = clip_preds == preds_full_t
+                student_conf = msp_t >= clip_threshold
+                clip_conf = clip_msp >= clip_threshold
+                conf_mask = jnp.logical_xor(student_conf, clip_conf) & ~match_mask
+                sel = conf_mask | match_mask
+                correct = preds_full_t == labels_t
+                diag["match_select_rate"] = match_mask.mean()
+                diag["conf_select_rate"] = conf_mask.mean()
+                diag["match_error_rate"] = (match_mask & ~correct).mean()
+                diag["conf_error_rate"] = (conf_mask & ~correct).mean()
+            elif selection_strategy == "oracle":
+                sel = preds_full_t == labels_t
+            else:
+                raise ValueError(f"Invalid selection strategy: {selection_strategy}")
+
+            # pseudo-labels are the student's full-video preds (:603-605 —
+            # the most_conf_preds mix is dead-stored in the reference)
+            ce_target = preds_full_t
+            ce_input = logits_masked_t[-1] if train_masked else logits_full_t
+            conf_w = msp_t if conf_weighted_loss else jnp.ones_like(msp_t)
+            ce_t = cross_entropy(ce_input, ce_target, reduction="none")
+            sel_f = sel.astype(jnp.float32)
+            # == class_loss_tgt_ratio * sel_ratio * mean_over_selected(w*ce)
+            loss_class_t = class_loss_tgt_ratio * jnp.mean(sel_f * conf_w * ce_t)
+            if full_oracle:
+                loss_class_t = cross_entropy(ce_input, labels_t)
+
+            loss = class_loss_src_ratio_pl * loss_class_s + loss_class_t
+
+            correct = (preds_full_t == labels_t).astype(jnp.float32)
+            nsel = sel_f.sum()
+            diag.update({
+                "loss_class": loss_class_s,
+                "loss_class_t": loss_class_t,
+                "sel_ratio": sel_f.mean(),
+                "correct_precision": jnp.where(
+                    nsel > 0, (correct * sel_f).sum() / jnp.maximum(nsel, 1), 0.0
+                ),
+                "correct_recall": (correct * sel_f).sum()
+                / jnp.maximum(correct.sum(), 1),
+            })
+            return loss, diag
+
+        (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads, grad_norm = clip_by_global_norm(grads, clip_grad)
+        state = state.apply_gradients(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm, **diag}
+        return state, metrics
+
+    return train_step
+
+
+def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False):
+    """Validation forward (run_stage3.py:714-787): full-vis encoder + head."""
+
+    def eval_step(state: TrainState, batch: Dict) -> Dict:
+        x_vis, _ = student.apply(
+            {"params": state.params["model"]}, batch["videos"], None, False, True
+        )
+        logits = classifier.apply(
+            {"params": state.params["classifier"]},
+            pool_outputs(x_vis, use_cls_token),
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+        from unite_tpu.engines.losses import accuracy_topk
+
+        acc1, acc5 = accuracy_topk(logits, batch["labels"])
+        return {"probs": probs, "labels": batch["labels"], "acc1": acc1,
+                "acc5": acc5,
+                "loss": cross_entropy(logits, batch["labels"])}
+
+    return eval_step
