@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Stage 3 launcher: one JAX process per host drives all local TPU chips
+# (the torchrun-per-GPU model does not apply — SURVEY §2.3 TPU plan).
+set -e
+DATASET=${1:-arid-hmdb}
+OUTPUT=${2:-runs/stage3/$DATASET}
+shift 2 || true
+python -m unite_tpu.train.run_stage3 \
+  --config configs/stage3_config.yaml \
+  --dataset "$DATASET" \
+  --output_dir "$OUTPUT" \
+  "$@"

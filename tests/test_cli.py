@@ -1,0 +1,129 @@
+"""CLI/config-resolution tests for the three stage entry points."""
+
+import numpy as np
+import pytest
+import yaml
+
+from unite_tpu.config import parse_with_config
+from unite_tpu.train.args import stage1_parser, stage2_parser, stage3_parser
+
+
+def test_stage_parsers_defaults():
+    a1 = stage1_parser().parse_args([])
+    assert a1.model == "adaptation_umt_base_patch16_224"
+    assert a1.mask_ratio == 0.8
+    a2 = stage2_parser().parse_args([])
+    assert a2.model == "vit_base_patch16_224"
+    assert a2.layer_decay == 0.65
+    a3 = stage3_parser().parse_args([])
+    assert a3.selection_strategy == "clip_matchORconf"
+    assert a3.clip_return_layers == [6]
+    assert a3.train_masked is True
+
+
+def test_yaml_configs_parse_cleanly():
+    for stage, parser in [(1, stage1_parser()), (2, stage2_parser()),
+                          (3, stage3_parser())]:
+        args = parse_with_config(
+            parser, ["--config", f"configs/stage{stage}_config.yaml"])
+        assert args.num_frames == 8
+        assert args.tubelet_size == 1
+        assert args.data_set == "Kinetics_sparse"
+
+
+def test_cli_wins_over_yaml(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("batch_size: 99\nlr: 0.5\n")
+    args = parse_with_config(
+        stage2_parser(), ["--config", str(cfg), "--batch_size", "3"])
+    assert args.batch_size == 3  # CLI beats YAML
+    assert args.lr == 0.5  # YAML beats default
+
+
+def test_dataset_mapping_injection(tmp_path):
+    mp = tmp_path / "m.yaml"
+    mp.write_text(yaml.safe_dump({
+        "toy": {"ann_file_train": "a.csv", "ann_file_val": "b.csv",
+                "nb_classes": 7, "train_fraction": 0.5}
+    }))
+    args = parse_with_config(
+        stage2_parser(),
+        ["--dataset", "toy", "--dataset_mappings", str(mp),
+         "--train_fraction", "0.9"],
+    )
+    assert args.ann_file_train == "a.csv"
+    assert args.nb_classes == 7
+    # CLI re-applied after mapping injection (run_stage3.py:286-287)
+    assert args.train_fraction == 0.9
+
+
+def test_unknown_dataset_errors(tmp_path):
+    mp = tmp_path / "m.yaml"
+    mp.write_text("known: {nb_classes: 3}\n")
+    with pytest.raises(KeyError):
+        parse_with_config(
+            stage2_parser(),
+            ["--dataset", "nope", "--dataset_mappings", str(mp)])
+
+
+def test_trainable_mask_policies():
+    import jax.numpy as jnp
+
+    from unite_tpu.train.run_stage2 import trainable_mask
+
+    params = {
+        "patch_embed": {"proj": {"kernel": jnp.zeros((2, 2))}},
+        "blocks_0": {"norm1": {"scale": jnp.zeros(2)}},
+        "blocks_7": {"norm1": {"scale": jnp.zeros(2)}},
+        "head": {"kernel": jnp.zeros((2, 2))},
+        "fc_norm": {"scale": jnp.zeros(2)},
+    }
+
+    class A:  # minimal args
+        train_head_only = False
+        frozen_layers = "0,1,2"
+        freeze_patch_embedding = True
+
+    m = trainable_mask(A, params)
+    assert m["blocks_0"]["norm1"]["scale"] is False
+    assert m["blocks_7"]["norm1"]["scale"] is True
+    assert m["patch_embed"]["proj"]["kernel"] is False
+    assert m["head"]["kernel"] is True
+
+    class B:
+        train_head_only = True
+        frozen_layers = ""
+        freeze_patch_embedding = False
+
+    m = trainable_mask(B, params)
+    assert m["head"]["kernel"] is True
+    assert m["fc_norm"]["scale"] is True
+    assert m["blocks_7"]["norm1"]["scale"] is False
+
+
+def test_class_name_tables():
+    from unite_tpu.models.clip_text import get_class_names
+
+    assert len(get_class_names(8)) == 8
+    assert len(get_class_names(12)) == 12
+    assert len(get_class_names(23)) == 23
+    with pytest.raises(NotImplementedError):
+        get_class_names(5)
+
+
+def test_tokenizer_with_toy_merges(tmp_path):
+    """SimpleTokenizer mechanics with a minimal merges file."""
+    from unite_tpu.models.clip_text import SimpleTokenizer, bytes_to_unicode
+
+    merges = ["#version: toy", "w a", "l k</w>", "wa lk</w>", "r u"]
+    p = tmp_path / "bpe.txt"
+    p.write_text("\n".join(merges) + "\n")
+    tok = SimpleTokenizer(str(p))
+    ids = tok.tokenize(["walk run"], context_length=16)
+    assert ids.shape == (1, 16)
+    assert ids[0, 0] == tok.encoder["<|startoftext|>"]
+    eot = tok.encoder["<|endoftext|>"]
+    assert eot in ids[0]
+    # merge chain applies in rank order: w a -> wa, l k</w> -> lk</w>, join
+    assert tok.bpe("walk") == "walk</w>"
+    assert tok.bpe("run") == "ru n</w>"

@@ -44,13 +44,20 @@ def build_pretraining_dataset(args, anno_path: Optional[str] = None,
         args.input_size // args.patch_size,
         args.input_size // args.patch_size,
     )
+    # sparse mode when num_segments != 1 (mae.py:142-146): one frame per
+    # segment; dense mode: one window of num_frames * step consecutive frames
+    step = max(1, getattr(args, "sampling_rate", 1) or 1)
+    if args.num_segments != 1:
+        num_segments, skip_length, new_step = args.num_segments, 1, 1
+    else:
+        num_segments, skip_length, new_step = 1, args.num_frames * step, step
     return VideoMAEPretrainDataset(
         anno_path=anno_path or args.data_path,
+        sep=getattr(args, "split", " "),
         mask_gen=make_mask_generator(args.mask_type, window_size, args.mask_ratio),
-        num_segments=args.num_segments,
-        skip_length=getattr(args, "skip_length", args.num_frames
-                            * getattr(args, "sampling_rate", 1)),
-        new_step=getattr(args, "sampling_rate", 1),
+        num_segments=num_segments,
+        skip_length=skip_length,
+        new_step=new_step,
         input_size=args.input_size,
         color_jitter=getattr(args, "color_jitter", 0) > 0,
         flip=getattr(args, "flip", False),
@@ -78,6 +85,7 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
 
     ds = VideoClsDatasetSparse(
         anno_path=anno_path,
+        sep=getattr(args, "split", " "),
         mode=mode,
         clip_len=args.num_frames,
         crop_size=args.input_size,

@@ -145,8 +145,9 @@ class VideoClsDatasetSparse:
                 cp = None
             try:
                 return self._load_clip(path, chunk), path, label, cp, chunk
-            except Exception:
-                warnings.warn(f"video {path} not correctly loaded ({self.mode})")
+            except Exception as e:
+                warnings.warn(
+                    f"video {path} not correctly loaded ({self.mode}): {e!r}")
                 index = int(self.rng.integers(0, len(self)))
         raise RuntimeError("too many consecutive decode failures")
 
@@ -276,8 +277,8 @@ class VideoMAEPretrainDataset:
                     self.temporal_jitter, self.rng,
                 )
                 return self.reader.get_batch(path, ids), self.labels[index]
-            except Exception:
-                warnings.warn(f"pretrain video {path} failed to decode")
+            except Exception as e:
+                warnings.warn(f"pretrain video {path} failed to decode: {e!r}")
                 index = int(self.rng.integers(0, len(self)))
         raise RuntimeError("too many consecutive decode failures")
 

@@ -83,9 +83,12 @@ def make_selftrain_step(
     """Build the stage-3 jitted step.
 
     ``state.params`` = {'model': student params, 'classifier': head params}.
-    Batch dict: videos_s [B_s,...], labels_s, videos_t [B_t,...] (clean),
-    labels_t (diagnostics only), optional clip_sim [B_t, nb_classes],
-    optional classwise_thresholds [nb_classes].
+    Batch dict: videos_s [B_s,...] (augmented source), labels_s,
+    videos_t [B_t,...] (CLEAN target — full-video preds + CLIP zero-shot,
+    run_stage3.py:480-483,552), videos_t_aug [B_t,...] (AUGMENTED target —
+    teacher attention + committee forwards, :405-415,434-451,499-506; falls
+    back to videos_t when absent), labels_t (diagnostics only), optional
+    clip_sim [B_t, nb_classes], optional classwise_thresholds [nb_classes].
     """
     patches_per_frame = num_patches // frames
     n_unmask_frame = patches_per_frame - int(patches_per_frame * mask_ratio)
@@ -99,11 +102,12 @@ def make_selftrain_step(
     ) -> Tuple[TrainState, Dict]:
         videos_s, labels_s = batch["videos_s"], batch["labels_s"]
         videos_t, labels_t = batch["videos_t"], batch["labels_t"]
+        videos_t_aug = batch.get("videos_t_aug", videos_t)
         b_t = videos_t.shape[0]
         drop_rng = jax.random.fold_in(rng, state.step)
 
-        # teacher attention over target clips (run_stage3.py:434-451)
-        clip_videos_t = resize_for_teacher(videos_t, clip_input_resolution)
+        # teacher attention over AUGMENTED target clips (run_stage3.py:434-451)
+        clip_videos_t = resize_for_teacher(videos_t_aug, clip_input_resolution)
         _, attn = teacher.apply({"params": teacher_params}, clip_videos_t)
         attn = jax.lax.stop_gradient(attn)  # [B_t*T, HW]
 
@@ -111,7 +115,7 @@ def make_selftrain_step(
         masks = greedy_committee_masks(attn, mask_ratio, k)  # [k, B_t*T, HW]
         masks_video = masks.reshape(k * b_t, -1)  # [(k B_t), T*HW]
         vis_idx_committee = visible_indices(masks_video, nv_committee)
-        videos_tk = jnp.concatenate([videos_t] * k, axis=0)
+        videos_tk = jnp.concatenate([videos_t_aug] * k, axis=0)
 
         def forward_parts(params):
             model_p, head_p = params["model"], params["classifier"]

@@ -128,8 +128,14 @@ class CLIPVisionTransformer(nn.Module):
     use_pallas: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, vis_idx=None):
+    def __call__(self, x, vis_idx=None, cls_features: bool = False):
         """x: [B, T, H, W, 3] video.
+
+        cls_features=True switches to image-encoder mode: returns ONLY the
+        per-frame L2-normed projected CLS features [B*T', output_dim]
+        (OpenAI ``encode_image`` semantics — ln_post(cls) @ proj — used by
+        the stage-3 zero-shot teacher, utils.py:55-68). Reuses the same
+        parameters; no taps/attention outputs.
 
         vis_idx: optional [B, N_vis_total] visible-token gather indices over
         the flattened T'*HW patch grid (masked-teacher path, clip.py:154-160);
@@ -183,7 +189,8 @@ class CLIPVisionTransformer(nn.Module):
         cls_out = None
         return_index = list(self.return_index)
         for i in range(self.layers):
-            want_attn = self.return_attn and i == self.layers - 1 and vis_idx is None
+            want_attn = (self.return_attn and i == self.layers - 1
+                         and vis_idx is None and not cls_features)
             blk = CLIPBlock(
                 num_heads=self.heads, dtype=self.dtype,
                 use_pallas=self.use_pallas, name=f"resblocks_{i}",
@@ -195,8 +202,22 @@ class CLIPVisionTransformer(nn.Module):
                 x = blk(x)
             if i in return_index:
                 taps.append(x)
-            if self.return_cls and i == self.layers - 1:
+            if (self.return_cls or cls_features) and i == self.layers - 1:
                 cls_out = x[:, 0, :]
+
+        if cls_features:
+            feat = LayerNorm(name="ln_post")(cls_out)
+            proj = self.param(
+                "proj", nn.initializers.normal(self.width**-0.5),
+                (self.width, self.output_dim), jnp.float32,
+            )
+            feat = jnp.einsum(
+                "bc,cd->bd", feat, proj.astype(feat.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return feat / jnp.linalg.norm(
+                feat.astype(jnp.float32), axis=-1, keepdims=True
+            )
 
         z = jnp.stack(taps)  # [K, B*T', 1+HW_vis, width]
         k = z.shape[0]

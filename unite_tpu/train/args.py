@@ -1,0 +1,237 @@
+"""Argument schemas for the three stage entry points.
+
+Counterpart of the reference get_args functions (run_stage1.py:53-250,
+run_stage2.py:54-304, run_stage3.py:62-289): argparse defines the schema;
+``--config`` YAML overlays defaults; ``--dataset`` pulls annotation paths /
+nb_classes / student_init from dataset_mappings.yaml; explicitly-passed CLI
+flags win (unite_tpu.config.parse_with_config). Every key of the reference's
+stage YAML configs has a flag here; CUDA-specific knobs (device, dist_url,
+nccl, deepspeed, amp) are accepted for config-file compatibility but have no
+effect on TPU (noted in help strings).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from unite_tpu.config import str2bool
+
+
+def _int_list(v):
+    if isinstance(v, (list, tuple)):
+        return [int(x) for x in v]
+    return [int(x) for x in str(v).replace(",", " ").split()]
+
+
+def common_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(desc, add_help=True)
+    # config / dataset indirection
+    p.add_argument("--config", default=None, help="YAML config overlay")
+    p.add_argument("--dataset", default=None,
+                   help="named domain shift from dataset_mappings.yaml")
+    p.add_argument("--dataset_mappings", default="configs/dataset_mappings.yaml")
+    # run basics
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size_val", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--output_dir", default="runs/exp")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default="tpu", help="accepted for config compat")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--pin_mem", type=str2bool, default=True)
+    p.add_argument("--overwrite", default="allow",
+                   choices=["allow", "error", "resume"],
+                   help="non-interactive experiment-dir collision policy")
+    # model geometry
+    p.add_argument("--model", default="vit_base_patch16_224")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--num_frames", type=int, default=8)
+    p.add_argument("--num_segments", type=int, default=8)
+    p.add_argument("--tubelet_size", type=int, default=1)
+    p.add_argument("--drop_path", type=float, default=0.1)
+    p.add_argument("--use_learnable_pos_emb", type=str2bool, default=False)
+    p.add_argument("--use_checkpoint", type=str2bool, default=False,
+                   help="rematerialize transformer blocks")
+    p.add_argument("--nb_classes", type=int, default=12)
+    # data
+    p.add_argument("--data_set", default="Kinetics_sparse")
+    p.add_argument("--data_path", default="")
+    p.add_argument("--ann_file_train", default="")
+    p.add_argument("--ann_file_train_target", default="")
+    p.add_argument("--ann_file_val", default="")
+    p.add_argument("--ann_file_test", default="")
+    p.add_argument("--split", default=",", help="annotation CSV delimiter")
+    p.add_argument("--short_side_size", type=int, default=224)
+    p.add_argument("--train_fraction", type=float, default=1.0)
+    p.add_argument("--train_interpolation", default="bicubic")
+    p.add_argument("--num_sample", type=int, default=1)
+    p.add_argument("--sampling_rate", type=int, default=0)
+    p.add_argument("--test_num_segment", type=int, default=5)
+    p.add_argument("--test_num_crop", type=int, default=3)
+    p.add_argument("--color_jitter", type=float, default=0.0)
+    p.add_argument("--flip", type=str2bool, default=True)
+    p.add_argument("--synthetic_data", type=str2bool, default=False,
+                   help="use the synthetic video reader (tests/benchmarks)")
+    # optimizer / schedules
+    p.add_argument("--opt", default="adamw")
+    p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--opt_betas", type=float, nargs="+", default=[0.9, 0.95])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--lr", type=float, default=1.5e-4)
+    p.add_argument("--min_lr", type=float, default=1e-5)
+    p.add_argument("--warmup_lr", type=float, default=1e-6)
+    p.add_argument("--warmup_epochs", type=int, default=0)
+    p.add_argument("--warmup_steps", type=int, default=-1)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--weight_decay_end", type=float, default=None)
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--layer_decay", type=float, default=1.0)
+    # checkpointing
+    p.add_argument("--auto_resume", type=str2bool, default=False)
+    p.add_argument("--resume", default="")
+    p.add_argument("--save_ckpt_freq", type=int, default=1000)
+    p.add_argument("--model_key", default="model|module")
+    p.add_argument("--student_init", default="")
+    p.add_argument("--student_prefix", default="")
+    p.add_argument("--prefix", default="")
+    # eval
+    p.add_argument("--val_interval", type=int, default=100)
+    p.add_argument("--initial_validation", type=str2bool, default=False)
+    p.add_argument("--test_best", type=str2bool, default=True)
+    p.add_argument("--dispatch_loop_steps", type=int, default=1,
+                   help="train steps dispatched per host sync (latency hiding)")
+    # logging
+    p.add_argument("--disable_wandb", type=str2bool, default=True)
+    p.add_argument("--wandb_group", default=None)
+    # accepted-for-compat CUDA-era knobs (no effect on TPU)
+    for flag, default in [
+        ("--dist_backend", "ici"), ("--dist_url", "env://"),
+        ("--world_size", 1), ("--local_rank", -1), ("--gpu", 0),
+        ("--use_decord", True), ("--enable_deepspeed", False),
+        ("--imagenet_default_mean_and_std", True), ("--crop_pct", None),
+    ]:
+        kwargs = {"default": default}
+        if isinstance(default, bool):
+            kwargs["type"] = str2bool
+        elif isinstance(default, int):
+            kwargs["type"] = int
+        p.add_argument(flag, **kwargs)
+    return p
+
+
+def stage1_parser() -> argparse.ArgumentParser:
+    p = common_parser("UNITE-TPU stage 1: UMT masked pre-training")
+    p.set_defaults(model="adaptation_umt_base_patch16_224", epochs=20,
+                   lr=1.5e-4, warmup_epochs=0)
+    p.add_argument("--mask_type", default="attention",
+                   choices=["attention", "tube", "random", "none"])
+    p.add_argument("--mask_ratio", type=float, default=0.8)
+    p.add_argument("--clip_teacher", default="clip_b16")
+    p.add_argument("--clip_input_resolution", type=int, default=224)
+    p.add_argument("--clip_loss_type", default="l2",
+                   choices=["l2", "mse", "smooth_l1", "l1"])
+    p.add_argument("--clip_loss_data", default="target",
+                   choices=["source", "target", "mixed"])
+    p.add_argument("--clip_loss_ratio", type=float, default=1.0)
+    p.add_argument("--clip_decoder_embed_dim", type=int, default=768)
+    p.add_argument("--clip_output_dim", type=int, default=512)
+    p.add_argument("--clip_norm_type", default="l2")
+    p.add_argument("--clip_return_layers", type=int, nargs="+",
+                   default=[6, 7, 8, 9, 10, 11])
+    p.add_argument("--clip_return_interval", type=float, default=1.0)
+    p.add_argument("--clip_student_return_interval", type=float, default=1.0)
+    p.add_argument("--clip_return_attn", type=str2bool, default=True)
+    p.add_argument("--clip_decoder_init", default="")
+    p.add_argument("--freeze_clip_decoders", type=str2bool, default=False)
+    p.add_argument("--use_cls_token", type=str2bool, default=False)
+    p.add_argument("--decoder_depth", type=int, default=4)
+    p.add_argument("--clip_decoder_type", default="SA_Decoder")
+    p.add_argument("--normlize_target", type=str2bool, default=True)
+    return p
+
+
+def stage2_parser() -> argparse.ArgumentParser:
+    p = common_parser("UNITE-TPU stage 2: supervised fine-tuning")
+    p.set_defaults(model="vit_base_patch16_224", epochs=50, lr=2.5e-5,
+                   warmup_epochs=5, layer_decay=0.65)
+    p.add_argument("--finetune", default="", help="init checkpoint")
+    p.add_argument("--model_prefix", default="")
+    p.add_argument("--delete_head", type=str2bool, default=True)
+    p.add_argument("--use_mean_pooling", type=str2bool, default=True)
+    p.add_argument("--init_scale", type=float, default=0.001)
+    p.add_argument("--head_type", default="linear", choices=["linear", "mlp"])
+    p.add_argument("--head_hidden_dim", type=int, default=256)
+    p.add_argument("--fc_drop_rate", type=float, default=0.0)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    # augmentation
+    p.add_argument("--aa", default="rand-m7-n4-mstd0.5-inc1")
+    p.add_argument("--smoothing", type=float, default=0.0)
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", default="pixel")
+    p.add_argument("--recount", type=int, default=1)
+    p.add_argument("--resplit", type=str2bool, default=False)
+    # mixup
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--cutmix", type=float, default=0.0)
+    p.add_argument("--cutmix_minmax", type=float, nargs="+", default=None)
+    p.add_argument("--mixup_prob", type=float, default=0.0)
+    p.add_argument("--mixup_switch_prob", type=float, default=0.5)
+    p.add_argument("--mixup_mode", default="batch")
+    # ema / accumulation
+    p.add_argument("--model_ema", type=str2bool, default=False)
+    p.add_argument("--model_ema_decay", type=float, default=0.9999)
+    p.add_argument("--model_ema_force_cpu", type=str2bool, default=False)
+    p.add_argument("--update_freq", type=int, default=1)
+    # freeze policies
+    p.add_argument("--train_head_only", type=str2bool, default=False)
+    p.add_argument("--frozen_layers", default="",
+                   help="comma list of block ids to freeze, e.g. 0,1,2")
+    p.add_argument("--freeze_patch_embedding", type=str2bool, default=False)
+    # eval
+    p.add_argument("--eval", type=str2bool, default=False)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--eval_data_path", default=None)
+    p.add_argument("--dist_eval", type=str2bool, default=True)
+    p.add_argument("--disable_eval_during_finetuning", type=str2bool,
+                   default=False)
+    p.add_argument("--save_ckpt", type=str2bool, default=True)
+    return p
+
+
+def stage3_parser() -> argparse.ArgumentParser:
+    p = stage1_parser()
+    p.description = "UNITE-TPU stage 3: collaborative self-training"
+    p.set_defaults(epochs=20, clip_return_layers=[6], warmup_epochs=0,
+                   return_aug_for_val=True)
+    p.add_argument("--selection_strategy", default="clip_matchORconf")
+    p.add_argument("--clip_threshold", type=float, default=0.1)
+    p.add_argument("--conf_weighted_loss", type=str2bool, default=True)
+    p.add_argument("--train_masked", type=str2bool, default=True)
+    p.add_argument("--masking_type", default="clip_attention")
+    p.add_argument("--class_loss_src_ratio_pl", type=float, default=1.0)
+    p.add_argument("--class_loss_tgt_ratio", type=float, default=1.0)
+    p.add_argument("--full_oracle", type=str2bool, default=False)
+    p.add_argument("--return_aug_for_val", type=str2bool, default=True)
+    p.add_argument("--src_classifier_type", default="linear")
+    p.add_argument("--src_classifier_init", default="",
+                   help="stage-2 checkpoint providing the classifier head")
+    p.add_argument("--aa", default="rand-m7-n4-mstd0.5-inc1")
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", default="pixel")
+    p.add_argument("--recount", type=int, default=1)
+    p.add_argument("--clip_zero_shot", type=str2bool, default=False,
+                   help="enable the CLIP text zero-shot teacher (needs "
+                        "extracted text weights)")
+    p.add_argument("--clip_text_init", default="",
+                   help="extracted CLIP text-tower .pth for zero-shot")
+    p.add_argument("--clip_text_features", default="",
+                   help="precomputed [C, D] text features .npy (skips the "
+                        "tokenizer/text tower)")
+    p.add_argument("--clip_bpe_path", default="",
+                   help="CLIP bpe_simple_vocab merges file (.txt[.gz])")
+    return p

@@ -1,0 +1,216 @@
+"""Shared runtime for the stage entry points.
+
+The host-side frame around the jitted steps: run setup (seeds, experiment
+dir, mesh), loader construction, the per-epoch train loop with MetricLogger,
+padded validation (static batch shapes under jit — the final short batch is
+padded and the padding sliced off host-side), multi-view test + merge, and
+checkpoint-import orchestration (the reference's load_student_from_ckpt /
+load_from_ckpt chains, run_stage1.py:518-602 / run_stage2.py:349-438).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unite_tpu.config import dump_config, log_stats, prepare_output_dir
+from unite_tpu.data.loader import DataLoader, device_prefetch
+from unite_tpu.data.sharding import ShardedSampler, repetitions_to_match
+from unite_tpu.data.video_reader import SyntheticVideoReader, default_reader
+from unite_tpu.engines.finetune import merge, write_preds_file
+from unite_tpu.parallel import mesh as pmesh
+from unite_tpu.utils.metrics import MetricLogger, compute_ece
+from unite_tpu.utils.schedules import cosine_scheduler, scaled_lr
+
+
+def setup_run(args):
+    """Seeds, experiment dir, resolved-config dump, mesh (run_stage1 main
+    preamble :604-650)."""
+    np.random.seed(args.seed + jax.process_index())
+    import random
+
+    random.seed(args.seed + jax.process_index())
+    if pmesh.is_main_process():
+        prepare_output_dir(args.output_dir, args.overwrite)
+        dump_config(args, args.output_dir)
+    mesh = pmesh.make_mesh()
+    print(f"devices: {jax.device_count()} ({jax.local_device_count()} local), "
+          f"mesh: {mesh}")
+    return mesh
+
+
+def reader_for(args):
+    if getattr(args, "synthetic_data", False):
+        return SyntheticVideoReader(256, 320)
+    return default_reader()
+
+
+def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
+                repetitions=1, seed=None):
+    sampler = ShardedSampler(
+        len(dataset), jax.process_count(), jax.process_index(),
+        shuffle=shuffle, seed=args.seed if seed is None else seed,
+        drop_last=False, repetitions=repetitions,
+    )
+    return DataLoader(
+        dataset, batch_size=batch_size, sampler=sampler,
+        num_workers=args.num_workers, drop_last=drop_last,
+    )
+
+
+def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
+    """Per-step LR/WD tables with the linear scaling rule
+    (run_stage1.py:796-800, utils.py:646-663)."""
+    total_batch = args.batch_size * jax.device_count() \
+        // max(1, jax.process_count()) * jax.process_count()
+    lr = scaled_lr(args.lr, total_batch, num_sample)
+    min_lr = scaled_lr(args.min_lr, total_batch, num_sample)
+    warmup_lr = scaled_lr(args.warmup_lr, total_batch, num_sample)
+    lr_tab = cosine_scheduler(
+        lr, min_lr, args.epochs, niter_per_ep,
+        warmup_epochs=args.warmup_epochs, start_warmup_value=warmup_lr,
+        warmup_steps=args.warmup_steps,
+    )
+    wd_end = args.weight_decay_end
+    if wd_end is None:
+        wd_end = args.weight_decay
+    wd_tab = cosine_scheduler(args.weight_decay, wd_end, args.epochs,
+                              niter_per_ep)
+    return lr_tab, wd_tab, lr
+
+
+def train_one_epoch(
+    state,
+    step_fn: Callable,
+    batches: Iterable,
+    epoch: int,
+    log_freq: int = 10,
+    header_extra: str = "",
+    metric_logger: Optional[MetricLogger] = None,
+    extra_step_args: tuple = (),
+    rng=None,
+):
+    """Host loop around the jitted step (engine train_one_epoch frame)."""
+    logger = metric_logger or MetricLogger()
+    rng = rng if rng is not None else jax.random.PRNGKey(epoch)
+    header = f"Epoch [{epoch}]{header_extra}:"
+    last_metrics = None
+    for batch in logger.log_every(batches, log_freq, header):
+        state, metrics = step_fn(state, *extra_step_args, batch, rng)
+        host = {k: float(v) for k, v in metrics.items()}
+        if not np.isfinite(host["loss"]):
+            raise FloatingPointError(
+                f"Loss is {host['loss']}, stopping training"
+            )  # reference exits 1 (run_stage1.py:447-449)
+        logger.update(**host)
+        last_metrics = host
+    logger.synchronize_between_processes()
+    print("Averaged stats:", logger)
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    return state, stats, last_metrics
+
+
+def _pad_batch(batch: Dict, size: int) -> Dict:
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        n = v.shape[0]
+        if n < size:
+            pad = np.concatenate([v, np.repeat(v[-1:], size - n, axis=0)])
+            out[k] = pad
+        else:
+            out[k] = v
+    return out
+
+
+def run_validation(state, eval_step, loader, mesh, batch_size: int,
+                   header: str = "Val"):
+    """Padded-batch validation; gathers probs/labels for top1/5 + ECE
+    (engine_for_finetuning.py:175-237)."""
+    all_probs, all_labels = [], []
+    loss_sum = n_total = 0.0
+    for batch in loader:
+        clips, labels = batch[0], batch[1]
+        true_n = np.asarray(clips).shape[0]
+        host = _pad_batch({"videos": clips, "labels": labels}, batch_size)
+        dev = pmesh.shard_batch(
+            {"videos": host["videos"].astype(np.float32),
+             "labels": host["labels"].astype(np.int32)}, mesh)
+        out = eval_step(state, dev)
+        probs = np.asarray(out["probs"])[:true_n]
+        all_probs.append(probs)
+        all_labels.append(np.asarray(labels)[:true_n])
+        loss_sum += float(out["loss"]) * true_n
+        n_total += true_n
+    if n_total == 0:
+        return {}
+    probs = np.concatenate(all_probs)
+    labels = np.concatenate(all_labels)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        probs = multihost_utils.process_allgather(probs).reshape(-1, probs.shape[-1])
+        labels = multihost_utils.process_allgather(labels).reshape(-1)
+    pred = probs.argmax(-1)
+    top1 = 100.0 * (pred == labels).mean()
+    order = np.argsort(-probs, axis=-1)[:, :5]
+    top5 = 100.0 * (order == labels[:, None]).any(-1).mean()
+    ece = compute_ece(probs, labels)
+    stats = {"acc1": float(top1), "acc5": float(top5), "ece": float(ece),
+             "loss": loss_sum / n_total}
+    print(f"{header}: acc1 {top1:.2f} acc5 {top5:.2f} ece {ece:.4f}")
+    return stats
+
+
+def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
+                   output_dir: str):
+    """Multi-view test: per-view probs → per-process file → merge
+    (engine_for_finetuning.py:241-351)."""
+    loader = DataLoader(
+        dataset, batch_size=batch_size,
+        sampler=ShardedSampler(len(dataset), jax.process_count(),
+                               jax.process_index(), shuffle=False),
+        num_workers=args.num_workers, drop_last=False,
+    )
+    path = os.path.join(output_dir, f"{jax.process_index()}.txt")
+    if os.path.exists(path):
+        os.remove(path)
+    for batch in loader:
+        clips, labels, vids, chunk_nb, split_nb = batch
+        true_n = np.asarray(clips).shape[0]
+        host = _pad_batch({"videos": np.asarray(clips, np.float32),
+                           "labels": np.asarray(labels, np.int32)}, batch_size)
+        dev = pmesh.shard_batch(host, mesh)
+        out = eval_step(state, dev)
+        probs = np.asarray(out["probs"])[:true_n]
+        records = [
+            (vids[i], probs[i], int(labels[i]), int(chunk_nb[i]),
+             int(split_nb[i]))
+            for i in range(true_n)
+        ]
+        write_preds_file(path, records)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("final_test")
+    if pmesh.is_main_process():
+        top1, top5 = merge(output_dir, jax.process_count())
+        print(f"Final test: top1 {top1:.2f} top5 {top5:.2f}")
+        return {"test_acc1": top1, "test_acc5": top5}
+    return {}
+
+
+def save_epoch_stats(args, epoch: int, stats: Dict):
+    if pmesh.is_main_process():
+        log_stats({"epoch": epoch, **stats}, args.output_dir)
+
+
+def finish(start_time: float):
+    total = time.time() - start_time
+    print(f"Training time {datetime.timedelta(seconds=int(total))}")

@@ -1,0 +1,220 @@
+"""Stage 1: UMT masked pre-training on target-domain video.
+
+Counterpart of /root/reference/run_stage1.py:604-908: source(+target)
+pretrain datasets with repetition length-matching, adaptation student +
+frozen CLIP teacher (imported weights), per-step cosine schedules, fused
+jitted train step (teacher fwd → attention masking → masked student →
+alignment loss → adamw), periodic checkpointing.
+
+Run: ``python -m unite_tpu.train.run_stage1 --config configs/stage1_config.yaml
+--dataset hmdb-arid``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unite_tpu.config import parse_with_config
+from unite_tpu.data.build import build_pretraining_dataset
+from unite_tpu.data.loader import cycle
+from unite_tpu.data.sharding import repetitions_to_match
+from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
+from unite_tpu.ops.masking import n_visible, visible_indices
+from unite_tpu.optim.factory import create_optimizer
+from unite_tpu.parallel import mesh as pmesh
+from unite_tpu.train import common
+from unite_tpu.train.args import stage1_parser
+from unite_tpu.train.train_state import TrainState
+from unite_tpu.utils import checkpoint as ck
+from unite_tpu.utils import torch_import as ti
+from unite_tpu.utils.registry import create_model
+
+
+def build_student(args):
+    """run_stage1.py:273-292 get_model."""
+    return create_model(
+        args.model,
+        num_frames=args.num_frames,
+        tubelet_size=args.tubelet_size,
+        drop_path_rate=args.drop_path,
+        use_learnable_pos_emb=args.use_learnable_pos_emb,
+        use_cls_token=args.use_cls_token,
+        clip_decoder_embed_dim=args.clip_decoder_embed_dim,
+        clip_output_dim=args.clip_output_dim,
+        clip_norm_type=args.clip_norm_type,
+        clip_return_layers=tuple(args.clip_return_layers),
+        dtype=jnp.bfloat16,
+        remat=args.use_checkpoint,
+    )
+
+
+def build_teacher(args):
+    """run_stage1.py:782-789: frozen CLIP teacher with attention output."""
+    return create_model(
+        args.clip_teacher,
+        input_resolution=args.clip_input_resolution,
+        clip_norm_type=args.clip_norm_type,
+        return_attn=args.clip_return_attn,
+        return_index=tuple(args.clip_return_layers),
+        dtype=jnp.bfloat16,
+    )
+
+
+def load_student(args, params):
+    """run_stage1.py:518-602 import chain (wrap in encoder., strip backbone,
+    optional decoder init, pos-embed interpolation)."""
+    if not args.student_init:
+        return params
+    state = ti.load_torch_state(args.student_init, args.model_key)
+    state = ti.wrap_encoder_prefix(state)
+    state = ti.strip_prefixes(state, ("backbone.",))
+    if args.clip_decoder_init:
+        dec = ti.load_torch_state(args.clip_decoder_init, args.model_key)
+        state.update({k: v for k, v in dec.items()
+                      if k.startswith("clip_decoder.")})
+    n_patch = (args.input_size // args.patch_size) ** 2 * (
+        args.num_frames // args.tubelet_size)
+    state = ti.interpolate_pos_embed(
+        state, n_patch, num_extra_tokens=1 if args.use_cls_token else 0,
+        new_frames=args.num_frames, tubelet_size=args.tubelet_size,
+        key="encoder.pos_embed",
+    )
+    loaded = ti.state_to_flax_params(state)
+    merged, _, _ = ti.merge_params(params, loaded, strict_shapes=False)
+    return merged
+
+
+def load_clip_teacher_params(args, teacher, example):
+    """Init then overlay extracted OpenAI weights if provided via
+    args.prefix-style path (stage1.sh passes the extracted vit_b16.pth)."""
+    params = teacher.init(jax.random.PRNGKey(0), example)["params"]
+    clip_path = getattr(args, "clip_init", "") or ""
+    if clip_path:
+        state = ti.load_torch_state(clip_path, "model|module|state_dict")
+        loaded = ti.clip_state_to_flax_params(
+            state, input_resolution=args.clip_input_resolution,
+            patch_size=16 if "b16" in args.clip_teacher else 14,
+        )
+        params, _, _ = ti.merge_params(params, loaded, strict_shapes=False)
+    return params
+
+
+def main(args):
+    start = time.time()
+    mesh = common.setup_run(args)
+    reader = common.reader_for(args)
+
+    ds_source = build_pretraining_dataset(
+        args, anno_path=args.ann_file_train, reader=reader)
+    ds_target = None
+    if args.ann_file_train_target:
+        ds_target = build_pretraining_dataset(
+            args, anno_path=args.ann_file_train_target, reader=reader)
+
+    # length-match streams via repetitions (run_stage1.py:711-752)
+    b_s = args.batch_size
+    b_t = args.batch_size if ds_target is not None else 0
+    src_loader = common.make_loader(ds_source, args, b_s)
+    tgt_iter = None
+    if ds_target is not None:
+        reps = repetitions_to_match(len(ds_target), len(ds_source))
+        tgt_loader = common.make_loader(ds_target, args, b_t,
+                                        repetitions=reps, seed=args.seed + 7)
+        tgt_iter = cycle(tgt_loader)
+    niter_per_ep = len(src_loader)
+
+    student = build_student(args)
+    teacher = build_teacher(args)
+    n_patch = (args.input_size // args.patch_size) ** 2 * (
+        args.num_frames // args.tubelet_size)
+    nv = n_visible(n_patch // (args.num_frames // args.tubelet_size),
+                   args.mask_ratio) * (args.num_frames // args.tubelet_size)
+    example = jnp.zeros(
+        (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+    sp = student.init(jax.random.PRNGKey(args.seed), example,
+                      jnp.zeros((1, nv), jnp.int32), True)["params"]
+    sp = load_student(args, sp)
+    tp = load_clip_teacher_params(args, teacher, example)
+    nparams = sum(x.size for x in jax.tree.leaves(sp))
+    print(f"student params: {nparams / 1e6:.1f}M, N_vis {nv}/{n_patch}")
+
+    lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
+                                               args.num_sample)
+    print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
+    tx, _ = create_optimizer(
+        args.opt, lr=lr_tab, params=sp, weight_decay=wd_tab,
+        betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
+    )
+    state = TrainState.create(sp, tx)
+
+    start_epoch = args.start_epoch
+    if args.auto_resume or args.resume:
+        payload = (ck.load_checkpoint(args.resume) if args.resume
+                   else ck.auto_load_model(args.output_dir))
+        if payload is not None:
+            state = state.replace(params=payload["model"])
+            start_epoch = payload["epoch"] + 1
+
+    step_fn = pmesh.data_parallel_jit(
+        make_pretrain_train_step(
+            student, teacher, num_patches=n_patch, frames=args.num_frames
+            // args.tubelet_size, mask_ratio=args.mask_ratio,
+            source_batch_size=b_s, mask_type=args.mask_type,
+            clip_loss_type=args.clip_loss_type,
+            clip_loss_data=args.clip_loss_data if ds_target is not None
+            else "mixed",
+            clip_grad=args.clip_grad,
+            clip_input_resolution=args.clip_input_resolution,
+        ),
+        mesh, state_argnums=(0,), batch_argnums=(2,), donate_state=True,
+    )
+    # teacher params replicated, passed per call (arg 1) — never donated
+    tp = pmesh.replicate(tp, mesh)
+    state = pmesh.replicate(state, mesh)
+
+    def batches(epoch):
+        src_loader.set_epoch(epoch)
+        for item in src_loader:
+            videos, mask, _ = item
+            if tgt_iter is not None:
+                videos_t, mask_t, _ = next(tgt_iter)
+                videos = np.concatenate([videos, videos_t], 0)
+                if args.mask_type not in ("attention",):
+                    mask = np.concatenate([mask, mask_t], 0)
+            batch = {"videos": np.asarray(videos, np.float32)}
+            if args.mask_type not in ("attention",):
+                bool_mask = np.asarray(mask).astype(bool).reshape(
+                    videos.shape[0], -1)
+                batch["vis_idx"] = np.asarray(
+                    visible_indices(jnp.asarray(bool_mask), nv))
+            yield pmesh.shard_batch(batch, mesh)
+
+    def wrapped_step(state, batch, rng):
+        return step_fn(state, tp, batch, rng)
+
+    for epoch in range(start_epoch, args.epochs):
+        state, stats, _ = common.train_one_epoch(
+            state, wrapped_step, batches(epoch), epoch, args.log_freq,
+            rng=jax.random.PRNGKey(args.seed + 1000),
+        )
+        tags = ["latest"]
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            tags.append(epoch)
+        ck.save_checkpoint(args.output_dir, epoch, state.params,
+                           args=vars(args), tags=tags)
+        common.save_epoch_stats(
+            args, epoch, {f"train_{k}": v for k, v in stats.items()})
+    common.finish(start)
+
+
+if __name__ == "__main__":
+    parser = stage1_parser()
+    parser.add_argument("--clip_init", default="",
+                        help="extracted OpenAI CLIP visual .pth for the teacher")
+    args = parse_with_config(parser, sys.argv[1:])
+    main(args)

@@ -1,0 +1,234 @@
+"""Stage 2: supervised fine-tuning on source-domain video.
+
+Counterpart of /root/reference/run_stage2.py:455-852: builds train/val/test
+datasets, the classification ViT (imported from the stage-1 checkpoint with
+head surgery), mixup, freeze policies, per-step cosine schedules with
+layer-wise LR decay, EMA; per-epoch train + validation with best-checkpoint
+tracking; final multi-view test + merge.
+
+Run: ``python -m unite_tpu.train.run_stage2 --config configs/stage2_config.yaml
+--dataset ucf-hmdb``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unite_tpu.config import parse_with_config
+from unite_tpu.data.build import build_dataset
+from unite_tpu.engines.finetune import make_eval_step, make_finetune_train_step
+from unite_tpu.ops.mixup import Mixup
+from unite_tpu.optim.factory import create_optimizer
+from unite_tpu.parallel import mesh as pmesh
+from unite_tpu.train import common
+from unite_tpu.train.args import stage2_parser
+from unite_tpu.train.train_state import TrainState
+from unite_tpu.utils import checkpoint as ck
+from unite_tpu.utils import torch_import as ti
+from unite_tpu.utils.registry import create_model
+
+
+def build_model(args):
+    return create_model(
+        args.model,
+        num_classes=args.nb_classes,
+        all_frames=args.num_frames,
+        tubelet_size=args.tubelet_size,
+        fc_drop_rate=args.fc_drop_rate,
+        drop_rate=args.drop,
+        attn_drop_rate=args.attn_drop_rate,
+        drop_path_rate=args.drop_path,
+        use_learnable_pos_emb=args.use_learnable_pos_emb,
+        use_mean_pooling=args.use_mean_pooling,
+        init_scale=args.init_scale,
+        classifier_type=args.head_type,
+        classifier_hidden_dim=args.head_hidden_dim,
+        dtype=jnp.bfloat16,
+        remat=args.use_checkpoint,
+    )
+
+
+def load_finetune_ckpt(args, model, params):
+    """run_stage2.py:349-438 import chain."""
+    if not args.finetune:
+        return params
+    state = ti.load_torch_state(args.finetune, args.model_key)
+    state = ti.surgery_head(state, args.nb_classes, args.delete_head)
+    state = ti.strip_prefixes(state, ("backbone.", "encoder."))
+    n_patch = (args.input_size // args.patch_size) ** 2 * (
+        args.num_frames // args.tubelet_size
+    )
+    state = ti.interpolate_pos_embed(
+        state, n_patch, num_extra_tokens=0 if args.use_mean_pooling else 1,
+        new_frames=args.num_frames, tubelet_size=args.tubelet_size,
+    )
+    loaded = ti.state_to_flax_params(state)
+    merged, _, _ = ti.merge_params(params, loaded, strict_shapes=False)
+    return merged
+
+
+def trainable_mask(args, params):
+    """Freeze policies (run_stage2.py:711-746): head-only / frozen block ids
+    / patch embedding."""
+    frozen_blocks = set()
+    if args.frozen_layers:
+        frozen_blocks = {int(x) for x in str(args.frozen_layers).split(",")
+                         if str(x).strip() != ""}
+
+    def decide(path, _):
+        head = path[0] if path else ""
+        if args.train_head_only:
+            return head in ("head", "fc_norm")
+        if head.startswith("blocks_") and int(head.split("_")[1]) in frozen_blocks:
+            return False
+        if args.freeze_patch_embedding and head == "patch_embed":
+            return False
+        return True
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    mask = {}
+    for keypath, _ in flat:
+        path = tuple(k.key for k in keypath)
+        node = mask
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = decide(path, None)
+    return mask
+
+
+def main(args):
+    start = time.time()
+    mesh = common.setup_run(args)
+    reader = common.reader_for(args)
+
+    args.data_path = args.ann_file_train
+    ds_train, args.nb_classes = build_dataset(
+        "train", args, anno_path=args.ann_file_train, reader=reader)
+    ds_val, _ = build_dataset("validation", args,
+                              anno_path=args.ann_file_val, reader=reader)
+    ds_test, _ = build_dataset("test", args, anno_path=args.ann_file_test,
+                               reader=reader)
+    loader = common.make_loader(ds_train, args, args.batch_size)
+    val_loader = common.make_loader(
+        ds_val, args, args.batch_size_val, shuffle=False, drop_last=False)
+    niter_per_ep = max(1, len(loader) // args.update_freq)
+
+    model = build_model(args)
+    example = jnp.zeros(
+        (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(args.seed), example)["params"]
+    params = load_finetune_ckpt(args, model, params)
+    nparams = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: {args.model}, params: {nparams / 1e6:.1f}M")
+
+    lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
+                                               args.num_sample)
+    print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
+    tmask = trainable_mask(args, params)
+    tx, groups = create_optimizer(
+        args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
+        betas=tuple(args.opt_betas), eps=args.opt_eps,
+        momentum=args.momentum, num_layers=12 if "base" in args.model else 24,
+        layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
+        trainable_mask=tmask,
+    )
+    if args.update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
+    state = TrainState.create(
+        params, tx, ema_decay=args.model_ema_decay if args.model_ema else None)
+
+    start_epoch = args.start_epoch
+    if args.auto_resume or args.resume:
+        payload = (ck.load_checkpoint(args.resume) if args.resume
+                   else ck.auto_load_model(args.output_dir))
+        if payload is not None:
+            state = state.replace(
+                params=payload["model"],
+                step=jnp.asarray(payload.get("extra", {}).get("step", 0)),
+            )
+            start_epoch = payload["epoch"] + 1
+
+    mixup_fn = None
+    if args.mixup > 0 or args.cutmix > 0:
+        mixup_fn = Mixup(
+            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+            mode=args.mixup_mode, label_smoothing=args.smoothing,
+            num_classes=args.nb_classes,
+        )
+
+    step_fn = pmesh.data_parallel_jit(
+        make_finetune_train_step(
+            model, mixup=mixup_fn, label_smoothing=args.smoothing,
+            clip_grad=args.clip_grad,
+            ema_decay=args.model_ema_decay if args.model_ema else None,
+        ), mesh,
+    )
+    eval_fn = jax.jit(make_eval_step(model))
+    state = pmesh.replicate(state, mesh)
+
+    if args.eval:
+        stats = common.run_final_test(
+            state, eval_fn, ds_test, args, mesh, args.batch_size_val,
+            args.output_dir)
+        print(stats)
+        return
+
+    def batches(epoch):
+        loader.set_epoch(epoch)
+        for clips, labels, _, _ in loader:
+            yield pmesh.shard_batch(
+                {"videos": np.asarray(clips, np.float32),
+                 "labels": np.asarray(labels, np.int32)}, mesh)
+
+    best_acc = -1.0
+    for epoch in range(start_epoch, args.epochs):
+        state, stats, _ = common.train_one_epoch(
+            state, step_fn, batches(epoch), epoch, args.log_freq,
+            rng=jax.random.PRNGKey(args.seed + 1000),
+        )
+        epoch_stats = {f"train_{k}": v for k, v in stats.items()}
+        if (not args.disable_eval_during_finetuning
+                and (epoch + 1) % args.eval_freq == 0):
+            val_stats = common.run_validation(
+                state, eval_fn, val_loader, mesh, args.batch_size_val,
+                header=f"Val [{epoch}]")
+            epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
+            if args.save_ckpt and val_stats.get("acc1", -1) > best_acc:
+                best_acc = val_stats["acc1"]
+                ck.save_checkpoint(args.output_dir, epoch, state.params,
+                                   args=vars(args), tags=("best",))
+        if args.save_ckpt:
+            tags = ["latest"]
+            if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+                tags.append(epoch)
+            ck.save_checkpoint(
+                args.output_dir, epoch, state.params, model_ema=state.ema_params,
+                args=vars(args), extra={"step": int(state.step)}, tags=tags)
+        common.save_epoch_stats(args, epoch, epoch_stats)
+
+    if args.test_best:
+        payload = None
+        try:
+            payload = ck.load_checkpoint(
+                f"{args.output_dir}/checkpoint-best{ck.CKPT_EXT}")
+        except FileNotFoundError:
+            pass
+        if payload is not None:
+            state = state.replace(params=pmesh.replicate(payload["model"], mesh))
+    test_stats = common.run_final_test(
+        state, eval_fn, ds_test, args, mesh, args.batch_size_val,
+        args.output_dir)
+    common.save_epoch_stats(args, args.epochs, test_stats)
+    common.finish(start)
+
+
+if __name__ == "__main__":
+    args = parse_with_config(stage2_parser(), sys.argv[1:])
+    main(args)

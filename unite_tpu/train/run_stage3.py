@@ -1,0 +1,243 @@
+"""Stage 3: collaborative self-training on source + target.
+
+Counterpart of /root/reference/run_stage3.py:992-1414: source train stream +
+target stream (validation-mode dataset emitting clean+augmented clips),
+adaptation student + frozen CLIP teacher + source classifier head (loaded
+from the stage-2 checkpoint), pseudo-label selection (clip_matchORconf
+default) with confidence weighting and masked-committee consistency; per-
+epoch validation of encoder+classifier; final multi-view test + merge; also
+writes ``src_classifier-latest`` alongside the model checkpoints
+(run_stage3.py:1371-1372 semantics — here the classifier lives inside the
+same param tree and checkpoint).
+
+Run: ``python -m unite_tpu.train.run_stage3 --config configs/stage3_config.yaml
+--dataset hmdb-arid``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unite_tpu.config import parse_with_config
+from unite_tpu.data.build import build_dataset
+from unite_tpu.data.loader import cycle
+from unite_tpu.data.sharding import repetitions_to_match
+from unite_tpu.engines.selftrain import (
+    make_selftrain_eval_step,
+    make_selftrain_step,
+)
+from unite_tpu.optim.factory import create_optimizer
+from unite_tpu.parallel import mesh as pmesh
+from unite_tpu.train import common
+from unite_tpu.train.args import stage3_parser
+from unite_tpu.train.run_stage1 import (
+    build_student,
+    build_teacher,
+    load_clip_teacher_params,
+    load_student,
+)
+from unite_tpu.train.train_state import TrainState
+from unite_tpu.utils import checkpoint as ck
+from unite_tpu.utils import torch_import as ti
+
+
+def build_classifier(args):
+    """Linear(embed_dim, nb_classes) source classifier (run_stage3.py:1191)."""
+    assert args.src_classifier_type == "linear"
+    return nn.Dense(args.nb_classes, param_dtype=jnp.float32,
+                    dtype=jnp.float32)
+
+
+def load_classifier_head(args, head_params):
+    """Load head weights from a stage-2 checkpoint (run_stage3.py:1196-1223).
+    Accepts our msgpack checkpoints or torch .pth."""
+    path = args.src_classifier_init
+    if not path:
+        return head_params
+    if path.endswith(ck.CKPT_EXT):
+        payload = ck.load_checkpoint(path)
+        model = payload["model"]
+        head = model.get("head", None)
+        if head is not None:
+            return {"kernel": np.asarray(head["kernel"]),
+                    "bias": np.asarray(head["bias"])}
+        return head_params
+    state = ti.load_torch_state(path, args.model_key)
+    if "head.weight" in state:
+        import torch
+
+        return {"kernel": state["head.weight"].numpy().T.astype(np.float32),
+                "bias": state["head.bias"].numpy().astype(np.float32)}
+    return head_params
+
+
+def main(args):
+    start = time.time()
+    mesh = common.setup_run(args)
+    reader = common.reader_for(args)
+
+    args.return_aug_for_val = True
+    ds_source, args.nb_classes = build_dataset(
+        "train", args, anno_path=args.ann_file_train, reader=reader)
+    tgt_args = args
+    ds_target, _ = build_dataset(
+        "validation", tgt_args, anno_path=args.ann_file_train_target,
+        reader=reader)
+    ds_val, _ = build_dataset("validation", args, anno_path=args.ann_file_val,
+                              reader=reader)
+    ds_val.return_aug_for_val = False
+    ds_test, _ = build_dataset("test", args, anno_path=args.ann_file_test,
+                               reader=reader)
+
+    src_loader = common.make_loader(ds_source, args, args.batch_size)
+    reps = repetitions_to_match(len(ds_target), len(ds_source))
+    tgt_loader = common.make_loader(ds_target, args, args.batch_size,
+                                    repetitions=reps, seed=args.seed + 7)
+    tgt_iter = cycle(tgt_loader)
+    val_loader = common.make_loader(ds_val, args, args.batch_size_val,
+                                    shuffle=False, drop_last=False)
+    niter_per_ep = len(src_loader)
+
+    student = build_student(args)
+    teacher = build_teacher(args)
+    classifier = build_classifier(args)
+    n_patch = (args.input_size // args.patch_size) ** 2 * (
+        args.num_frames // args.tubelet_size)
+    example = jnp.zeros(
+        (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+    sp = student.init(jax.random.PRNGKey(args.seed), example)["params"]
+    sp = load_student(args, sp)
+    hp = classifier.init(jax.random.PRNGKey(args.seed + 1),
+                         jnp.zeros((1, 768)))["params"]
+    hp = load_classifier_head(args, hp)
+    tp = load_clip_teacher_params(args, teacher, example)
+    params = {"model": sp, "classifier": hp}
+    nparams = sum(x.size for x in jax.tree.leaves(params))
+    print(f"student+classifier params: {nparams / 1e6:.1f}M")
+
+    lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
+                                               args.num_sample)
+    print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
+    tx, _ = create_optimizer(
+        args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
+        betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
+    )
+    state = TrainState.create(params, tx)
+
+    start_epoch = args.start_epoch
+    if args.auto_resume or args.resume:
+        payload = (ck.load_checkpoint(args.resume) if args.resume
+                   else ck.auto_load_model(args.output_dir))
+        if payload is not None:
+            state = state.replace(params=payload["model"])
+            start_epoch = payload["epoch"] + 1
+
+    step_fn = pmesh.data_parallel_jit(
+        make_selftrain_step(
+            student, classifier, teacher, num_patches=n_patch,
+            frames=args.num_frames // args.tubelet_size,
+            mask_ratio=args.mask_ratio,
+            selection_strategy=args.selection_strategy,
+            clip_threshold=args.clip_threshold,
+            conf_weighted_loss=args.conf_weighted_loss,
+            train_masked=args.train_masked,
+            use_cls_token=args.use_cls_token,
+            class_loss_src_ratio_pl=args.class_loss_src_ratio_pl
+            if args.class_loss_src_ratio_pl > 0 else 1.0,
+            class_loss_tgt_ratio=args.class_loss_tgt_ratio,
+            full_oracle=args.full_oracle,
+            clip_grad=args.clip_grad,
+            clip_input_resolution=args.clip_input_resolution,
+            nb_classes=args.nb_classes,
+        ),
+        mesh, state_argnums=(0,), batch_argnums=(2,),
+    )
+    eval_fn = jax.jit(make_selftrain_eval_step(
+        student, classifier, args.use_cls_token))
+    tp = pmesh.replicate(tp, mesh)
+    state = pmesh.replicate(state, mesh)
+
+    # optional CLIP zero-shot teacher (clip_matchORconf): precomputes per-
+    # batch similarities with the text tower; without text weights we fall
+    # back to uniform similarities, which makes match_mask the student's own
+    # agreement (documented limitation until the text tower ships).
+    zero_shot_fn = None
+    if args.selection_strategy in ("clip_only", "clip_matchORconf"):
+        from unite_tpu.models.clip_text import build_zero_shot_fn
+
+        zero_shot_fn = build_zero_shot_fn(args, teacher, tp)
+
+    if args.initial_validation:
+        common.run_validation(state, eval_fn, val_loader, mesh,
+                              args.batch_size_val, header="Initial val")
+
+    def batches(epoch):
+        src_loader.set_epoch(epoch)
+        for clips_s, labels_s, _, _ in src_loader:
+            clean_t, aug_t, labels_t, _names = next(tgt_iter)
+            batch = {
+                "videos_s": np.asarray(clips_s, np.float32),
+                "labels_s": np.asarray(labels_s, np.int32),
+                "videos_t": np.asarray(clean_t, np.float32),
+                "videos_t_aug": np.asarray(aug_t, np.float32),
+                "labels_t": np.asarray(labels_t, np.int32),
+            }
+            if zero_shot_fn is not None:
+                batch["clip_sim"] = np.asarray(zero_shot_fn(batch["videos_t"]))
+            else:
+                batch["clip_sim"] = np.full(
+                    (batch["videos_t"].shape[0], args.nb_classes),
+                    1.0 / args.nb_classes, np.float32)
+            yield pmesh.shard_batch(batch, mesh)
+
+    def wrapped_step(state, batch, rng):
+        return step_fn(state, tp, batch, rng)
+
+    best_acc = -1.0
+    for epoch in range(start_epoch, args.epochs):
+        state, stats, _ = common.train_one_epoch(
+            state, wrapped_step, batches(epoch), epoch, args.log_freq,
+            rng=jax.random.PRNGKey(args.seed + 1000),
+        )
+        epoch_stats = {f"train_{k}": v for k, v in stats.items()}
+        val_stats = common.run_validation(
+            state, eval_fn, val_loader, mesh, args.batch_size_val,
+            header=f"Val [{epoch}]")
+        epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
+        if val_stats.get("acc1", -1) > best_acc:
+            best_acc = val_stats["acc1"]
+            ck.save_checkpoint(args.output_dir, epoch, state.params,
+                               args=vars(args), tags=("best",))
+        tags = ["latest"]
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            tags.append(epoch)
+        ck.save_checkpoint(args.output_dir, epoch, state.params,
+                           args=vars(args), tags=tags)
+        common.save_epoch_stats(args, epoch, epoch_stats)
+
+    if args.test_best:
+        try:
+            payload = ck.load_checkpoint(
+                f"{args.output_dir}/checkpoint-best{ck.CKPT_EXT}")
+            state = state.replace(params=pmesh.replicate(payload["model"], mesh))
+        except FileNotFoundError:
+            pass
+    test_stats = common.run_final_test(
+        state, eval_fn, ds_test, args, mesh, args.batch_size_val,
+        args.output_dir)
+    common.save_epoch_stats(args, args.epochs, test_stats)
+    common.finish(start)
+
+
+if __name__ == "__main__":
+    parser = stage3_parser()
+    parser.add_argument("--clip_init", default="",
+                        help="extracted OpenAI CLIP visual .pth for the teacher")
+    args = parse_with_config(parser, sys.argv[1:])
+    main(args)
