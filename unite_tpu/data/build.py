@@ -83,10 +83,23 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
             "test": getattr(args, "test_anno_path", None) or args.data_path,
         }[mode]
 
-    ds = VideoClsDatasetSparse(
+    if data_set == "SSV2" and getattr(args, "use_raw_frames", False):
+        from unite_tpu.data.datasets_extra import SSRawFrameClsDataset as DS
+
+        extra = {"name_pattern": getattr(args, "name_pattern", "img_{:05}.jpg")}
+    elif data_set == "Kinetics":  # dense sampling family (kinetics.py)
+        from unite_tpu.data.datasets_extra import VideoClsDatasetDense as DS
+
+        extra = {"frame_sample_rate": getattr(args, "sampling_rate", 2) or 2}
+    else:
+        DS = VideoClsDatasetSparse
+        extra = {}
+
+    ds = DS(
         anno_path=anno_path,
         sep=getattr(args, "split", " "),
         mode=mode,
+        **extra,
         clip_len=args.num_frames,
         crop_size=args.input_size,
         short_side_size=getattr(args, "short_side_size", 256),

@@ -280,6 +280,168 @@ def _flash_bwd(res, g, scale, block_q, block_k):
 
 
 # ---------------------------------------------------------------------------
+# Grouped short-sequence kernels
+#
+# At the workloads' short lengths (teacher 197, masked student ~314 tokens)
+# a per-(batch·head) grid drowns in program-launch overhead (e.g. student:
+# 576 programs of ~6 MFLOP each) and XLA's unfused attention is HBM-bound on
+# fp32 score materialization. These kernels process G (batch·head) rows per
+# program with the FULL sequence resident in VMEM: one batched MXU matmul
+# per stage, one program per G rows, and a single fused backward computing
+# dQ, dK and dV together (all intermediates stay in VMEM).
+# ---------------------------------------------------------------------------
+
+GROUPED_MAX_SEQ = 512
+
+
+def _grouped_group(s_pad: int) -> int:
+    # fwd holds ~2 [G, S, S] fp32 tiles; keep them within ~8MB of VMEM
+    if s_pad <= 256:
+        return 16
+    if s_pad <= 384:
+        return 8
+    return 4
+
+
+def _grouped_group_bwd(s_pad: int) -> int:
+    # bwd holds ~3-4 [G, S, S] fp32 tiles (s/p, dp, ds) — smaller groups
+    if s_pad <= 256:
+        return 4
+    if s_pad <= 384:
+        return 4
+    return 2
+
+
+def _grouped_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
+    q = q_ref[...].astype(jnp.float32)  # [G, S, D]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [G, S, S]
+    s_pad = k.shape[1]
+    if seq_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < seq_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                        *, scale, seq_len):
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    s_pad = k.shape[1]
+    if seq_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < seq_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [G, S, S]
+
+    # dv = p^T @ do  (contract over query rows)
+    dv = jax.lax.dot_general(
+        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dp = do @ v^T ; delta = rowsum(do * o) with o = p @ v recomputed row-wise
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [G, S, S]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # == rowsum(do·o)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _grouped_pad(q, k, v, g: int):
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, 128)
+    bh = b * h
+    bh_pad = _round_up(bh, g)
+    def prep(x):
+        x = x.reshape(bh, s, d)
+        return jnp.pad(x, [(0, bh_pad - bh), (0, s_pad - s), (0, 0)])
+    return prep(q), prep(k), prep(v), (bh, bh_pad, s_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _grouped_attention(q, k, v, scale):
+    out, _ = _grouped_attention_fwd(q, k, v, scale)
+    return out
+
+
+def _grouped_attention_fwd(q, k, v, scale):
+    b, h, s, d = q.shape
+    g = _grouped_group(_round_up(s, 128))
+    qp, kp, vp, (bh, bh_pad, s_pad) = _grouped_pad(q, k, v, g)
+    spec = pl.BlockSpec((g, s_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_grouped_fwd_kernel, scale=scale, seq_len=s),
+        grid=(bh_pad // g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh_pad * s_pad * s_pad * d,
+            bytes_accessed=4 * bh_pad * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_pad * s_pad,
+        ),
+    )(qp, kp, vp)
+    out = out[:bh, :s].reshape(b, h, s, d)
+    return out, (q, k, v)
+
+
+def _grouped_attention_bwd(scale, res, gout):
+    q, k, v = res
+    b, h, s, d = q.shape
+    g = _grouped_group_bwd(_round_up(s, 128))
+    qp, kp, vp, (bh, bh_pad, s_pad) = _grouped_pad(q, k, v, g)
+    gp = _grouped_pad(gout, gout, gout, g)[0]
+    spec = pl.BlockSpec((g, s_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_grouped_bwd_kernel, scale=scale, seq_len=s),
+        grid=(bh_pad // g,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * bh_pad * s_pad * s_pad * d,
+            bytes_accessed=7 * bh_pad * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_pad * s_pad,
+        ),
+    )(qp, kp, vp, gp)
+
+    def unpad(x):
+        return x[:bh, :s].reshape(b, h, s, d)
+
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+_grouped_attention.defvjp(_grouped_attention_fwd, _grouped_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
@@ -325,6 +487,12 @@ def _on_tpu() -> bool:
         return False
 
 
+# Dispatch measured on v5e (bf16, head_dim 64): the grouped full-sequence
+# kernels cover short lengths (≤ GROUPED_MAX_SEQ — teacher 197, masked
+# student ~314), the blocked flash kernels take over beyond that (1568:
+# 1.5-1.7x over XLA fwd+bwd). Pass use_pallas explicitly to override.
+
+
 def multi_head_attention(
     q, k, v, *, scale=None, return_probs=False, dropout_rate=0.0,
     dropout_rng=None, deterministic=True, use_pallas=None,
@@ -348,4 +516,6 @@ def multi_head_attention(
             dropout_rate=dropout_rate, dropout_rng=dropout_rng,
             deterministic=deterministic,
         )
+    if q.shape[2] <= GROUPED_MAX_SEQ:
+        return _grouped_attention(q, k, v, scale)
     return _flash_attention(q, k, v, scale, block_q, block_k)

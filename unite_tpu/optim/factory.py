@@ -202,6 +202,25 @@ def scheduled_optimizer(
     return optax.GradientTransformation(init, update)
 
 
+def set_schedule_count(opt_state, step: int):
+    """Recursively set every ScheduledState/L2/SGD count to ``step`` —
+    used when an optimizer is rebuilt mid-run (LP-FT switch) so the LR/WD
+    tables continue from the global step instead of restarting."""
+    import jax.numpy as _jnp
+
+    if hasattr(opt_state, "count") and hasattr(opt_state, "inner"):
+        return opt_state._replace(
+            count=_jnp.asarray(step, _jnp.int32),
+            inner=set_schedule_count(opt_state.inner, step),
+        )
+    if isinstance(opt_state, tuple) and type(opt_state) is not tuple:
+        # NamedTuple without count/inner: recurse fields
+        return type(opt_state)(*(set_schedule_count(v, step) for v in opt_state))
+    if isinstance(opt_state, tuple):
+        return tuple(set_schedule_count(v, step) for v in opt_state)
+    return opt_state
+
+
 def sgd_l2_direction(momentum: float = 0.9, nesterov: bool = False,
                      weight_decay: ScheduleLike = 0.0, wd_mask=None):
     """torch-SGD semantics: L2 folded into grads before the momentum buffer."""

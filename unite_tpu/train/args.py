@@ -192,6 +192,9 @@ def stage2_parser() -> argparse.ArgumentParser:
     p.add_argument("--frozen_layers", default="",
                    help="comma list of block ids to freeze, e.g. 0,1,2")
     p.add_argument("--freeze_patch_embedding", type=str2bool, default=False)
+    p.add_argument("--lp_ft_epochs", type=int, default=0,
+                   help="LP-FT: freeze blocks 0-8 + patch embed for the "
+                        "first N epochs, then unfreeze (run_stage2.py:741)")
     # eval
     p.add_argument("--eval", type=str2bool, default=False)
     p.add_argument("--eval_freq", type=int, default=1)

@@ -73,21 +73,24 @@ def load_finetune_ckpt(args, model, params):
     return merged
 
 
-def trainable_mask(args, params):
+def trainable_mask(args, params, lp_phase: bool = False):
     """Freeze policies (run_stage2.py:711-746): head-only / frozen block ids
-    / patch embedding."""
+    / patch embedding / LP-FT's first phase (blocks 0-8 + patch embed)."""
     frozen_blocks = set()
-    if args.frozen_layers:
+    if getattr(args, "frozen_layers", ""):
         frozen_blocks = {int(x) for x in str(args.frozen_layers).split(",")
                          if str(x).strip() != ""}
+    if lp_phase:
+        frozen_blocks = set(range(9))
 
     def decide(path, _):
         head = path[0] if path else ""
         if args.train_head_only:
-            return head in ("head", "fc_norm")
+            # head + final norms (reference matches 'head'/'norm.weight')
+            return head in ("head", "fc_norm", "norm")
         if head.startswith("blocks_") and int(head.split("_")[1]) in frozen_blocks:
             return False
-        if args.freeze_patch_embedding and head == "patch_embed":
+        if (args.freeze_patch_embedding or lp_phase) and head == "patch_embed":
             return False
         return True
 
@@ -130,16 +133,22 @@ def main(args):
     lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
                                                args.num_sample)
     print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
-    tmask = trainable_mask(args, params)
-    tx, groups = create_optimizer(
-        args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
-        betas=tuple(args.opt_betas), eps=args.opt_eps,
-        momentum=args.momentum, num_layers=12 if "base" in args.model else 24,
-        layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
-        trainable_mask=tmask,
-    )
-    if args.update_freq > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
+
+    def build_tx(lp_phase: bool):
+        tmask = trainable_mask(args, params, lp_phase=lp_phase)
+        tx, groups = create_optimizer(
+            args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
+            betas=tuple(args.opt_betas), eps=args.opt_eps,
+            momentum=args.momentum,
+            num_layers=12 if "base" in args.model else 24,
+            layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
+            trainable_mask=tmask,
+        )
+        if args.update_freq > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
+        return tx
+
+    tx = build_tx(lp_phase=args.lp_ft_epochs > 0)
     state = TrainState.create(
         params, tx, ema_decay=args.model_ema_decay if args.model_ema else None)
 
@@ -189,6 +198,24 @@ def main(args):
 
     best_acc = -1.0
     for epoch in range(start_epoch, args.epochs):
+        if args.lp_ft_epochs > 0 and epoch == args.lp_ft_epochs:
+            # LP→FT switch: rebuild the optimizer with everything unfrozen
+            # (fresh optimizer state for the newly-trainable params —
+            # reference keeps torch state lazily; note a re-jit happens here)
+            print(f"LP-FT: unfreezing all layers at epoch {epoch}")
+            from unite_tpu.optim.factory import set_schedule_count
+
+            new_tx = build_tx(lp_phase=False)
+            new_state = TrainState.create(
+                jax.device_get(state.params), new_tx,
+                ema_decay=args.model_ema_decay if args.model_ema else None,
+            )
+            step_now = int(state.step)
+            new_state = new_state.replace(
+                step=jnp.asarray(step_now, jnp.int32),
+                opt_state=set_schedule_count(new_state.opt_state, step_now),
+            )
+            state = pmesh.replicate(new_state, mesh)
         state, stats, _ = common.train_one_epoch(
             state, step_fn, batches(epoch), epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
