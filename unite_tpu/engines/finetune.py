@@ -24,6 +24,7 @@ from unite_tpu.engines.losses import (
     soft_target_cross_entropy,
 )
 from unite_tpu.ops.mixup import Mixup
+from unite_tpu.ops.normalize import normalize_videos
 from unite_tpu.train.train_state import TrainState, clip_by_global_norm
 
 
@@ -38,7 +39,8 @@ def make_finetune_train_step(
     run_stage2.py:675-683: soft-target CE if mixup, else smoothed/plain CE)."""
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
-        videos, labels = batch["videos"], batch["labels"]
+        videos = normalize_videos(batch["videos"])
+        labels = batch["labels"]
         step_rng = jax.random.fold_in(rng, state.step)
         mix_rng, drop_rng = jax.random.split(step_rng)
 
@@ -79,7 +81,7 @@ def make_eval_step(model, use_ema: bool = False) -> Callable:
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         params = state.ema_params if use_ema and state.ema_params is not None \
             else state.params
-        logits = model.apply({"params": params}, batch["videos"], True)
+        logits = model.apply({"params": params}, normalize_videos(batch["videos"]), True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         acc1, acc5 = accuracy_topk(logits, batch["labels"])
         return {"probs": probs, "labels": batch["labels"],

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from unite_tpu.engines.losses import clip_alignment_loss
+from unite_tpu.ops.normalize import normalize_videos
 from unite_tpu.ops.masking import (
     attention_multinomial_mask,
     n_visible,
@@ -74,7 +75,7 @@ def make_pretrain_train_step(
     def train_step(
         state: TrainState, teacher_params, batch: Dict, rng
     ) -> Tuple[TrainState, Dict]:
-        videos = batch["videos"]
+        videos = normalize_videos(batch["videos"])
         b = videos.shape[0]
         step_rng = jax.random.fold_in(rng, state.step)
         mask_rng, drop_rng = jax.random.split(step_rng)

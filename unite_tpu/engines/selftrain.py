@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from unite_tpu.engines.losses import cross_entropy
 from unite_tpu.ops.masking import greedy_committee_masks, visible_indices
+from unite_tpu.ops.normalize import normalize_videos
 from unite_tpu.train.train_state import TrainState, clip_by_global_norm
 
 
@@ -100,9 +101,12 @@ def make_selftrain_step(
     def train_step(
         state: TrainState, teacher_params, batch: Dict, rng
     ) -> Tuple[TrainState, Dict]:
-        videos_s, labels_s = batch["videos_s"], batch["labels_s"]
-        videos_t, labels_t = batch["videos_t"], batch["labels_t"]
-        videos_t_aug = batch.get("videos_t_aug", videos_t)
+        videos_s = normalize_videos(batch["videos_s"])
+        labels_s = batch["labels_s"]
+        videos_t = normalize_videos(batch["videos_t"])
+        labels_t = batch["labels_t"]
+        videos_t_aug = normalize_videos(
+            batch.get("videos_t_aug", batch["videos_t"]))
         b_t = videos_t.shape[0]
         drop_rng = jax.random.fold_in(rng, state.step)
 
@@ -236,7 +240,8 @@ def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False):
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         x_vis, _ = student.apply(
-            {"params": state.params["model"]}, batch["videos"], None, False, True
+            {"params": state.params["model"]},
+            normalize_videos(batch["videos"]), None, False, True,
         )
         logits = classifier.apply(
             {"params": state.params["classifier"]},

@@ -1,0 +1,30 @@
+"""On-device video normalization (uint8 input path).
+
+The host→device link is the narrowest part of the pipeline (BASELINE.md
+north star calls for fused on-device transforms; the axon tunnel measures
+~33MB/s). Shipping uint8 frames is 4x smaller than fp32; this op fuses the
+/255 + ImageNet mean/std normalize into the jitted step so the cast never
+materializes on the host. The augmentation pipelines then run up to (and
+including) the crop in uint8.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_videos(videos, dtype=jnp.bfloat16):
+    """uint8/float [.., H, W, 3] → normalized ``dtype`` (device-side).
+
+    Float inputs are assumed already normalized (passthrough cast), so the
+    train steps accept either representation.
+    """
+    if videos.dtype == jnp.uint8:
+        x = videos.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        return x.astype(dtype)
+    return videos.astype(dtype)

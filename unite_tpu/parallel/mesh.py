@@ -67,6 +67,21 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def cast_videos_bf16(batch: dict) -> dict:
+    """Cast float32 video tensors (ndim>=4) to bf16 on the HOST before the
+    device_put — halves H2D bytes on the narrow link (~33MB/s through the
+    axon tunnel); the engines' ``normalize_videos`` accepts bf16 directly."""
+    import ml_dtypes
+
+    def cast(x):
+        x = np.asarray(x)
+        if x.dtype == np.float32 and x.ndim >= 4:
+            return x.astype(ml_dtypes.bfloat16)
+        return x
+
+    return {k: cast(v) for k, v in batch.items()}
+
+
 def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
                       donate_state: bool = True, axis: str = "data",
                       static_argnums=()):

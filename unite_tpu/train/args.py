@@ -105,6 +105,8 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--dispatch_loop_steps", type=int, default=1,
                    help="train steps dispatched per host sync (latency hiding)")
     # logging
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of epoch-0 steps 2-7")
     p.add_argument("--disable_wandb", type=str2bool, default=True)
     p.add_argument("--wandb_group", default=None)
     # accepted-for-compat CUDA-era knobs (no effect on TPU)

@@ -95,25 +95,57 @@ def train_one_epoch(
     metric_logger: Optional[MetricLogger] = None,
     extra_step_args: tuple = (),
     rng=None,
+    profile_dir: Optional[str] = None,
+    tb_logger=None,
 ):
-    """Host loop around the jitted step (engine train_one_epoch frame)."""
+    """Host loop around the jitted step (engine train_one_epoch frame).
+
+    Logs a first-class ``clips/sec/chip`` scalar per window (the BASELINE
+    north-star metric, SURVEY §5 tracing plan); ``profile_dir`` captures a
+    jax.profiler trace of steps 2-7 of the epoch.
+    """
     logger = metric_logger or MetricLogger()
     rng = rng if rng is not None else jax.random.PRNGKey(epoch)
     header = f"Epoch [{epoch}]{header_extra}:"
     last_metrics = None
+    n_chips = max(1, jax.device_count())
+    step_i = 0
     for batch in logger.log_every(batches, log_freq, header):
+        if profile_dir and step_i == 2 and epoch == 0:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.time()
         state, metrics = step_fn(state, *extra_step_args, batch, rng)
         host = {k: float(v) for k, v in metrics.items()}
         if not np.isfinite(host["loss"]):
             raise FloatingPointError(
                 f"Loss is {host['loss']}, stopping training"
             )  # reference exits 1 (run_stage1.py:447-449)
+        clips = _batch_clips(batch)
+        if clips:
+            host["clips_per_sec_chip"] = clips / max(
+                time.time() - t0, 1e-9) / n_chips
         logger.update(**host)
+        if tb_logger is not None:
+            tb_logger.update(head="train", **host)
+            tb_logger.set_step()
         last_metrics = host
+        if profile_dir and step_i == 7 and epoch == 0:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
+        step_i += 1
     logger.synchronize_between_processes()
     print("Averaged stats:", logger)
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     return state, stats, last_metrics
+
+
+def _batch_clips(batch) -> int:
+    """Global clip count of a (possibly sharded) batch dict."""
+    for key in ("videos", "videos_s"):
+        v = batch.get(key) if isinstance(batch, dict) else None
+        if v is not None:
+            return int(v.shape[0])
+    return 0
 
 
 def _pad_batch(batch: Dict, size: int) -> Dict:

@@ -107,6 +107,8 @@ def load_clip_teacher_params(args, teacher, example):
 def main(args):
     start = time.time()
     mesh = common.setup_run(args)
+    from unite_tpu.utils.logging import maybe_tensorboard
+    tb = maybe_tensorboard(args)
     reader = common.reader_for(args)
 
     ds_source = build_pretraining_dataset(
@@ -192,7 +194,7 @@ def main(args):
                     videos.shape[0], -1)
                 batch["vis_idx"] = np.asarray(
                     visible_indices(jnp.asarray(bool_mask), nv))
-            yield pmesh.shard_batch(batch, mesh)
+            yield pmesh.shard_batch(pmesh.cast_videos_bf16(batch), mesh)
 
     def wrapped_step(state, batch, rng):
         return step_fn(state, tp, batch, rng)
@@ -201,6 +203,7 @@ def main(args):
         state, stats, _ = common.train_one_epoch(
             state, wrapped_step, batches(epoch), epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
+            profile_dir=args.profile_dir or None, tb_logger=tb,
         )
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:

@@ -108,6 +108,8 @@ def trainable_mask(args, params, lp_phase: bool = False):
 def main(args):
     start = time.time()
     mesh = common.setup_run(args)
+    from unite_tpu.utils.logging import maybe_tensorboard
+    tb = maybe_tensorboard(args)
     reader = common.reader_for(args)
 
     args.data_path = args.ann_file_train
@@ -192,9 +194,9 @@ def main(args):
     def batches(epoch):
         loader.set_epoch(epoch)
         for clips, labels, _, _ in loader:
-            yield pmesh.shard_batch(
+            yield pmesh.shard_batch(pmesh.cast_videos_bf16(
                 {"videos": np.asarray(clips, np.float32),
-                 "labels": np.asarray(labels, np.int32)}, mesh)
+                 "labels": np.asarray(labels, np.int32)}), mesh)
 
     best_acc = -1.0
     for epoch in range(start_epoch, args.epochs):
@@ -219,6 +221,7 @@ def main(args):
         state, stats, _ = common.train_one_epoch(
             state, step_fn, batches(epoch), epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
+            profile_dir=args.profile_dir or None, tb_logger=tb,
         )
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         if (not args.disable_eval_during_finetuning

@@ -80,6 +80,8 @@ def load_classifier_head(args, head_params):
 def main(args):
     start = time.time()
     mesh = common.setup_run(args)
+    from unite_tpu.utils.logging import maybe_tensorboard
+    tb = maybe_tensorboard(args)
     reader = common.reader_for(args)
 
     args.return_aug_for_val = True
@@ -194,7 +196,7 @@ def main(args):
                 batch["clip_sim"] = np.full(
                     (batch["videos_t"].shape[0], args.nb_classes),
                     1.0 / args.nb_classes, np.float32)
-            yield pmesh.shard_batch(batch, mesh)
+            yield pmesh.shard_batch(pmesh.cast_videos_bf16(batch), mesh)
 
     def wrapped_step(state, batch, rng):
         return step_fn(state, tp, batch, rng)
@@ -204,6 +206,7 @@ def main(args):
         state, stats, _ = common.train_one_epoch(
             state, wrapped_step, batches(epoch), epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
+            profile_dir=args.profile_dir or None, tb_logger=tb,
         )
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         val_stats = common.run_validation(
