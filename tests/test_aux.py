@@ -1,0 +1,92 @@
+"""Tests: functional shim, kNN eval, mesh helpers, diagnostics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_functional_shim():
+    from unite_tpu.data import functional as F
+
+    clip = np.arange(2 * 8 * 10 * 3, dtype=np.float32).reshape(2, 8, 10, 3)
+    out = F.crop_clip(clip, 2, 3, 4, 5)
+    assert out.shape == (2, 4, 5, 3)
+    assert F.get_resize_sizes(100, 50, 25) == (50, 25)
+    assert F.get_resize_sizes(50, 100, 25) == (25, 50)
+    norm = F.normalize(np.ones((1, 2, 2, 3)), [0.5, 0.5, 0.5], [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(norm, 1.0)
+    assert F.resize_clip(clip, 16).shape[1] in (16, 20)
+
+
+def test_knn_classifier_separable():
+    from unite_tpu.utils.knn import knn_classifier
+
+    rng = np.random.default_rng(0)
+    # two well-separated clusters
+    train = np.concatenate([rng.normal(0, 0.1, (50, 8)),
+                            rng.normal(3, 0.1, (50, 8))])
+    train_labels = np.array([0] * 50 + [1] * 50)
+    test = np.concatenate([rng.normal(0, 0.1, (20, 8)),
+                           rng.normal(3, 0.1, (20, 8))])
+    test_labels = np.array([0] * 20 + [1] * 20)
+    top1, top5 = knn_classifier(train, train_labels, test, test_labels, k=5)
+    assert top1 == 100.0
+
+
+def test_cast_videos_bf16():
+    import ml_dtypes
+
+    from unite_tpu.parallel.mesh import cast_videos_bf16
+
+    batch = {"videos": np.zeros((2, 4, 8, 8, 3), np.float32),
+             "labels": np.zeros(2, np.int32),
+             "clip_sim": np.zeros((2, 5), np.float32)}
+    out = cast_videos_bf16(batch)
+    assert out["videos"].dtype == ml_dtypes.bfloat16
+    assert out["labels"].dtype == np.int32
+    assert out["clip_sim"].dtype == np.float32  # 2-D untouched
+
+
+def test_normalize_videos_uint8_vs_fp32():
+    from unite_tpu.data.transforms import tensor_normalize
+    from unite_tpu.ops.normalize import normalize_videos
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 255, (2, 2, 4, 4, 3)).astype(np.uint8)
+    on_device = np.asarray(normalize_videos(jnp.asarray(u8), jnp.float32))
+    host = np.stack([tensor_normalize(c) for c in u8])
+    np.testing.assert_allclose(on_device, host, atol=1e-5)
+    # float passthrough just casts
+    f = jnp.ones((1, 1, 2, 2, 3), jnp.float32)
+    assert normalize_videos(f).dtype == jnp.bfloat16
+
+
+def test_compare_model_predictions():
+    from unite_tpu.engines.selftrain import compare_model_predictions
+
+    logits = np.array([[2.0, 0.0], [0.0, 2.0], [2.0, 0.0]])
+    sims = np.array([[0.9, 0.1], [0.9, 0.1], [0.1, 0.9]])
+    target = np.array([0, 1, 1])
+    d = compare_model_predictions(logits, sims, target)
+    assert d["student_acc"] == 2 / 3
+    assert d["clip_acc"] == 2 / 3
+    assert d["student_clip_agree"] == 1
+    assert d["student_clip_disagree"] == 2
+    assert d["student_or_clip_correct"] == 1.0
+    assert d["student_clip_agree_correct"] == 1
+    assert d["student_clip_disagree_incorrect"] == 1
+
+
+def test_shard_batch_divisibility():
+    from unite_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    batch = shard_batch({"videos": np.zeros((16, 2, 4, 4, 3), np.float32)}, mesh)
+    assert batch["videos"].shape[0] == 16
+    try:
+        shard_batch({"videos": np.zeros((15, 2, 4, 4, 3), np.float32)}, mesh)
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised

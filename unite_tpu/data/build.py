@@ -64,6 +64,7 @@ def build_pretraining_dataset(args, anno_path: Optional[str] = None,
         num_sample=getattr(args, "num_sample", 1),
         fraction=getattr(args, "fraction", 1.0),
         reader=reader,
+        seed=getattr(args, "seed", None),
     )
 
 
@@ -114,6 +115,7 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         return_aug_for_val=getattr(args, "return_aug_for_val", False),
         no_horizontal_flip=(data_set == "SSV2"),
         reader=reader,
+        seed=getattr(args, "seed", None),
     )
     assert nb_classes > 0, "nb_classes must be resolved (build.py:254)"
     return ds, nb_classes

@@ -32,6 +32,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from unite_tpu.engines.losses import cross_entropy
 from unite_tpu.ops.masking import greedy_committee_masks, visible_indices
@@ -233,6 +234,29 @@ def make_selftrain_step(
         return state, metrics
 
     return train_step
+
+
+def compare_model_predictions(student_logits, clip_similarities, target):
+    """Student-vs-CLIP agreement diagnostics (run_stage3.py:789-817).
+
+    Returns the stat dict instead of printing (the entry script logs it)."""
+    student_preds = np.argmax(np.asarray(student_logits), -1)
+    clip_preds = np.argmax(np.asarray(clip_similarities), -1)
+    target = np.asarray(target)
+    s_ok = student_preds == target
+    c_ok = clip_preds == target
+    agree = student_preds == clip_preds
+    return {
+        "student_acc": float(s_ok.mean()),
+        "clip_acc": float(c_ok.mean()),
+        "student_or_clip_correct": float((s_ok | c_ok).mean()),
+        "student_clip_agree": int(agree.sum()),
+        "student_clip_agree_correct": int((agree & s_ok).sum()),
+        "student_clip_agree_incorrect": int((agree & ~s_ok).sum()),
+        "student_clip_disagree": int((~agree).sum()),
+        "student_clip_disagree_correct": int((~agree & s_ok).sum()),
+        "student_clip_disagree_incorrect": int((~agree & ~s_ok).sum()),
+    }
 
 
 def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False):

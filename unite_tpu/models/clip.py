@@ -50,23 +50,31 @@ class CLIPAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_probs: bool = False):
+        from unite_tpu.ops.attention import fused_qkv_attention, use_fused_qkv
+
         b, n, c = x.shape
         head_dim = c // self.num_heads
+        scale = head_dim**-0.5
         qkv = nn.Dense(
             3 * c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
             name="in_proj",
         )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-        out = multi_head_attention(
-            q, k, v, scale=head_dim**-0.5, return_probs=return_probs,
-            use_pallas=self.use_pallas,
-        )
         probs = None
-        if return_probs:
-            out, probs = out
-            probs = jnp.mean(probs, axis=1)  # head average (torch MHA default)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        if not return_probs and use_fused_qkv(n, self.use_pallas):
+            # head split/merge fused into the kernel — no HBM transposes
+            out = fused_qkv_attention(qkv, self.num_heads, scale)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3))
+                       for i in range(3))
+            out = multi_head_attention(
+                q, k, v, scale=scale, return_probs=return_probs,
+                use_pallas=self.use_pallas,
+            )
+            if return_probs:
+                out, probs = out
+                probs = jnp.mean(probs, axis=1)  # head avg (torch MHA default)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         out = nn.Dense(
             c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
             name="out_proj",

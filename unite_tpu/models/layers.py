@@ -126,6 +126,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
+        from unite_tpu.ops.attention import fused_qkv_attention, use_fused_qkv
+
         b, n, c = x.shape
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
@@ -140,23 +142,24 @@ class Attention(nn.Module):
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(qkv.dtype)
 
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        )  # each [B, H, N, D]
-
-        dropout_rng = None
-        if self.attn_drop > 0.0 and not deterministic:
-            dropout_rng = self.make_rng("dropout")
-        out = multi_head_attention(
-            q, k, v, scale=scale, return_probs=return_probs,
-            dropout_rate=self.attn_drop, dropout_rng=dropout_rng,
-            deterministic=deterministic, use_pallas=self.use_pallas,
-        )
         probs = None
-        if return_probs:
-            out, probs = out
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        needs_drop = self.attn_drop > 0.0 and not deterministic
+        if not return_probs and not needs_drop and use_fused_qkv(n, self.use_pallas):
+            out = fused_qkv_attention(qkv, self.num_heads, scale)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = (
+                jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+            )  # each [B, H, N, D]
+            dropout_rng = self.make_rng("dropout") if needs_drop else None
+            out = multi_head_attention(
+                q, k, v, scale=scale, return_probs=return_probs,
+                dropout_rate=self.attn_drop, dropout_rng=dropout_rng,
+                deterministic=deterministic, use_pallas=self.use_pallas,
+            )
+            if return_probs:
+                out, probs = out
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         out = nn.Dense(
             c, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=self.kernel_init, name="proj",

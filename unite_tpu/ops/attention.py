@@ -313,24 +313,27 @@ def _grouped_group_bwd(s_pad: int) -> int:
 
 
 def _grouped_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
-    q = q_ref[...].astype(jnp.float32)  # [G, S, D]
+    # VPU-lean softmax: the scale folds into q ([G,S,D] — 1/S the elements of
+    # the score tile) and the 1/l normalization moves to the OUTPUT
+    # ([G,S,D]), so the [G,S,S] tile sees only sub, exp and the pad mask.
+    q = q_ref[...].astype(jnp.float32) * scale  # [G, S, D]
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [G, S, S]
+    )  # [G, S, S]
     s_pad = k.shape[1]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1)[..., None]  # [G, S, 1]
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = o.astype(o_ref.dtype)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
 def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -340,32 +343,35 @@ def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     v = v_ref[...].astype(jnp.float32)
     do = do_ref[...].astype(jnp.float32)
 
+    qs = q * scale
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
+        qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
     s_pad = k.shape[1]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [G, S, S]
+    e = jnp.exp(s - m)  # unnormalized probs [G, S, S]
+    inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [G, S, 1]
 
-    # dv = p^T @ do  (contract over query rows)
+    # dv = (e/l)^T @ do == e^T @ (do/l broadcast over query rows)
+    do_l = do * inv_l
     dv = jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        e, do_l, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    # dp = do @ v^T ; delta = rowsum(do * o) with o = p @ v recomputed row-wise
+    # dp = do @ v^T ; ds = p * (dp - delta); fold 1/l into the [G,S,D] side
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [G, S, S]
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # == rowsum(do·o)
-    ds = p * (dp - delta) * scale
+    delta = jnp.sum(e * dp, axis=-1)[..., None] * inv_l  # rowsum(p·dp)
+    ds = e * (dp - delta)  # == ds/scale * l  (scale, 1/l deferred)
     dq = jax.lax.dot_general(
         ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+    ) * (scale * inv_l)
     dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds * inv_l, qs, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
@@ -439,6 +445,103 @@ def _grouped_attention_bwd(scale, res, gout):
 
 
 _grouped_attention.defvjp(_grouped_attention_fwd, _grouped_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-qkv attention: consumes the qkv projection's NATURAL [B, S, 3·H·D]
+# layout and emits [B, S, H·D] ready for the output projection. The head
+# split/merge transposes happen on VMEM values inside the kernel (VREG
+# shuffles) instead of HBM round-trips — at teacher scale those transposes
+# cost more than the attention math itself (~1.5ms/layer of pure copies).
+# Forward = pallas kernel; backward = VJP of the unfused XLA reference
+# (correctness by construction; the teacher is forward-only).
+# ---------------------------------------------------------------------------
+
+FUSED_QKV_MAX_SEQ = 384
+
+
+def _qkv_attention_reference(qkv, heads: int, scale: float):
+    b, s, thd = qkv.shape
+    d = thd // (3 * heads)
+    x = qkv.reshape(b, s, 3, heads, d)
+    q, k, v = (jnp.transpose(x[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    out = attention_xla(q, k, v, scale=scale)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, heads * d)
+
+
+def _fused_qkv_kernel(qkv_ref, o_ref, *, heads, scale, seq_len, head_chunk):
+    # qkv_ref [1, S_pad, 3H, D]: q/k/v are middle-dim slices; batched
+    # dot_general batches over that middle (head) dim directly, so the only
+    # data movement is the small per-chunk output transpose.
+    x = qkv_ref[0]  # [S, 3·H·D] — lane slices per head (rank-preserving)
+    s_pad = x.shape[0]
+    d = x.shape[1] // (3 * heads)
+    hd = heads * d
+    del head_chunk  # per-head 2D matmuls (Mosaic: batch dims must be pos 0)
+    for h in range(heads):
+        q = x[:, h * d : (h + 1) * d].astype(jnp.float32) * scale  # [S, D]
+        k = x[:, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
+        v = x[:, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        if seq_len < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        inv_l = 1.0 / jnp.sum(p, axis=-1)[..., None]
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_l  # [S, D]
+        o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_qkv_attention(qkv, heads, scale):
+    """qkv [B, S, 3·H·D] (natural Dense layout) → output [B, S, H·D]."""
+    return _fused_qkv_fwd(qkv, heads, scale)[0]
+
+
+def _fused_qkv_fwd(qkv, heads, scale):
+    b, s, thd = qkv.shape
+    d = thd // (3 * heads)
+    s_pad = _round_up(s, 128)
+    qkvp = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else qkv
+
+    out = pl.pallas_call(
+        functools.partial(_fused_qkv_kernel, heads=heads, scale=scale,
+                          seq_len=s, head_chunk=heads),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, s_pad, heads * d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, heads * d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s_pad * s_pad * d,
+            bytes_accessed=b * s_pad * (thd + heads * d) * qkv.dtype.itemsize,
+            transcendentals=b * heads * s_pad * s_pad,
+        ),
+    )(qkvp)
+    return out[:, :s], (qkv,)
+
+
+def _fused_qkv_bwd(heads, scale, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda t: _qkv_attention_reference(t, heads, scale), qkv)
+    return vjp(g)
+
+
+fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def use_fused_qkv(seq: int, use_pallas=None) -> bool:
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    return bool(use_pallas) and seq <= FUSED_QKV_MAX_SEQ
 
 
 # ---------------------------------------------------------------------------

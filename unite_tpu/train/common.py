@@ -31,7 +31,13 @@ from unite_tpu.utils.schedules import cosine_scheduler, scaled_lr
 
 def setup_run(args):
     """Seeds, experiment dir, resolved-config dump, mesh (run_stage1 main
-    preamble :604-650)."""
+    preamble :604-650). Multihost runs initialize the JAX distributed
+    runtime from the standard env (JAX_COORDINATOR_ADDRESS etc.) — the
+    torchrun/SLURM rendezvous of utils.py:510-551 becomes one line."""
+    import os as _os
+
+    if _os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
     np.random.seed(args.seed + jax.process_index())
     import random
 

@@ -189,6 +189,8 @@ def main(args):
                 "videos_t": np.asarray(clean_t, np.float32),
                 "videos_t_aug": np.asarray(aug_t, np.float32),
                 "labels_t": np.asarray(labels_t, np.int32),
+                # shipped reference uses zero thresholds (run_stage3.py:1303)
+                "classwise_thresholds": np.zeros(args.nb_classes, np.float32),
             }
             if zero_shot_fn is not None:
                 batch["clip_sim"] = np.asarray(zero_shot_fn(batch["videos_t"]))
