@@ -332,3 +332,16 @@ def test_collate_num_sample_flatten():
     clips, labels = default_collate(items)
     assert clips.shape == (4, 2, 2)
     assert labels.tolist() == [1, 2, 1, 2]
+
+
+def test_num_sample_through_loader(anno_file):
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=2, crop_size=32, short_side_size=48,
+        reader=SyntheticVideoReader(64, 64), seed=0, aa="", reprob=0.0,
+        num_sample=2,
+    )
+    loader = DataLoader(ds, batch_size=3, num_workers=1, drop_last=True)
+    clips, labels, idx, _ = next(iter(loader))
+    # repeated-aug doubles the effective batch (reference num_sample semantics)
+    assert clips.shape == (6, 2, 32, 32, 3)
+    assert labels.shape == (6,)

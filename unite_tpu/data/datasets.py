@@ -187,8 +187,10 @@ class VideoClsDatasetSparse:
         if self.mode == "train":
             buffer, path, label, _, _ = self._load_with_retry(index, -1)
             if self.num_sample > 1:
-                clips = [self._aug_frame(buffer) for _ in range(self.num_sample)]
-                return clips, [label] * self.num_sample, index, {}
+                # list of per-sample tuples -> default_collate flattens
+                # (reference multiple_samples_collate, utils.py:854-898)
+                return [(self._aug_frame(buffer), label, index, {})
+                        for _ in range(self.num_sample)]
             return self._aug_frame(buffer), label, index, {}
 
         if self.mode == "validation":
@@ -296,12 +298,12 @@ class VideoMAEPretrainDataset:
     def __getitem__(self, index: int):
         clip, label = self._load(index)
         if self.num_sample > 1:
-            out = []
-            for _ in range(self.num_sample):
-                video = self._transform(clip)
-                mask = self.mask_gen() if self.mask_gen else -1
-                out.append((video, mask))
-            return out, label
+            return [
+                (self._transform(clip),
+                 self.mask_gen() if self.mask_gen else -1,
+                 label)
+                for _ in range(self.num_sample)
+            ]
         video = self._transform(clip)
         # attention masking is device-side: emit -1 like build.py:68-69
         mask = self.mask_gen() if self.mask_gen else -1

@@ -469,7 +469,7 @@ def _qkv_attention_reference(qkv, heads: int, scale: float):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, heads * d)
 
 
-def _fused_qkv_kernel(qkv_ref, o_ref, *, heads, scale, seq_len, head_chunk):
+def _fused_qkv_kernel(qkv_ref, o_ref, *, heads, scale, seq_len):
     # qkv_ref [1, S_pad, 3H, D]: q/k/v are middle-dim slices; batched
     # dot_general batches over that middle (head) dim directly, so the only
     # data movement is the small per-chunk output transpose.
@@ -477,7 +477,6 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads, scale, seq_len, head_chunk):
     s_pad = x.shape[0]
     d = x.shape[1] // (3 * heads)
     hd = heads * d
-    del head_chunk  # per-head 2D matmuls (Mosaic: batch dims must be pos 0)
     for h in range(heads):
         q = x[:, h * d : (h + 1) * d].astype(jnp.float32) * scale  # [S, D]
         k = x[:, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
@@ -513,7 +512,7 @@ def _fused_qkv_fwd(qkv, heads, scale):
 
     out = pl.pallas_call(
         functools.partial(_fused_qkv_kernel, heads=heads, scale=scale,
-                          seq_len=s, head_chunk=heads),
+                          seq_len=s),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -529,10 +528,80 @@ def _fused_qkv_fwd(qkv, heads, scale):
     return out[:, :s], (qkv,)
 
 
+def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, seq_len):
+    """Fused backward in the same lane-slice layout: recomputes the softmax
+    per head and writes dq/dk/dv into the dqkv lane slices — the student's
+    attention backward without any HBM transposes."""
+    x = qkv_ref[0]       # [S, 3·H·D]
+    do_all = do_ref[0]   # [S, H·D]
+    s_pad = x.shape[0]
+    d = x.shape[1] // (3 * heads)
+    hd = heads * d
+    for h in range(heads):
+        q = x[:, h * d : (h + 1) * d].astype(jnp.float32)
+        k = x[:, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
+        v = x[:, 2 * hd + h * d : 2 * hd + (h + 1) * d].astype(jnp.float32)
+        do = do_all[:, h * d : (h + 1) * d].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if seq_len < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [S, 1]
+        p = e * inv_l
+
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [S(k), D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [S(q), S(k)]
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[0, :, h * d : (h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hd + h * d : hd + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * hd + h * d : 2 * hd + (h + 1) * d] = \
+            dv.astype(dqkv_ref.dtype)
+
+
 def _fused_qkv_bwd(heads, scale, res, g):
     (qkv,) = res
-    _, vjp = jax.vjp(lambda t: _qkv_attention_reference(t, heads, scale), qkv)
-    return vjp(g)
+    b, s, thd = qkv.shape
+    s_pad = _round_up(s, 128)
+    pad2 = [(0, 0), (0, s_pad - s), (0, 0)]
+    qkvp = jnp.pad(qkv, pad2) if s_pad != s else qkv
+    gp = jnp.pad(g, pad2) if s_pad != s else g
+    dqkv = pl.pallas_call(
+        functools.partial(_fused_qkv_bwd_kernel, heads=heads, scale=scale,
+                          seq_len=s),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, thd // 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, thd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * (thd // 3) * s_pad * s_pad,
+            bytes_accessed=2 * b * s_pad * thd * qkv.dtype.itemsize,
+            transcendentals=b * (thd // (3 * 64)) * s_pad * s_pad,
+        ),
+    )(qkvp, gp)
+    return (dqkv[:, :s],)
 
 
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)

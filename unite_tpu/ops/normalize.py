@@ -11,10 +11,8 @@ including) the crop in uint8.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from unite_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
 def normalize_videos(videos, dtype=jnp.bfloat16):

@@ -17,12 +17,6 @@ import argparse
 from unite_tpu.config import str2bool
 
 
-def _int_list(v):
-    if isinstance(v, (list, tuple)):
-        return [int(x) for x in v]
-    return [int(x) for x in str(v).replace(",", " ").split()]
-
-
 def common_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(desc, add_help=True)
     # config / dataset indirection
