@@ -60,7 +60,7 @@ class CLIPAttention(nn.Module):
             name="in_proj",
         )(x)
         probs = None
-        if not return_probs and use_fused_qkv(n, self.use_pallas):
+        if not return_probs and use_fused_qkv(n, self.use_pallas, fwd_only=True):
             # head split/merge fused into the kernel — no HBM transposes
             out = fused_qkv_attention(qkv, self.num_heads, scale)
         else:

@@ -457,34 +457,40 @@ _grouped_attention.defvjp(_grouped_attention_fwd, _grouped_attention_bwd)
 # (correctness by construction; the teacher is forward-only).
 # ---------------------------------------------------------------------------
 
-FUSED_QKV_MAX_SEQ = 384
+FUSED_QKV_MAX_SEQ = 384       # training cap (pallas bwd VMEM bound)
+FUSED_QKV_FWD_MAX_SEQ = 512   # forward-only cap (Mosaic keeps all
+                              # unrolled per-head tiles live; longer
+                              # sequences use the blocked flash kernels)
 
 
-def _qkv_attention_reference(qkv, heads: int, scale: float):
+def _qkv_attention_reference(qkv, heads: int, scale: float,
+                             use_pallas: bool = False):
     b, s, thd = qkv.shape
     d = thd // (3 * heads)
     x = qkv.reshape(b, s, 3, heads, d)
     q, k, v = (jnp.transpose(x[:, :, i], (0, 2, 1, 3)) for i in range(3))
-    out = attention_xla(q, k, v, scale=scale)
+    if use_pallas:
+        out = multi_head_attention(q, k, v, scale=scale, use_pallas=True)
+    else:
+        out = attention_xla(q, k, v, scale=scale)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, heads * d)
 
 
-def _fused_qkv_kernel(qkv_ref, o_ref, *, heads, scale, seq_len):
-    # qkv_ref [1, S_pad, 3H, D]: q/k/v are middle-dim slices; batched
-    # dot_general batches over that middle (head) dim directly, so the only
-    # data movement is the small per-chunk output transpose.
-    x = qkv_ref[0]  # [S, 3·H·D] — lane slices per head (rank-preserving)
-    s_pad = x.shape[0]
-    d = x.shape[1] // (3 * heads)
-    hd = heads * d
+def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale, seq_len):
+    # q_ref [1, BQ, H·D] (a q-row block), k/v_ref [1, S_pad, H·D] (full rows)
+    # — three lane-blocked views of the SAME qkv array, so only the needed
+    # lanes are DMA'd. Per-head rank-preserving lane slices + 2D matmuls.
+    xq, xk, xv = q_ref[0], k_ref[0], v_ref[0]
+    s_pad = xk.shape[0]
+    d = xq.shape[1] // heads
     for h in range(heads):
-        q = x[:, h * d : (h + 1) * d].astype(jnp.float32) * scale  # [S, D]
-        k = x[:, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
-        v = x[:, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        q = xq[:, h * d : (h + 1) * d].astype(jnp.float32) * scale  # [BQ, D]
+        k = xk[:, h * d : (h + 1) * d].astype(jnp.float32)  # [S, D]
+        v = xv[:, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [S, S]
+        )  # [BQ, S]
         if seq_len < s_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < seq_len, s, NEG_INF)
@@ -494,7 +500,7 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads, scale, seq_len):
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * inv_l  # [S, D]
+        ) * inv_l  # [BQ, D]
         o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
 
 
@@ -507,24 +513,36 @@ def fused_qkv_attention(qkv, heads, scale):
 def _fused_qkv_fwd(qkv, heads, scale):
     b, s, thd = qkv.shape
     d = thd // (3 * heads)
+    hd = heads * d
     s_pad = _round_up(s, 128)
+    if s_pad > FUSED_QKV_FWD_MAX_SEQ or not _on_tpu():
+        # graceful degradation for direct callers: blocked flash kernels
+        return _qkv_attention_reference(qkv, heads, scale,
+                                        use_pallas=_on_tpu()), (qkv,)
     qkvp = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else qkv
+    bq = min(512, s_pad)  # q-row blocking for long sequences
 
+    # three lane-blocked views of the same array (block units of H·D lanes)
+    q_spec = pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j: (i, 0, 1),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j: (i, 0, 2),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fused_qkv_kernel, heads=heads, scale=scale,
                           seq_len=s),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, s_pad, heads * d), lambda i: (i, 0, 0),
+        grid=(b, s_pad // bq),
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, heads * d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * heads * s_pad * s_pad * d,
-            bytes_accessed=b * s_pad * (thd + heads * d) * qkv.dtype.itemsize,
+            bytes_accessed=b * s_pad * (thd + hd) * qkv.dtype.itemsize,
             transcendentals=b * heads * s_pad * s_pad,
         ),
-    )(qkvp)
+    )(qkvp, qkvp, qkvp)
     return out[:, :s], (qkv,)
 
 
@@ -579,6 +597,10 @@ def _fused_qkv_bwd(heads, scale, res, g):
     (qkv,) = res
     b, s, thd = qkv.shape
     s_pad = _round_up(s, 128)
+    if s_pad > 512:  # long-seq bwd: unfused VJP (pallas bwd is VMEM-bound)
+        _, vjp = jax.vjp(lambda t: _qkv_attention_reference(t, heads, scale),
+                         qkv)
+        return vjp(g)
     pad2 = [(0, 0), (0, s_pad - s), (0, 0)]
     qkvp = jnp.pad(qkv, pad2) if s_pad != s else qkv
     gp = jnp.pad(g, pad2) if s_pad != s else g
@@ -607,10 +629,11 @@ def _fused_qkv_bwd(heads, scale, res, g):
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
-def use_fused_qkv(seq: int, use_pallas=None) -> bool:
+def use_fused_qkv(seq: int, use_pallas=None, fwd_only: bool = False) -> bool:
     if use_pallas is None:
         use_pallas = _on_tpu()
-    return bool(use_pallas) and seq <= FUSED_QKV_MAX_SEQ
+    cap = FUSED_QKV_FWD_MAX_SEQ if fwd_only else FUSED_QKV_MAX_SEQ
+    return bool(use_pallas) and seq <= cap
 
 
 # ---------------------------------------------------------------------------
