@@ -127,3 +127,49 @@ def test_tokenizer_with_toy_merges(tmp_path):
     # merge chain applies in rank order: w a -> wa, l k</w> -> lk</w>, join
     assert tok.bpe("walk") == "walk</w>"
     assert tok.bpe("run") == "ru n</w>"
+
+
+def test_msgpack_stage_chaining(tmp_path):
+    """Stage chaining: stage-1 adaptation ckpt (.msgpack) loads into the
+    stage-2 ViT; stage-2 ckpt loads back into a stage-1/3 student."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unite_tpu.train.run_stage1 import load_student
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+    from unite_tpu.utils import checkpoint as ck
+
+    # fake stage-1 checkpoint: adaptation tree with encoder + decoders
+    enc = {"blocks_0": {"norm1": {"scale": np.full(4, 7.0)}},
+           "patch_embed": {"proj": {"kernel": np.full((2, 4), 3.0)}}}
+    ck.save_checkpoint(str(tmp_path), 0,
+                       {"encoder": enc, "clip_decoder_0": {"head": {
+                           "kernel": np.zeros((4, 2))}}},
+                       tags=("latest",))
+    path = str(tmp_path / "checkpoint-latest.msgpack")
+
+    class A:
+        finetune = path
+        model_key = "model|module"
+
+    vit_params = {"blocks_0": {"norm1": {"scale": jnp.zeros(4)}},
+                  "patch_embed": {"proj": {"kernel": jnp.zeros((2, 4))}},
+                  "head": {"kernel": jnp.ones((4, 3))}}
+    merged = load_finetune_ckpt(A, None, vit_params)
+    np.testing.assert_allclose(merged["blocks_0"]["norm1"]["scale"], 7.0)
+    np.testing.assert_allclose(merged["head"]["kernel"], 1.0)  # kept init
+
+    # stage-2 ckpt (bare vit tree) loads into a stage-1 student
+    ck.save_checkpoint(str(tmp_path / "s2"), 0, {k: v for k, v in
+                                                 vit_params.items()},
+                       tags=("latest",))
+
+    class B:
+        student_init = str(tmp_path / "s2" / "checkpoint-latest.msgpack")
+        model_key = "model|module"
+
+    student_params = {"encoder": {"blocks_0": {"norm1": {"scale":
+                                               jnp.full(4, -1.0)}}}}
+    merged2 = load_student(B, student_params)
+    np.testing.assert_allclose(
+        np.asarray(merged2["encoder"]["blocks_0"]["norm1"]["scale"]), 0.0)

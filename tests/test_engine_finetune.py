@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unite_tpu.engines.finetune import (
     make_eval_step,
@@ -146,3 +147,52 @@ def test_mixup_elem_mode():
     mixed, targets = mix(jax.random.PRNGKey(0), x, labels)
     assert mixed.shape == x.shape
     np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
+
+
+def test_zero1_sharded_optimizer_matches_replicated():
+    """ZeRO-1 layout produces the same training trajectory as replicated."""
+    from unite_tpu.parallel.mesh import (
+        data_parallel_jit,
+        make_mesh,
+        shard_batch,
+        shard_state_zero1,
+        zero1_sharding_tree,
+    )
+
+    mesh = make_mesh()
+    model = tiny_model()
+    batch = synthetic_batch(16)
+
+    def make_state():
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(batch["videos"][:1]))["params"]
+        tx, _ = create_optimizer("adamw", lr=1e-2, params=params,
+                                 weight_decay=0.01)
+        return TrainState.create(params, tx)
+
+    rng = jax.random.PRNGKey(1)
+    sb = shard_batch(batch, mesh)
+
+    # replicated baseline
+    s_rep = make_state()
+    step_rep = data_parallel_jit(make_finetune_train_step(model), mesh,
+                                 donate_state=False)
+    for _ in range(3):
+        s_rep, m_rep = step_rep(s_rep, sb, rng)
+
+    # ZeRO-1 sharded optimizer state
+    s_z = shard_state_zero1(make_state(), mesh)
+    layout = zero1_sharding_tree(s_z, mesh)
+    step_z = data_parallel_jit(make_finetune_train_step(model), mesh,
+                               donate_state=False, state_shardings=layout)
+    for _ in range(3):
+        s_z, m_z = step_z(s_z, sb, rng)
+
+    assert float(m_rep["loss"]) == pytest.approx(float(m_z["loss"]), rel=1e-5)
+    a = np.asarray(s_rep.params["head"]["kernel"])
+    b = np.asarray(s_z.params["head"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # at least one optimizer moment is actually sharded over 'data'
+    specs = [str(leaf.sharding.spec) for leaf in jax.tree.leaves(s_z.opt_state)
+             if hasattr(leaf, "sharding")]
+    assert any("data" in s for s in specs), specs

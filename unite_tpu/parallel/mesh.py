@@ -84,7 +84,7 @@ def cast_videos_bf16(batch: dict) -> dict:
 
 def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
                       donate_state: bool = True, axis: str = "data",
-                      static_argnums=()):
+                      static_argnums=(), state_shardings=None):
     """jit ``fn(state, batch, ...)`` with params replicated and batches
     sharded on ``axis``; gradient collectives are emitted by GSPMD.
 
@@ -98,18 +98,65 @@ def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
     n_known = len(inspect.signature(fn).parameters)
     in_shardings = []
     for i in range(n_known):
-        if i in state_argnums:
+        if i == state_argnums[0] and state_shardings is not None:
+            in_shardings.append(state_shardings)  # e.g. ZeRO-1 layout
+        elif i in state_argnums:
             in_shardings.append(replicated(mesh))
         elif i in batch_argnums:
             in_shardings.append(batch_sharding(mesh, axis))
         else:
             in_shardings.append(replicated(mesh))
+    out_shardings = None
+    if state_shardings is not None:
+        # fn returns (state, metrics): pin the state's output layout so the
+        # fed-back state keeps the declared (e.g. ZeRO-1) sharding
+        out_shardings = (state_shardings, replicated(mesh))
     return jax.jit(
         fn,
         in_shardings=tuple(in_shardings),
+        out_shardings=out_shardings,
         donate_argnums=tuple(state_argnums) if donate_state else (),
         static_argnums=static_argnums,
     )
+
+
+def zero1_sharding_tree(state, mesh: Mesh, axis: str = "data"):
+    """ZeRO-1-style sharding layout: params replicated, optimizer moments
+    sharded over ``axis`` along their largest divisible dimension.
+
+    The reference only ever ran an (unused) DeepSpeed ZeRO path
+    (run_stage2.py:258-282); here optimizer-state sharding is a layout
+    annotation — GSPMD inserts the reduce-scatter/all-gather pair around the
+    elementwise update. Returns a pytree of NamedShardings matching
+    ``state`` for use as jit in_shardings / device_put layout.
+    """
+    n = mesh.shape[axis]
+
+    def opt_leaf(x):
+        shape = np.shape(x)
+        for dim, size in enumerate(shape):
+            if size % n == 0 and size >= n:
+                spec = [None] * len(shape)
+                spec[dim] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    def rep(_):
+        return NamedSharding(mesh, P())
+
+    return state.replace(
+        step=rep(state.step),
+        params=jax.tree.map(rep, state.params),
+        opt_state=jax.tree.map(opt_leaf, state.opt_state),
+        ema_params=(jax.tree.map(rep, state.ema_params)
+                    if state.ema_params is not None else None),
+    )
+
+
+def shard_state_zero1(state, mesh: Mesh, axis: str = "data"):
+    """device_put the train state with the ZeRO-1 layout."""
+    layout = zero1_sharding_tree(state, mesh, axis)
+    return jax.device_put(state, layout)
 
 
 def process_count() -> int:

@@ -96,6 +96,9 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--val_interval", type=int, default=100)
     p.add_argument("--initial_validation", type=str2bool, default=False)
     p.add_argument("--test_best", type=str2bool, default=True)
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="shard optimizer moments over the data axis "
+                        "(ZeRO-1 layout; GSPMD inserts the collectives)")
     p.add_argument("--dispatch_loop_steps", type=int, default=1,
                    help="train steps dispatched per host sync (latency hiding)")
     # logging

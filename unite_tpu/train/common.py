@@ -116,29 +116,43 @@ def train_one_epoch(
     last_metrics = None
     n_chips = max(1, jax.device_count())
     step_i = 0
+    window_t0 = time.time()
+    window_clips = 0
     for batch in logger.log_every(batches, log_freq, header):
         if profile_dir and step_i == 2 and epoch == 0:
             jax.profiler.start_trace(profile_dir)
-        t0 = time.time()
         state, metrics = step_fn(state, *extra_step_args, batch, rng)
-        host = {k: float(v) for k, v in metrics.items()}
-        if not np.isfinite(host["loss"]):
-            raise FloatingPointError(
-                f"Loss is {host['loss']}, stopping training"
-            )  # reference exits 1 (run_stage1.py:447-449)
-        clips = _batch_clips(batch)
-        if clips:
-            host["clips_per_sec_chip"] = clips / max(
-                time.time() - t0, 1e-9) / n_chips
-        logger.update(**host)
-        if tb_logger is not None:
-            tb_logger.update(head="train", **host)
-            tb_logger.set_step()
-        last_metrics = host
+        window_clips += _batch_clips(batch)
+        # Device-to-host scalar reads cost a full dispatch round-trip each
+        # (~30ms on tunneled devices), so metrics only sync on log steps —
+        # steps in between stay fully async. The NaN fail-fast (reference
+        # run_stage1.py:447-449) therefore fires within log_freq steps.
+        if step_i % log_freq == 0:
+            host = {k: float(v) for k, v in metrics.items()}
+            if not np.isfinite(host["loss"]):
+                raise FloatingPointError(
+                    f"Loss is {host['loss']}, stopping training"
+                )
+            dt = time.time() - window_t0
+            if window_clips:
+                host["clips_per_sec_chip"] = window_clips / max(dt, 1e-9) / n_chips
+            window_t0 = time.time()
+            window_clips = 0
+            logger.update(**host)
+            if tb_logger is not None:
+                tb_logger.update(head="train", step=step_i, **host)
+            last_metrics = host
         if profile_dir and step_i == 7 and epoch == 0:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {profile_dir}")
         step_i += 1
+    if step_i > 0:  # final sync of the epoch's last step
+        host = {k: float(v) for k, v in metrics.items()}
+        if not np.isfinite(host["loss"]):
+            raise FloatingPointError(
+                f"Loss is {host['loss']}, stopping training")
+        logger.update(**host)
+        last_metrics = host
     logger.synchronize_between_processes()
     print("Averaged stats:", logger)
     stats = {k: m.global_avg for k, m in logger.meters.items()}

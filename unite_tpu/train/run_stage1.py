@@ -21,7 +21,7 @@ import numpy as np
 
 from unite_tpu.config import parse_with_config
 from unite_tpu.data.build import build_pretraining_dataset
-from unite_tpu.data.loader import cycle
+from unite_tpu.data.loader import cycle, device_prefetch
 from unite_tpu.data.sharding import repetitions_to_match
 from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
 from unite_tpu.ops.masking import n_visible, visible_indices
@@ -67,9 +67,19 @@ def build_teacher(args):
 
 def load_student(args, params):
     """run_stage1.py:518-602 import chain (wrap in encoder., strip backbone,
-    optional decoder init, pos-embed interpolation)."""
+    optional decoder init, pos-embed interpolation). Accepts torch .pth
+    (published UMT weights) or this framework's .msgpack checkpoints."""
     if not args.student_init:
         return params
+    if args.student_init.endswith(ck.CKPT_EXT):
+        payload = ck.load_checkpoint(args.student_init)
+        loaded = payload["model"]
+        if "model" in loaded:  # stage-3 combined tree
+            loaded = loaded["model"]
+        if "encoder" not in loaded:  # bare classification ViT → nest
+            loaded = {"encoder": loaded}
+        merged, _, _ = ti.merge_params(params, loaded, strict_shapes=False)
+        return merged
     state = ti.load_torch_state(args.student_init, args.model_key)
     state = ti.wrap_encoder_prefix(state)
     state = ti.strip_prefixes(state, ("backbone.",))
@@ -162,6 +172,8 @@ def main(args):
             state = state.replace(params=payload["model"])
             start_epoch = payload["epoch"] + 1
 
+    z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
+                 if args.zero1 else None)
     step_fn = pmesh.data_parallel_jit(
         make_pretrain_train_step(
             student, teacher, num_patches=n_patch, frames=args.num_frames
@@ -174,10 +186,14 @@ def main(args):
             clip_input_resolution=args.clip_input_resolution,
         ),
         mesh, state_argnums=(0,), batch_argnums=(2,), donate_state=True,
+        state_shardings=z1_layout,
     )
     # teacher params replicated, passed per call (arg 1) — never donated
     tp = pmesh.replicate(tp, mesh)
-    state = pmesh.replicate(state, mesh)
+    if args.zero1:
+        state = pmesh.shard_state_zero1(state, mesh)
+    else:
+        state = pmesh.replicate(state, mesh)
 
     def batches(epoch):
         src_loader.set_epoch(epoch)
@@ -201,7 +217,9 @@ def main(args):
 
     for epoch in range(start_epoch, args.epochs):
         state, stats, _ = common.train_one_epoch(
-            state, wrapped_step, batches(epoch), epoch, args.log_freq,
+            state, wrapped_step,
+            device_prefetch(batches(epoch), lambda b: b, depth=2),
+            epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
         )

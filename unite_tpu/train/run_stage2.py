@@ -22,6 +22,7 @@ import optax
 
 from unite_tpu.config import parse_with_config
 from unite_tpu.data.build import build_dataset
+from unite_tpu.data.loader import device_prefetch
 from unite_tpu.engines.finetune import make_eval_step, make_finetune_train_step
 from unite_tpu.ops.mixup import Mixup
 from unite_tpu.optim.factory import create_optimizer
@@ -55,9 +56,20 @@ def build_model(args):
 
 
 def load_finetune_ckpt(args, model, params):
-    """run_stage2.py:349-438 import chain."""
+    """run_stage2.py:349-438 import chain. Accepts torch .pth (published
+    weights) or this framework's .msgpack checkpoints (stage chaining)."""
     if not args.finetune:
         return params
+    if args.finetune.endswith(ck.CKPT_EXT):
+        payload = ck.load_checkpoint(args.finetune)
+        loaded = payload["model"]
+        # a stage-1 adaptation checkpoint nests the backbone under
+        # 'encoder' and carries clip decoders — take the encoder
+        # (run_stage2.py:388-391 encoder-prefix strip semantics)
+        if "encoder" in loaded:
+            loaded = loaded["encoder"]
+        merged, _, _ = ti.merge_params(params, loaded, strict_shapes=False)
+        return merged
     state = ti.load_torch_state(args.finetune, args.model_key)
     state = ti.surgery_head(state, args.nb_classes, args.delete_head)
     state = ti.strip_prefixes(state, ("backbone.", "encoder."))
@@ -174,15 +186,20 @@ def main(args):
             num_classes=args.nb_classes,
         )
 
+    z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
+                 if args.zero1 else None)
     step_fn = pmesh.data_parallel_jit(
         make_finetune_train_step(
             model, mixup=mixup_fn, label_smoothing=args.smoothing,
             clip_grad=args.clip_grad,
             ema_decay=args.model_ema_decay if args.model_ema else None,
-        ), mesh,
+        ), mesh, state_shardings=z1_layout,
     )
     eval_fn = jax.jit(make_eval_step(model))
-    state = pmesh.replicate(state, mesh)
+    if args.zero1:
+        state = pmesh.shard_state_zero1(state, mesh)
+    else:
+        state = pmesh.replicate(state, mesh)
 
     if args.eval:
         stats = common.run_final_test(
@@ -219,7 +236,9 @@ def main(args):
             )
             state = pmesh.replicate(new_state, mesh)
         state, stats, _ = common.train_one_epoch(
-            state, step_fn, batches(epoch), epoch, args.log_freq,
+            state, step_fn,
+            device_prefetch(batches(epoch), lambda b: b, depth=2),
+            epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
         )

@@ -26,7 +26,7 @@ import numpy as np
 
 from unite_tpu.config import parse_with_config
 from unite_tpu.data.build import build_dataset
-from unite_tpu.data.loader import cycle
+from unite_tpu.data.loader import cycle, device_prefetch
 from unite_tpu.data.sharding import repetitions_to_match
 from unite_tpu.engines.selftrain import (
     make_selftrain_eval_step,
@@ -140,6 +140,8 @@ def main(args):
             state = state.replace(params=payload["model"])
             start_epoch = payload["epoch"] + 1
 
+    z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
+                 if args.zero1 else None)
     step_fn = pmesh.data_parallel_jit(
         make_selftrain_step(
             student, classifier, teacher, num_patches=n_patch,
@@ -159,11 +161,15 @@ def main(args):
             nb_classes=args.nb_classes,
         ),
         mesh, state_argnums=(0,), batch_argnums=(2,),
+        state_shardings=z1_layout,
     )
     eval_fn = jax.jit(make_selftrain_eval_step(
         student, classifier, args.use_cls_token))
     tp = pmesh.replicate(tp, mesh)
-    state = pmesh.replicate(state, mesh)
+    if args.zero1:
+        state = pmesh.shard_state_zero1(state, mesh)
+    else:
+        state = pmesh.replicate(state, mesh)
 
     # optional CLIP zero-shot teacher (clip_matchORconf): precomputes per-
     # batch similarities with the text tower; without text weights we fall
@@ -206,7 +212,9 @@ def main(args):
     best_acc = -1.0
     for epoch in range(start_epoch, args.epochs):
         state, stats, _ = common.train_one_epoch(
-            state, wrapped_step, batches(epoch), epoch, args.log_freq,
+            state, wrapped_step,
+            device_prefetch(batches(epoch), lambda b: b, depth=2),
+            epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
         )
