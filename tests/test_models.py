@@ -194,3 +194,41 @@ def test_create_model_kwargs():
         num_frames=4, tubelet_size=1, clip_return_layers=(11,),
     )
     assert m.encoder_depth == 12
+
+
+def test_remat_blocks_grad():
+    """use_checkpoint (remat) path: gradients flow and match non-remat."""
+    from unite_tpu.models.adaptation import AdaptationVisionTransformer
+
+    def build(remat):
+        return AdaptationVisionTransformer(
+            img_size=32, patch_size=16, encoder_embed_dim=32, encoder_depth=2,
+            encoder_num_heads=2, num_frames=4, tubelet_size=1,
+            clip_decoder_embed_dim=32, clip_output_dim=24,
+            clip_return_layers=(1,), remat=remat,
+        )
+
+    v = video()
+    params = build(False).init(jax.random.PRNGKey(0), v)["params"]
+
+    def loss(m, p):
+        return m.apply({"params": p}, v, None, True).astype(jnp.float32).sum()
+
+    g0 = jax.grad(lambda p: loss(build(False), p))(params)
+    g1 = jax.grad(lambda p: loss(build(True), p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_device_prefetch_propagates_errors():
+    from unite_tpu.data.loader import device_prefetch
+
+    def gen():
+        yield 1
+        raise RuntimeError("decode exploded")
+
+    it = device_prefetch(gen(), lambda x: x, depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="decode exploded"):
+        list(it)

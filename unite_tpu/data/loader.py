@@ -128,11 +128,14 @@ def device_prefetch(iterator: Iterable, put: Callable, depth: int = 2):
     ``put`` maps a host batch to device arrays (e.g. mesh.shard_batch)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    error: list = []
 
     def producer():
         try:
             for item in iterator:
                 q.put(put(item))
+        except BaseException as e:  # propagate to the consumer
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -141,5 +144,7 @@ def device_prefetch(iterator: Iterable, put: Callable, depth: int = 2):
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             break
         yield item

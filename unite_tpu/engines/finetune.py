@@ -126,8 +126,8 @@ def merge(eval_path: str, num_tasks: int) -> Tuple[float, float]:
                 entry = videos.setdefault(
                     vid, {"label": int(label), "views": {}}
                 )
-                entry["views"][(chunk_nb, split_nb)] = np.fromstring(
-                    probs_str, dtype=np.float64, sep=","
+                entry["views"][(chunk_nb, split_nb)] = np.array(
+                    probs_str.split(","), dtype=np.float64
                 )
     if not videos:
         return 0.0, 0.0
