@@ -70,7 +70,7 @@ def main():
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     frames, img, mask_ratio = 8, 224, 0.8
     n_patch = frames * (img // 16) ** 2
     n_vis = n_patch - int(n_patch * mask_ratio)

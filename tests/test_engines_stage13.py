@@ -195,3 +195,28 @@ def test_stage3_eval_step():
     out = ev(state, {"videos": batch["videos_s"], "labels": batch["labels_s"]})
     assert out["probs"].shape == (4, 6)
     np.testing.assert_allclose(np.asarray(out["probs"]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_stage1_mask_injection_reproducible():
+    """Injected vis_idx bypasses the sampler: identical masks -> identical
+    losses (BASELINE.md loss-curve parity protocol)."""
+    student = tiny_student()
+    teacher = tiny_teacher()
+    videos = video(2, seed=9)
+    tp = teacher.init(jax.random.PRNGKey(0), videos[:1])["params"]
+    nv = 8
+    sp = student.init(jax.random.PRNGKey(1), videos[:1],
+                      jnp.zeros((1, nv), jnp.int32), True)["params"]
+    tx, _ = create_optimizer("sgd", lr=0.0, params=sp, momentum=0.0)
+    step = jax.jit(make_pretrain_train_step(
+        student, teacher, num_patches=N_PATCH, frames=T, mask_ratio=0.5,
+        source_batch_size=0, clip_loss_data="mixed", clip_input_resolution=S,
+    ))
+    vis_idx = jnp.asarray(np.stack([np.arange(nv), np.arange(2, nv + 2)]))
+    losses = []
+    for rng_seed in (0, 1):  # different rngs, same injected mask
+        state = TrainState.create(sp, tx)
+        _, m = step(state, tp, {"videos": videos, "vis_idx": vis_idx},
+                    jax.random.PRNGKey(rng_seed))
+        losses.append(float(m["loss"]))
+    assert losses[0] == losses[1]

@@ -85,12 +85,18 @@ def make_pretrain_train_step(
         z = jax.lax.stop_gradient(z)  # [K, B, T*HW, C_clip]
         attn = jax.lax.stop_gradient(attn)  # [B*T, HW]
 
-        if mask_type == "attention":
+        if "vis_idx" in batch:
+            # injection hook: tube/random data-side masks, or externally
+            # drawn masks for loss-curve parity checks against the
+            # reference (BASELINE.md: identical losses given identical masks)
+            vis_idx = batch["vis_idx"]
+        elif mask_type == "attention":
             mask_bt = attention_multinomial_mask(mask_rng, attn, mask_ratio)
             mask = mask_bt.reshape(b, -1)  # [B, T*HW]
             vis_idx = visible_indices(mask, nv_total)
         else:
-            vis_idx = batch["vis_idx"]
+            raise ValueError(
+                f"mask_type {mask_type!r} requires vis_idx in the batch")
 
         # masked CLIP-target gather (run_stage1.py:389-397)
         targets_clip = jnp.take_along_axis(

@@ -70,8 +70,6 @@ def load_classifier_head(args, head_params):
         return head_params
     state = ti.load_torch_state(path, args.model_key)
     if "head.weight" in state:
-        import torch
-
         return {"kernel": state["head.weight"].numpy().T.astype(np.float32),
                 "bias": state["head.bias"].numpy().astype(np.float32)}
     return head_params
