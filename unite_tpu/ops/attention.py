@@ -477,31 +477,33 @@ def _qkv_attention_reference(qkv, heads: int, scale: float,
 
 
 def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale, seq_len):
-    # q_ref [1, BQ, H·D] (a q-row block), k/v_ref [1, S_pad, H·D] (full rows)
-    # — three lane-blocked views of the SAME qkv array, so only the needed
-    # lanes are DMA'd. Per-head rank-preserving lane slices + 2D matmuls.
-    xq, xk, xv = q_ref[0], k_ref[0], v_ref[0]
-    s_pad = xk.shape[0]
-    d = xq.shape[1] // heads
+    # q_ref [GB, BQ, H·D] (q-row blocks of GB batch rows), k/v_ref
+    # [GB, S_pad, H·D] (full rows) — three lane-blocked views of the SAME
+    # qkv array, so only the needed lanes are DMA'd. Per-head
+    # rank-preserving lane slices + leading-batch-dim MXU matmuls; several
+    # batch rows per program amortize the program-launch overhead.
+    xq, xk, xv = q_ref[...], k_ref[...], v_ref[...]
+    s_pad = xk.shape[1]
+    d = xq.shape[2] // heads
+    bdims = (((2,), (2,)), ((0,), (0,)))  # contract D, batch over dim 0
     for h in range(heads):
-        q = xq[:, h * d : (h + 1) * d].astype(jnp.float32) * scale  # [BQ, D]
-        k = xk[:, h * d : (h + 1) * d].astype(jnp.float32)  # [S, D]
-        v = xv[:, h * d : (h + 1) * d]
+        q = xq[:, :, h * d : (h + 1) * d].astype(jnp.float32) * scale
+        k = xk[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        v = xv[:, :, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, S]
+            q, k, bdims, preferred_element_type=jnp.float32
+        )  # [GB, BQ, S]
         if seq_len < s_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < seq_len, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         inv_l = 1.0 / jnp.sum(p, axis=-1)[..., None]
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * inv_l  # [BQ, D]
-        o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
+        ) * inv_l  # [GB, BQ, D]
+        o_ref[:, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -521,29 +523,35 @@ def _fused_qkv_fwd(qkv, heads, scale):
                                         use_pallas=_on_tpu()), (qkv,)
     qkvp = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else qkv
     bq = min(512, s_pad)  # q-row blocking for long sequences
+    # batch rows per program: amortize launch overhead, keep the per-head
+    # [GB, S, S] fp32 tile near 1MB
+    gb = max(1, min(4, (1024 * 1024) // (s_pad * s_pad * 4)))
+    b_pad = _round_up(b, gb)
+    if b_pad != b:
+        qkvp = jnp.pad(qkvp, [(0, b_pad - b), (0, 0), (0, 0)])
 
     # three lane-blocked views of the same array (block units of H·D lanes)
-    q_spec = pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0),
+    q_spec = pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j: (i, 0, 1),
+    k_spec = pl.BlockSpec((gb, s_pad, hd), lambda i, j: (i, 0, 1),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j: (i, 0, 2),
+    v_spec = pl.BlockSpec((gb, s_pad, hd), lambda i, j: (i, 0, 2),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fused_qkv_kernel, heads=heads, scale=scale,
                           seq_len=s),
-        grid=(b, s_pad // bq),
+        grid=(b_pad // gb, s_pad // bq),
         in_specs=[q_spec, k_spec, v_spec],
-        out_specs=pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, hd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * s_pad * s_pad * d,
-            bytes_accessed=b * s_pad * (thd + hd) * qkv.dtype.itemsize,
-            transcendentals=b * heads * s_pad * s_pad,
+            flops=4 * b_pad * heads * s_pad * s_pad * d,
+            bytes_accessed=b_pad * s_pad * (thd + hd) * qkv.dtype.itemsize,
+            transcendentals=b_pad * heads * s_pad * s_pad,
         ),
     )(qkvp, qkvp, qkvp)
-    return out[:, :s], (qkv,)
+    return out[:b, :s], (qkv,)
 
 
 def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, seq_len):
