@@ -557,47 +557,52 @@ def _fused_qkv_fwd(qkv, heads, scale):
 def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, seq_len):
     """Fused backward in the same lane-slice layout: recomputes the softmax
     per head and writes dq/dk/dv into the dqkv lane slices — the student's
-    attention backward without any HBM transposes."""
-    x = qkv_ref[0]       # [S, 3·H·D]
-    do_all = do_ref[0]   # [S, H·D]
-    s_pad = x.shape[0]
-    d = x.shape[1] // (3 * heads)
+    attention backward without any HBM transposes. GB batch rows per
+    program (leading batch dims) amortize the program-launch overhead."""
+    x = qkv_ref[...]       # [GB, S, 3·H·D]
+    do_all = do_ref[...]   # [GB, S, H·D]
+    s_pad = x.shape[1]
+    d = x.shape[2] // (3 * heads)
     hd = heads * d
     for h in range(heads):
-        q = x[:, h * d : (h + 1) * d].astype(jnp.float32)
-        k = x[:, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
-        v = x[:, 2 * hd + h * d : 2 * hd + (h + 1) * d].astype(jnp.float32)
-        do = do_all[:, h * d : (h + 1) * d].astype(jnp.float32)
+        q = x[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        k = x[:, :, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
+        v = x[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d].astype(jnp.float32)
+        do = do_all[:, :, h * d : (h + 1) * d].astype(jnp.float32)
 
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # [GB, S(q), S(k)]
         if seq_len < s_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < seq_len, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [S, 1]
+        inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [GB, S, 1]
         p = e * inv_l
 
         dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [S(k), D]
+            p, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [GB, S(k), D]
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [S(q), S(k)]
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [GB, S(q), S(k)]
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
         ds = p * (dp - delta) * scale
         dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
-        dqkv_ref[0, :, h * d : (h + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, hd + h * d : hd + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * hd + h * d : 2 * hd + (h + 1) * d] = \
+        dqkv_ref[:, :, h * d : (h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, hd + h * d : hd + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d] = \
             dv.astype(dqkv_ref.dtype)
 
 
@@ -612,26 +617,32 @@ def _fused_qkv_bwd(heads, scale, res, g):
     pad2 = [(0, 0), (0, s_pad - s), (0, 0)]
     qkvp = jnp.pad(qkv, pad2) if s_pad != s else qkv
     gp = jnp.pad(g, pad2) if s_pad != s else g
+    gb = max(1, min(4, (512 * 1024) // (s_pad * s_pad * 4)))
+    b_pad = _round_up(b, gb)
+    if b_pad != b:
+        bpad = [(0, b_pad - b), (0, 0), (0, 0)]
+        qkvp = jnp.pad(qkvp, bpad)
+        gp = jnp.pad(gp, bpad)
     dqkv = pl.pallas_call(
         functools.partial(_fused_qkv_bwd_kernel, heads=heads, scale=scale,
                           seq_len=s),
-        grid=(b,),
+        grid=(b_pad // gb,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, s_pad, thd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, thd // 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, s_pad, thd // 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_pad, thd), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((gb, s_pad, thd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, thd), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, thd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=11 * b * (thd // 3) * s_pad * s_pad,
-            bytes_accessed=2 * b * s_pad * thd * qkv.dtype.itemsize,
-            transcendentals=b * (thd // (3 * 64)) * s_pad * s_pad,
+            flops=11 * b_pad * (thd // 3) * s_pad * s_pad,
+            bytes_accessed=2 * b_pad * s_pad * thd * qkv.dtype.itemsize,
+            transcendentals=b_pad * (thd // (3 * 64)) * s_pad * s_pad,
         ),
     )(qkvp, gp)
-    return (dqkv[:, :s],)
+    return (dqkv[:b, :s],)
 
 
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
