@@ -1,0 +1,195 @@
+"""Entry-level full-state resume tests.
+
+The reference restores {model, optimizer, epoch, scaler, ema} on resume
+(/root/reference/src/utils.py:689-776). These tests drive the ACTUAL stage
+entry points (run_stage1/run_stage2 main) with tiny models on synthetic
+data: train N epochs straight vs. train, die after epoch 0, resume — the
+per-epoch loss sequences must match bitwise. This works because (a) the
+checkpoint carries opt_state + step + EMA, (b) the train-step PRNG is
+``fold_in(rng, state.step)``, and (c) the host data pipeline draws from
+per-(seed, epoch, index) Generators.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unite_tpu.models.adaptation import AdaptationVisionTransformer
+from unite_tpu.models.clip import CLIPVisionTransformer
+from unite_tpu.models.vit import VisionTransformer
+from unite_tpu.utils.registry import _MODEL_REGISTRY, register_model
+
+# --- tiny test models (registered once) -------------------------------------
+
+if "vit_test_tiny" not in _MODEL_REGISTRY:
+
+    @register_model
+    def vit_test_tiny(**kwargs):
+        return VisionTransformer(
+            img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+            mlp_ratio=2, qkv_bias=True, norm_eps=1e-6, **kwargs)
+
+    @register_model
+    def adaptation_test_tiny(**kwargs):
+        cfg = dict(
+            img_size=32, patch_size=8, encoder_embed_dim=32, encoder_depth=2,
+            encoder_num_heads=2, clip_decoder_embed_dim=32, clip_output_dim=16,
+        )
+        allowed = AdaptationVisionTransformer.__dataclass_fields__
+        for k, v in kwargs.items():
+            if k in allowed and k not in cfg:
+                cfg[k] = v
+        return AdaptationVisionTransformer(**cfg)
+
+    @register_model
+    def clip_test_tiny(**kwargs):
+        return CLIPVisionTransformer(
+            input_resolution=kwargs.get("input_resolution", 32), patch_size=8,
+            width=32, layers=2, heads=2, output_dim=16,
+            return_attn=kwargs.get("return_attn", True),
+            return_index=kwargs.get("return_index", (0, 1)))
+
+
+def _write_annotations(tmp_path, name, n, n_classes=3):
+    p = tmp_path / name
+    lines = [f"video_{i:03d}.mp4,{i % n_classes}" for i in range(n)]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _read_epoch_stats(output_dir):
+    stats = {}
+    with open(os.path.join(output_dir, "log.txt")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_loss" in rec:
+                stats[rec["epoch"]] = rec["train_loss"]
+    return stats
+
+
+def _stage2_args(tmp_path, output_dir, epochs):
+    from unite_tpu.config import parse_with_config
+    from unite_tpu.train.args import stage2_parser
+
+    anno = _write_annotations(tmp_path, "train.csv", 16)
+    args = parse_with_config(stage2_parser(), [])
+    args.model = "vit_test_tiny"
+    args.nb_classes = 3
+    args.data_set = "UCF101"
+    args.ann_file_train = anno
+    args.ann_file_val = _write_annotations(tmp_path, "val.csv", 8)
+    args.ann_file_test = _write_annotations(tmp_path, "test.csv", 2)
+    args.synthetic_data = True
+    args.input_size = 32
+    args.short_side_size = 32
+    args.num_frames = 2
+    args.tubelet_size = 1
+    args.batch_size = 8
+    args.batch_size_val = 8
+    args.epochs = epochs
+    args.warmup_epochs = 1
+    args.num_workers = 2
+    args.log_freq = 2
+    args.output_dir = str(output_dir)
+    args.auto_resume = True
+    args.overwrite = "allow"
+    args.test_best = False
+    args.test_num_segment = 1
+    args.test_num_crop = 1
+    args.model_ema = True
+    args.model_ema_decay = 0.9
+    args.seed = 3
+    return args
+
+
+@pytest.mark.slow
+def test_stage2_resume_bitwise(tmp_path):
+    from unite_tpu.train import common
+    from unite_tpu.train.run_stage2 import main
+
+    # uninterrupted 3-epoch run
+    main(_stage2_args(tmp_path, tmp_path / "a", 3))
+    ref = _read_epoch_stats(str(tmp_path / "a"))
+    assert set(ref) == {0, 1, 2}
+
+    # interrupted run: die right after epoch 0's checkpoint is written
+    orig = common.save_epoch_stats
+
+    def dying_save(args, epoch, stats):
+        orig(args, epoch, stats)
+        if epoch == 0 and "train_loss" in stats:
+            raise RuntimeError("simulated preemption")
+
+    common.save_epoch_stats = dying_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            main(_stage2_args(tmp_path, tmp_path / "b", 3))
+    finally:
+        common.save_epoch_stats = orig
+
+    # resume: epochs 1-2 replay exactly
+    main(_stage2_args(tmp_path, tmp_path / "b", 3))
+    got = _read_epoch_stats(str(tmp_path / "b"))
+    assert set(got) == {0, 1, 2}
+    for e in (0, 1, 2):
+        assert got[e] == ref[e], f"epoch {e}: {got[e]} != {ref[e]}"
+
+
+@pytest.mark.slow
+def test_stage1_resume_bitwise(tmp_path):
+    from unite_tpu.train import common
+    from unite_tpu.train.args import stage1_parser
+    from unite_tpu.train.run_stage1 import main
+
+    def make_args(output_dir, epochs):
+        from unite_tpu.config import parse_with_config
+
+        args = parse_with_config(stage1_parser(), [])
+        args.model = "adaptation_test_tiny"
+        args.clip_teacher = "clip_test_tiny"
+        args.clip_return_layers = [0, 1]
+        args.clip_input_resolution = 32
+        args.ann_file_train = _write_annotations(tmp_path, "s1.csv", 16)
+        args.ann_file_train_target = ""
+        args.synthetic_data = True
+        args.input_size = 32
+        args.patch_size = 8
+        args.num_frames = 2
+        args.num_segments = 2
+        args.tubelet_size = 1
+        args.mask_ratio = 0.5
+        args.batch_size = 8
+        args.epochs = epochs
+        args.warmup_epochs = 1
+        args.num_workers = 2
+        args.log_freq = 1
+        args.output_dir = str(output_dir)
+        args.auto_resume = True
+        args.overwrite = "allow"
+        args.seed = 5
+        return args
+
+    main(make_args(tmp_path / "a", 3))
+    ref = _read_epoch_stats(str(tmp_path / "a"))
+    assert set(ref) == {0, 1, 2}
+
+    orig = common.save_epoch_stats
+
+    def dying_save(args, epoch, stats):
+        orig(args, epoch, stats)
+        if epoch == 0 and "train_loss" in stats:
+            raise RuntimeError("simulated preemption")
+
+    common.save_epoch_stats = dying_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            main(make_args(tmp_path / "b", 3))
+    finally:
+        common.save_epoch_stats = orig
+
+    main(make_args(tmp_path / "b", 3))
+    got = _read_epoch_stats(str(tmp_path / "b"))
+    for e in (0, 1, 2):
+        assert got[e] == ref[e], f"epoch {e}: {got[e]} != {ref[e]}"

@@ -17,7 +17,6 @@ Output layout is [T, H, W, C] float32 (channels-last, model-native).
 
 from __future__ import annotations
 
-import random
 import warnings
 from typing import Callable, List, Optional, Tuple
 
@@ -48,6 +47,23 @@ def load_annotations(anno_path: str, sep: str = " ") -> Tuple[List[str], List[in
             paths.append(parts[0])
             labels.append(int(parts[-1]))
     return paths, labels
+
+
+def _subsample(samples: List, labels: List, fraction: float, seed: int):
+    """train_fraction subsetting (kinetics_sparse.py:90-95) — seed-derived
+    instead of ambient ``random.sample`` so the subset is reproducible."""
+    rng = np.random.default_rng([seed, 0xF8AC])
+    keep = int(fraction * len(samples))
+    idx = rng.permutation(len(samples))[:keep]
+    return [samples[i] for i in idx], [labels[i] for i in idx]
+
+
+def _item_rng(seed: int, epoch: int, index: int, salt: int = 0
+              ) -> np.random.Generator:
+    """One Generator per (seed, epoch, index[, sample]): host augmentation is
+    a pure function of these — bitwise-reproducible across resume and
+    independent of loader threading."""
+    return np.random.default_rng([seed, epoch, index, salt])
 
 
 def _to_pil(clip: np.ndarray) -> List[Image.Image]:
@@ -98,14 +114,13 @@ class VideoClsDatasetSparse:
         self.return_aug_for_val = return_aug_for_val
         self.no_horizontal_flip = no_horizontal_flip
         self.reader = reader or default_reader()
-        self.rng = np.random.default_rng(seed)
+        self.seed = 0 if seed is None else int(seed)
+        self.epoch = 0
 
         self.samples, self.labels = load_annotations(anno_path, sep)
         if train_fraction < 1.0 and mode == "train":
-            keep = int(train_fraction * len(self.samples))
-            idx = random.sample(range(len(self.samples)), keep)
-            self.samples = [self.samples[i] for i in idx]
-            self.labels = [self.labels[i] for i in idx]
+            self.samples, self.labels = _subsample(
+                self.samples, self.labels, train_fraction, self.seed)
 
         if mode == "test":
             self.test_items = []
@@ -119,9 +134,14 @@ class VideoClsDatasetSparse:
             return len(self.test_items)
         return len(self.samples)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item RNG derivation (loaders call this)."""
+        self.epoch = int(epoch)
+
     # -- decode ------------------------------------------------------------
 
-    def _load_clip(self, path: str, chunk_nb: int) -> np.ndarray:
+    def _load_clip(self, path: str, chunk_nb: int,
+                   rng: np.random.Generator) -> np.ndarray:
         """TSN-sample clip_len frames (kinetics_sparse.py:314-351)."""
         n = self.reader.num_frames(path)
         if n <= 0:
@@ -129,11 +149,12 @@ class VideoClsDatasetSparse:
         nseg = self.test_num_segment if self.mode == "test" else 1
         idx = sparse_frame_indices(
             n, self.clip_len, clip_idx=chunk_nb, test_num_segment=nseg,
-            rng=self.rng,
+            rng=rng,
         )
         return self.reader.get_batch(path, idx)
 
-    def _load_with_retry(self, index: int, chunk_nb: int):
+    def _load_with_retry(self, index: int, chunk_nb: int,
+                         rng: np.random.Generator):
         for _ in range(MAX_DECODE_RETRIES):
             if self.mode == "test":
                 ck, cp, i = self.test_items[index]
@@ -144,16 +165,17 @@ class VideoClsDatasetSparse:
                 chunk = chunk_nb
                 cp = None
             try:
-                return self._load_clip(path, chunk), path, label, cp, chunk
+                return self._load_clip(path, chunk, rng), path, label, cp, chunk
             except Exception as e:
                 warnings.warn(
                     f"video {path} not correctly loaded ({self.mode}): {e!r}")
-                index = int(self.rng.integers(0, len(self)))
+                index = int(rng.integers(0, len(self)))
         raise RuntimeError("too many consecutive decode failures")
 
     # -- augmentation ------------------------------------------------------
 
-    def _aug_frame(self, buffer: np.ndarray, aa: Optional[str] = None,
+    def _aug_frame(self, buffer: np.ndarray, rng: np.random.Generator,
+                   aa: Optional[str] = None,
                    reprob: Optional[float] = None) -> np.ndarray:
         """Train augmentation, same order as kinetics_sparse.py:218-281."""
         aa = aa if aa is not None else self.aa
@@ -166,46 +188,52 @@ class VideoClsDatasetSparse:
                  "img_mean": tuple(int(round(m * 255)) for m in T.IMAGENET_MEAN),
                  "interpolation": interp},
             )
-            buffer = _from_pil(augment(_to_pil(buffer)))
+            buffer = _from_pil(augment(_to_pil(buffer), rng))
         clip = T.tensor_normalize(buffer)
         clip = T.spatial_sampling(
             clip, spatial_idx=-1, min_scale=256, max_scale=320,
             crop_size=self.crop_size,
             random_horizontal_flip=not self.no_horizontal_flip,
             scale=(0.08, 1.0), aspect_ratio=(0.75, 4 / 3),
-            rng=self.rng,
+            rng=rng,
         )
         if reprob > 0:
             erase = RandomErasing(reprob, mode=self.remode,
                                   max_count=self.recount, cube=True)
-            clip = erase(np.ascontiguousarray(clip))
+            clip = erase(np.ascontiguousarray(clip), rng)
         return clip.astype(np.float32)
 
     # -- items -------------------------------------------------------------
 
     def __getitem__(self, index: int):
+        rng = _item_rng(self.seed, self.epoch, index)
         if self.mode == "train":
-            buffer, path, label, _, _ = self._load_with_retry(index, -1)
+            buffer, path, label, _, _ = self._load_with_retry(index, -1, rng)
             if self.num_sample > 1:
                 # list of per-sample tuples -> default_collate flattens
-                # (reference multiple_samples_collate, utils.py:854-898)
-                return [(self._aug_frame(buffer), label, index, {})
-                        for _ in range(self.num_sample)]
-            return self._aug_frame(buffer), label, index, {}
+                # (reference multiple_samples_collate, utils.py:854-898);
+                # each repeat gets its own salted rng
+                return [(self._aug_frame(
+                            buffer, _item_rng(self.seed, self.epoch, index,
+                                              salt=s + 1)),
+                         label, index, {})
+                        for s in range(self.num_sample)]
+            return self._aug_frame(buffer, rng), label, index, {}
 
         if self.mode == "validation":
-            buffer, path, label, _, _ = self._load_with_retry(index, 0)
+            buffer, path, label, _, _ = self._load_with_retry(index, 0, rng)
             clip = T.val_transform(buffer, self.short_side_size, self.crop_size)
             vid = path.split("/")[-1].split(".")[0]
             if self.return_aug_for_val:
                 # milder policy for the stage-3 target stream (:174-182)
-                aug = self._aug_frame(buffer, aa="rand-m3-n2-mstd0.5-inc1",
+                aug = self._aug_frame(buffer, rng, aa="rand-m3-n2-mstd0.5-inc1",
                                       reprob=0.0)
                 return clip.astype(np.float32), aug, label, vid
             return clip.astype(np.float32), label, vid
 
         # test: short-side resize then strided spatial window (:186-208)
-        buffer, path, label, split_nb, chunk_nb = self._load_with_retry(index, 0)
+        buffer, path, label, split_nb, chunk_nb = self._load_with_retry(
+            index, 0, rng)
         buffer = T.resize_clip(buffer.astype(np.float32), self.short_side_size)
         h, w = buffer.shape[1], buffer.shape[2]
         long_side = max(h, w)
@@ -245,12 +273,12 @@ class VideoMAEPretrainDataset:
         reader: Optional[VideoReaderBase] = None,
         seed: Optional[int] = None,
     ):
+        self.seed = 0 if seed is None else int(seed)
+        self.epoch = 0
         self.samples, self.labels = load_annotations(anno_path, sep)
         if fraction < 1.0:
-            keep = int(fraction * len(self.samples))
-            idx = random.sample(range(len(self.samples)), keep)
-            self.samples = [self.samples[i] for i in idx]
-            self.labels = [self.labels[i] for i in idx]
+            self.samples, self.labels = _subsample(
+                self.samples, self.labels, fraction, self.seed)
         self.mask_gen = mask_gen
         self.num_segments = num_segments
         self.skip_length = skip_length
@@ -258,7 +286,6 @@ class VideoMAEPretrainDataset:
         self.temporal_jitter = temporal_jitter
         self.num_sample = num_sample
         self.reader = reader or default_reader()
-        self.rng = np.random.default_rng(seed)
 
         # build.py:36-54 pipeline
         self.crop = T.GroupMultiScaleCrop(input_size, scales)
@@ -269,42 +296,49 @@ class VideoMAEPretrainDataset:
     def __len__(self):
         return len(self.samples)
 
-    def _load(self, index: int) -> Tuple[np.ndarray, int]:
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _load(self, index: int,
+              rng: np.random.Generator) -> Tuple[np.ndarray, int]:
         for _ in range(MAX_DECODE_RETRIES):
             path = self.samples[index]
             try:
                 n = self.reader.num_frames(path)
                 ids = pretrain_segment_indices(
                     n, self.num_segments, self.skip_length, self.new_step,
-                    self.temporal_jitter, self.rng,
+                    self.temporal_jitter, rng,
                 )
                 return self.reader.get_batch(path, ids), self.labels[index]
             except Exception as e:
                 warnings.warn(f"pretrain video {path} failed to decode: {e!r}")
-                index = int(self.rng.integers(0, len(self)))
+                index = int(rng.integers(0, len(self)))
         raise RuntimeError("too many consecutive decode failures")
 
-    def _transform(self, clip: np.ndarray) -> np.ndarray:
+    def _transform(self, clip: np.ndarray,
+                   rng: np.random.Generator) -> np.ndarray:
         frames = _to_pil(clip)
-        frames = self.crop(frames)
+        frames = self.crop(frames, rng)
         if self.color_jitter is not None:
-            frames = self.color_jitter(frames)
+            frames = self.color_jitter(frames, rng)
         if self.gray is not None:
-            frames = self.gray(frames)
+            frames = self.gray(frames, rng)
         if self.flip is not None:
-            frames = self.flip(frames)
+            frames = self.flip(frames, rng)
         return T.stack_normalize(frames).astype(np.float32)
 
     def __getitem__(self, index: int):
-        clip, label = self._load(index)
+        rng = _item_rng(self.seed, self.epoch, index)
+        clip, label = self._load(index, rng)
         if self.num_sample > 1:
-            return [
-                (self._transform(clip),
-                 self.mask_gen() if self.mask_gen else -1,
-                 label)
-                for _ in range(self.num_sample)
-            ]
-        video = self._transform(clip)
+            out = []
+            for s in range(self.num_sample):
+                srng = _item_rng(self.seed, self.epoch, index, salt=s + 1)
+                out.append((self._transform(clip, srng),
+                            self.mask_gen(srng) if self.mask_gen else -1,
+                            label))
+            return out
+        video = self._transform(clip, rng)
         # attention masking is device-side: emit -1 like build.py:68-69
-        mask = self.mask_gen() if self.mask_gen else -1
+        mask = self.mask_gen(rng) if self.mask_gen else -1
         return video, mask, label

@@ -34,14 +34,15 @@ class VideoClsDatasetDense(VideoClsDatasetSparse):
         self.frame_sample_rate = frame_sample_rate
         super().__init__(*args, **kwargs)
 
-    def _load_clip(self, path: str, chunk_nb: int) -> np.ndarray:
+    def _load_clip(self, path: str, chunk_nb: int,
+                   rng: np.random.Generator) -> np.ndarray:
         n = self.reader.num_frames(path)
         if n <= 0:
             raise RuntimeError(f"empty video {path}")
         span = self.clip_len * self.frame_sample_rate
         if chunk_nb == -1:  # train: random window
             idx = dense_frame_indices(n, self.clip_len, self.frame_sample_rate,
-                                      rng=self.rng)
+                                      rng=rng)
         else:
             nseg = self.test_num_segment if self.mode == "test" else 1
             max_start = max(0, n - span)
@@ -97,7 +98,8 @@ class SSRawFrameClsDataset(VideoClsDatasetSparse):
                 if len(parts) >= 3:
                     self._frame_counts[parts[0]] = int(parts[1])
 
-    def _load_clip(self, path: str, chunk_nb: int) -> np.ndarray:
+    def _load_clip(self, path: str, chunk_nb: int,
+                   rng: np.random.Generator) -> np.ndarray:
         from unite_tpu.data.samplers import sparse_frame_indices
 
         count = self._frame_counts.get(path, -1)
@@ -105,5 +107,5 @@ class SSRawFrameClsDataset(VideoClsDatasetSparse):
             count = self.reader.num_frames(path)
         nseg = self.test_num_segment if self.mode == "test" else 1
         idx = sparse_frame_indices(count, self.clip_len, clip_idx=chunk_nb,
-                                   test_num_segment=nseg, rng=self.rng)
+                                   test_num_segment=nseg, rng=rng)
         return self.reader.get_batch(path, idx)

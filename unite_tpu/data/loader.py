@@ -68,6 +68,9 @@ class DataLoader:
         self.epoch = epoch
         if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            # advances the dataset's per-(seed, epoch, index) RNG derivation
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> List[int]:
         if self.sampler is not None:

@@ -13,7 +13,6 @@ same transform draw), fixed fill color from the normalization mean.
 from __future__ import annotations
 
 import math
-import random
 import re
 from typing import List, Optional
 
@@ -24,10 +23,11 @@ _MAX_LEVEL = 10.0
 _FILL = (124, 116, 104)  # round(255 * imagenet mean)
 
 
-def _interpolation(kwargs):
+def _interpolation(kwargs, rng: Optional[np.random.Generator] = None):
     interp = kwargs.pop("resample", Image.BILINEAR)
     if isinstance(interp, (list, tuple)):
-        return random.choice(interp)
+        rng = rng if rng is not None else np.random.default_rng()
+        return interp[int(rng.integers(len(interp)))]
     return interp
 
 
@@ -106,52 +106,52 @@ def translate_y_rel(img, pct, **kwargs):
 # --- magnitude → parameter mappings -----------------------------------------
 
 
-def _randomly_negate(v):
-    return -v if random.random() > 0.5 else v
+def _randomly_negate(v, rng: np.random.Generator):
+    return -v if rng.random() > 0.5 else v
 
 
-def _rotate_level(level, _hparams):
-    return (_randomly_negate((level / _MAX_LEVEL) * 30.0),)
+def _rotate_level(level, _hparams, rng):
+    return (_randomly_negate((level / _MAX_LEVEL) * 30.0, rng),)
 
 
-def _enhance_level(level, _hparams):
+def _enhance_level(level, _hparams, _rng):
     return ((level / _MAX_LEVEL) * 1.8 + 0.1,)
 
 
-def _enhance_increasing_level(level, _hparams):
-    return (1.0 + _randomly_negate((level / _MAX_LEVEL) * 0.9),)
+def _enhance_increasing_level(level, _hparams, rng):
+    return (1.0 + _randomly_negate((level / _MAX_LEVEL) * 0.9, rng),)
 
 
-def _shear_level(level, _hparams):
-    return (_randomly_negate((level / _MAX_LEVEL) * 0.3),)
+def _shear_level(level, _hparams, rng):
+    return (_randomly_negate((level / _MAX_LEVEL) * 0.3, rng),)
 
 
-def _translate_rel_level(level, hparams):
+def _translate_rel_level(level, hparams, rng):
     return (_randomly_negate((level / _MAX_LEVEL) * hparams.get(
-        "translate_pct", 0.45)),)
+        "translate_pct", 0.45), rng),)
 
 
-def _posterize_level(level, _hparams):
+def _posterize_level(level, _hparams, _rng=None):
     return (int((level / _MAX_LEVEL) * 4),)
 
 
-def _posterize_increasing_level(level, hparams):
+def _posterize_increasing_level(level, hparams, _rng=None):
     return (4 - _posterize_level(level, hparams)[0],)
 
 
-def _solarize_level(level, _hparams):
+def _solarize_level(level, _hparams, _rng=None):
     return (min(256, int((level / _MAX_LEVEL) * 256)),)
 
 
-def _solarize_increasing_level(level, hparams):
+def _solarize_increasing_level(level, hparams, _rng=None):
     return (256 - _solarize_level(level, hparams)[0],)
 
 
-def _solarize_add_level(level, _hparams):
+def _solarize_add_level(level, _hparams, _rng=None):
     return (min(128, int((level / _MAX_LEVEL) * 110)),)
 
 
-def _none_level(_level, _hparams):
+def _none_level(_level, _hparams, _rng=None):
     return ()
 
 
@@ -236,18 +236,25 @@ class AugmentOp:
         }
         self.magnitude_std = hparams.get("magnitude_std", 0)
 
-    def __call__(self, frames: List[Image.Image]) -> List[Image.Image]:
-        if self.prob < 1.0 and random.random() > self.prob:
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None
+                 ) -> List[Image.Image]:
+        rng = rng if rng is not None else np.random.default_rng()
+        if self.prob < 1.0 and rng.random() > self.prob:
             return frames
         magnitude = self.magnitude
         if self.magnitude_std:
             if self.magnitude_std == float("inf"):
-                magnitude = random.uniform(0, magnitude)
+                magnitude = rng.uniform(0, magnitude)
             else:
-                magnitude = random.gauss(magnitude, self.magnitude_std)
+                magnitude = rng.normal(magnitude, self.magnitude_std)
         magnitude = min(_MAX_LEVEL, max(0.0, magnitude))
-        args = self.level_fn(magnitude, self.hparams)
-        return [self.aug_fn(f, *args, **dict(self.kwargs)) for f in frames]
+        args = self.level_fn(magnitude, self.hparams, rng)
+        kwargs = dict(self.kwargs)
+        # resolve a tuple of candidate resampling filters to one draw here so
+        # the per-image aug fns stay rng-free
+        kwargs["resample"] = _interpolation(kwargs, rng)
+        return [self.aug_fn(f, *args, **kwargs) for f in frames]
 
 
 class RandAugment:
@@ -255,10 +262,12 @@ class RandAugment:
         self.ops = ops
         self.num_layers = num_layers
 
-    def __call__(self, frames: List[Image.Image]) -> List[Image.Image]:
-        chosen = np.random.choice(self.ops, self.num_layers, replace=True)
-        for op in chosen:
-            frames = op(frames)
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None
+                 ) -> List[Image.Image]:
+        rng = rng if rng is not None else np.random.default_rng()
+        for i in rng.integers(0, len(self.ops), size=self.num_layers):
+            frames = self.ops[int(i)](frames, rng)
         return frames
 
 

@@ -10,7 +10,6 @@ kinetics_sparse.py:272-281). Count/area/aspect semantics preserved.
 from __future__ import annotations
 
 import math
-import random
 from typing import Optional
 
 import numpy as np
@@ -36,45 +35,47 @@ class RandomErasing:
         self.per_pixel = mode == "pixel"
         assert mode in ("rand", "pixel", "const")
 
-    def _fill(self, shape):
+    def _fill(self, shape, rng: np.random.Generator):
         if self.per_pixel:
-            return np.random.standard_normal(shape).astype(np.float32)
+            return rng.standard_normal(shape).astype(np.float32)
         if self.rand_color:
-            return np.random.standard_normal(
+            return rng.standard_normal(
                 (1,) * (len(shape) - 1) + (shape[-1],)
             ).astype(np.float32)
         return np.zeros(shape, np.float32)
 
-    def _erase_cube(self, clip: np.ndarray):
+    def _erase_cube(self, clip: np.ndarray, rng: np.random.Generator):
         t, h, w, c = clip.shape
         area = h * w
         count = (self.min_count if self.min_count == self.max_count
-                 else random.randint(self.min_count, self.max_count))
+                 else int(rng.integers(self.min_count, self.max_count + 1)))
         for _ in range(count):
             for _attempt in range(10):
-                target_area = random.uniform(
+                target_area = rng.uniform(
                     self.min_area, self.max_area
                 ) * area / count
-                aspect = math.exp(random.uniform(*self.log_aspect_ratio))
+                aspect = math.exp(rng.uniform(*self.log_aspect_ratio))
                 eh = int(round(math.sqrt(target_area * aspect)))
                 ew = int(round(math.sqrt(target_area / aspect)))
                 if ew < w and eh < h:
-                    top = random.randint(0, h - eh)
-                    left = random.randint(0, w - ew)
+                    top = int(rng.integers(0, h - eh + 1))
+                    left = int(rng.integers(0, w - ew + 1))
                     if self.cube:
-                        fill = self._fill((eh, ew, c))
+                        fill = self._fill((eh, ew, c), rng)
                         for ti in range(t):
                             clip[ti, top : top + eh, left : left + ew] = fill
                     else:
                         for ti in range(t):
                             clip[ti, top : top + eh, left : left + ew] = (
-                                self._fill((eh, ew, c))
+                                self._fill((eh, ew, c), rng)
                             )
                     break
         return clip
 
-    def __call__(self, clip: np.ndarray) -> np.ndarray:
+    def __call__(self, clip: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """clip: float32 [T, H, W, C] normalized; modified copy returned."""
-        if random.random() >= self.probability:
+        rng = rng if rng is not None else np.random.default_rng()
+        if rng.random() >= self.probability:
             return clip
-        return self._erase_cube(clip.copy())
+        return self._erase_cube(clip.copy(), rng)

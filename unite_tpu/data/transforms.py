@@ -14,15 +14,24 @@ Covers the reference's two pipelines with numpy/PIL implementations:
 Everything consumes/produces either lists of PIL images (PIL ops) or numpy
 arrays [T, H, W, C] float32 (tensor ops). Output layout is channels-last —
 the model-native layout of this framework.
+
+Every stochastic op takes an explicit ``np.random.Generator`` (``rng``);
+datasets derive one per (seed, epoch, index) so the host pipeline is
+bitwise-reproducible across resume and independent of worker threading —
+stronger than the reference, whose ambient random/np.random draws make runs
+non-reproducible (SURVEY §5 determinism note).
 """
 
 from __future__ import annotations
 
-import random
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
+
+
+def _rng_or_default(rng: Optional[np.random.Generator]) -> np.random.Generator:
+    return rng if rng is not None else np.random.default_rng()
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -66,8 +75,9 @@ class GroupRandomHorizontalFlip:
     def __init__(self, prob: float = 0.5):
         self.prob = prob
 
-    def __call__(self, frames: List[Image.Image]):
-        if random.random() < self.prob:
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None):
+        if _rng_or_default(rng).random() < self.prob:
             return [f.transpose(Image.FLIP_LEFT_RIGHT) for f in frames]
         return frames
 
@@ -76,8 +86,9 @@ class GroupGrayScale:
     def __init__(self, prob: float = 0.2):
         self.prob = prob
 
-    def __call__(self, frames: List[Image.Image]):
-        if random.random() < self.prob:
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None):
+        if _rng_or_default(rng).random() < self.prob:
             return [f.convert("L").convert("RGB") for f in frames]
         return frames
 
@@ -88,14 +99,16 @@ class GroupColorJitter:
     def __init__(self, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
         self.params = (brightness, contrast, saturation, hue)
 
-    def __call__(self, frames: List[Image.Image]):
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None):
         from PIL import ImageEnhance
 
+        rng = _rng_or_default(rng)
         b, c, s, h = self.params
-        fb = 1.0 + random.uniform(-b, b)
-        fc = 1.0 + random.uniform(-c, c)
-        fs = 1.0 + random.uniform(-s, s)
-        fh = random.uniform(-h, h)
+        fb = 1.0 + rng.uniform(-b, b)
+        fc = 1.0 + rng.uniform(-c, c)
+        fs = 1.0 + rng.uniform(-s, s)
+        fh = rng.uniform(-h, h)
 
         def jitter(img):
             img = ImageEnhance.Brightness(img).enhance(fb)
@@ -129,13 +142,15 @@ class GroupMultiScaleCrop:
         self.input_size = (input_size, input_size) \
             if isinstance(input_size, int) else input_size
 
-    def __call__(self, frames: List[Image.Image]):
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None):
         im_size = frames[0].size
-        crop_w, crop_h, x1, y1 = self._sample_crop(im_size)
+        crop_w, crop_h, x1, y1 = self._sample_crop(im_size, rng)
         crops = [f.crop((x1, y1, x1 + crop_w, y1 + crop_h)) for f in frames]
         return [c.resize(self.input_size, Image.BILINEAR) for c in crops]
 
-    def _sample_crop(self, im_size):
+    def _sample_crop(self, im_size, rng: Optional[np.random.Generator] = None):
+        rng = _rng_or_default(rng)
         w, h = im_size
         base = min(w, h)
         crop_sizes = [int(base * s) for s in self.scales]
@@ -149,12 +164,13 @@ class GroupMultiScaleCrop:
             for j, cw in enumerate(crop_w_opts):
                 if abs(i - j) <= self.max_distort:
                     pairs.append((cw, ch))
-        crop_w, crop_h = random.choice(pairs)
+        crop_w, crop_h = pairs[int(rng.integers(len(pairs)))]
         if not self.fix_crop:
-            x1 = random.randint(0, w - crop_w)
-            y1 = random.randint(0, h - crop_h)
+            x1 = int(rng.integers(0, w - crop_w + 1))
+            y1 = int(rng.integers(0, h - crop_h + 1))
         else:
-            x1, y1 = random.choice(self._fill_fix_offset(w, h, crop_w, crop_h))
+            offsets = self._fill_fix_offset(w, h, crop_w, crop_h)
+            x1, y1 = offsets[int(rng.integers(len(offsets)))]
         return crop_w, crop_h, x1, y1
 
     def _fill_fix_offset(self, image_w, image_h, crop_w, crop_h):

@@ -145,7 +145,7 @@ class Attention(nn.Module):
         probs = None
         needs_drop = self.attn_drop > 0.0 and not deterministic
         if not return_probs and not needs_drop and use_fused_qkv(
-                n, self.use_pallas, fwd_only=deterministic):
+                n, self.use_pallas, fwd_only=deterministic, dim=c):
             out = fused_qkv_attention(qkv, self.num_heads, scale)
         else:
             qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -517,8 +518,10 @@ def _fused_qkv_fwd(qkv, heads, scale):
     d = thd // (3 * heads)
     hd = heads * d
     s_pad = _round_up(s, 128)
-    if s_pad > FUSED_QKV_FWD_MAX_SEQ or not _on_tpu():
-        # graceful degradation for direct callers: blocked flash kernels
+    if s_pad > FUSED_QKV_FWD_MAX_SEQ or hd % 128 != 0 or not _on_tpu():
+        # graceful degradation for direct callers: blocked flash kernels.
+        # hd must be a multiple of 128 — the per-head lane-sliced BlockSpecs
+        # block the last dim in units of H·D lanes (Mosaic constraint).
         return _qkv_attention_reference(qkv, heads, scale,
                                         use_pallas=_on_tpu()), (qkv,)
     qkvp = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else qkv
@@ -610,7 +613,9 @@ def _fused_qkv_bwd(heads, scale, res, g):
     (qkv,) = res
     b, s, thd = qkv.shape
     s_pad = _round_up(s, 128)
-    if s_pad > 512:  # long-seq bwd: unfused VJP (pallas bwd is VMEM-bound)
+    # long-seq bwd (pallas bwd is VMEM-bound), non-128-multiple head widths,
+    # or non-TPU platforms: unfused VJP
+    if s_pad > 512 or (thd // 3) % 128 != 0 or not _on_tpu():
         _, vjp = jax.vjp(lambda t: _qkv_attention_reference(t, heads, scale),
                          qkv)
         return vjp(g)
@@ -648,11 +653,13 @@ def _fused_qkv_bwd(heads, scale, res, g):
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
-def use_fused_qkv(seq: int, use_pallas=None, fwd_only: bool = False) -> bool:
+def use_fused_qkv(seq: int, use_pallas=None, fwd_only: bool = False,
+                  dim: Optional[int] = None) -> bool:
     if use_pallas is None:
         use_pallas = _on_tpu()
     cap = FUSED_QKV_FWD_MAX_SEQ if fwd_only else FUSED_QKV_MAX_SEQ
-    return bool(use_pallas) and seq <= cap
+    dim_ok = dim is None or dim % 128 == 0  # lane-sliced BlockSpec constraint
+    return bool(use_pallas) and seq <= cap and dim_ok
 
 
 # ---------------------------------------------------------------------------

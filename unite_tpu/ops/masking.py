@@ -107,14 +107,14 @@ class TubeMaskingGenerator:
             self.total_patches, self.total_masks
         )
 
-    def __call__(self):
-        per_frame = np.hstack(
-            [
-                np.zeros(self.num_patches_per_frame - self.num_masks_per_frame),
-                np.ones(self.num_masks_per_frame),
-            ]
-        )
-        np.random.shuffle(per_frame)
+    def __call__(self, rng=None):
+        rng = rng if rng is not None else np.random.default_rng()
+        # uniform random subset: patch i masked iff its permuted rank falls
+        # in the first num_masks slots
+        per_frame = (
+            rng.permutation(self.num_patches_per_frame)
+            < self.num_masks_per_frame
+        ).astype(np.float64)
         return np.tile(per_frame, (self.frames, 1)).flatten()
 
 
@@ -133,12 +133,7 @@ class RandomMaskingGenerator:
             self.num_patches, self.num_mask
         )
 
-    def __call__(self):
-        mask = np.hstack(
-            [
-                np.zeros(self.num_patches - self.num_mask),
-                np.ones(self.num_mask),
-            ]
-        )
-        np.random.shuffle(mask)
-        return mask
+    def __call__(self, rng=None):
+        rng = rng if rng is not None else np.random.default_rng()
+        return (rng.permutation(self.num_patches) < self.num_mask).astype(
+            np.float64)

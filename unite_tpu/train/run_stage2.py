@@ -162,20 +162,22 @@ def main(args):
             tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
         return tx
 
-    tx = build_tx(lp_phase=args.lp_ft_epochs > 0)
-    state = TrainState.create(
-        params, tx, ema_decay=args.model_ema_decay if args.model_ema else None)
-
+    # resolve the resume payload BEFORE building the optimizer so the LP/FT
+    # phase (and hence the optimizer-state tree) matches the resumed epoch
+    payload = None
     start_epoch = args.start_epoch
     if args.auto_resume or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
-            state = state.replace(
-                params=payload["model"],
-                step=jnp.asarray(payload.get("extra", {}).get("step", 0)),
-            )
             start_epoch = payload["epoch"] + 1
+
+    tx = build_tx(lp_phase=start_epoch < args.lp_ft_epochs)
+    state = TrainState.create(
+        params, tx, ema_decay=args.model_ema_decay if args.model_ema else None)
+    if payload is not None:
+        # full resume: params + optimizer + step + EMA (utils.py:739-776)
+        state = ck.restore_train_state(state, payload)
 
     mixup_fn = None
     if args.mixup > 0 or args.cutmix > 0:
@@ -251,15 +253,15 @@ def main(args):
             epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
             if args.save_ckpt and val_stats.get("acc1", -1) > best_acc:
                 best_acc = val_stats["acc1"]
-                ck.save_checkpoint(args.output_dir, epoch, state.params,
-                                   args=vars(args), tags=("best",))
+                ck.save_train_state(args.output_dir, epoch,
+                                    jax.device_get(state),
+                                    args=vars(args), tags=("best",))
         if args.save_ckpt:
             tags = ["latest"]
             if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
                 tags.append(epoch)
-            ck.save_checkpoint(
-                args.output_dir, epoch, state.params, model_ema=state.ema_params,
-                args=vars(args), extra={"step": int(state.step)}, tags=tags)
+            ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
+                                args=vars(args), tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
 
     if args.test_best:

@@ -135,7 +135,8 @@ def main(args):
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
-            state = state.replace(params=payload["model"])
+            # full resume: params + optimizer + step (utils.py:739-776)
+            state = ck.restore_train_state(state, payload)
             start_epoch = payload["epoch"] + 1
 
     z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
@@ -223,13 +224,13 @@ def main(args):
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
         if val_stats.get("acc1", -1) > best_acc:
             best_acc = val_stats["acc1"]
-            ck.save_checkpoint(args.output_dir, epoch, state.params,
-                               args=vars(args), tags=("best",))
+            ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
+                                args=vars(args), tags=("best",))
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             tags.append(epoch)
-        ck.save_checkpoint(args.output_dir, epoch, state.params,
-                           args=vars(args), tags=tags)
+        ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
+                            args=vars(args), tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
 
     if args.test_best:

@@ -109,3 +109,58 @@ def auto_load_model(output_dir: str):
         return None
     print(f"Auto resume checkpoint: {path}")
     return load_checkpoint(path)
+
+
+def save_train_state(output_dir: str, epoch: int, state, args=None,
+                     extra: Optional[Dict[str, Any]] = None,
+                     tags=("latest",)) -> None:
+    """Full-state checkpoint of a TrainState: params + optimizer + global
+    step + EMA — the reference saves {model, optimizer, epoch, scaler, args,
+    model_ema} (src/utils.py:699-717); we have no scaler (bf16).
+
+    The optax state (a tree of NamedTuples) is flattened through flax's
+    state-dict mechanism so it msgpack-serializes; ``restore_train_state``
+    rebuilds it into a freshly-initialized state of the same structure."""
+    from flax import serialization as _ser
+
+    save_checkpoint(
+        output_dir, epoch, state.params,
+        opt_state=_ser.to_state_dict(state.opt_state),
+        model_ema=state.ema_params,
+        args=args,
+        extra={**(extra or {}), "step": int(state.step)},
+        tags=tags,
+    )
+
+
+def restore_train_state(state, payload: Dict[str, Any]):
+    """Restore a payload into a TrainState created with the SAME optimizer.
+
+    Mirrors the reference's auto_load_model (src/utils.py:739-776): params,
+    optimizer state, global step (so per-step LR/WD tables and the
+    step-folded PRNG continue where they left off), and EMA when both sides
+    have one. If the saved optimizer tree does not match the current one
+    (e.g. resuming across an LP→FT optimizer rebuild), falls back to
+    continuing only the schedule count."""
+    import jax.numpy as jnp
+    from flax import serialization as _ser
+
+    state = state.replace(params=payload["model"])
+    step = int(payload.get("extra", {}).get("step", 0) or 0)
+    restored_opt = False
+    if payload.get("optimizer") is not None:
+        try:
+            state = state.replace(opt_state=_ser.from_state_dict(
+                state.opt_state, payload["optimizer"]))
+            restored_opt = True
+        except (KeyError, ValueError, TypeError) as e:
+            print(f"WARNING: optimizer state not restored ({e}); "
+                  "continuing schedule only")
+    if not restored_opt and step:
+        from unite_tpu.optim.factory import set_schedule_count
+
+        state = state.replace(
+            opt_state=set_schedule_count(state.opt_state, step))
+    if payload.get("model_ema") is not None and state.ema_params is not None:
+        state = state.replace(ema_params=payload["model_ema"])
+    return state.replace(step=jnp.asarray(step, jnp.int32))
