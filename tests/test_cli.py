@@ -31,6 +31,38 @@ def test_yaml_configs_parse_cleanly():
         assert args.data_set == "Kinetics_sparse"
 
 
+def test_yaml_configs_parity_values():
+    """Shipped YAMLs carry the REFERENCE defaults (ref configs/stage*.yaml);
+    run-scale overrides live in stage*.sh exactly like the reference's
+    launchers (stage1.sh:23-28, stage2.sh:27-31, stage3.sh:26-33)."""
+    a1 = parse_with_config(stage1_parser(),
+                           ["--config", "configs/stage1_config.yaml"])
+    assert (a1.batch_size, a1.epochs, a1.lr) == (2, 20, 0.00015)
+    assert a1.mask_ratio == 0.8
+    assert a1.clip_return_layers == [6, 7, 8, 9, 10, 11]
+    a2 = parse_with_config(stage2_parser(),
+                           ["--config", "configs/stage2_config.yaml"])
+    assert (a2.batch_size, a2.epochs, a2.lr) == (7, 20, 2.5e-05)
+    assert a2.layer_decay == 0.65
+    assert a2.frozen_layers == "0,1,2,3,4,5,6"
+    a3 = parse_with_config(stage3_parser(),
+                           ["--config", "configs/stage3_config.yaml"])
+    assert (a3.batch_size, a3.epochs, a3.lr) == (2, 50, 1.0e-05)
+    assert a3.selection_strategy == "clip_matchORconf"
+    assert a3.conf_weighted_loss is True
+    assert a3.train_masked is True
+    assert a3.clip_return_layers == [6]
+    # launcher-level run-scale values (parity with ref stage*.sh)
+    import re
+
+    sh1 = open("stage1.sh").read()
+    assert re.search(r"--batch_size 64", sh1) and "--epochs 100" in sh1
+    sh2 = open("stage2.sh").read()
+    assert re.search(r"--batch_size 7", sh2)
+    sh3 = open("stage3.sh").read()
+    assert re.search(r"--batch_size 5", sh3) and "--clip_threshold 0.1" in sh3
+
+
 def test_cli_wins_over_yaml(tmp_path):
     cfg = tmp_path / "c.yaml"
     cfg.write_text("batch_size: 99\nlr: 0.5\n")

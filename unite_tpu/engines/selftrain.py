@@ -222,6 +222,7 @@ def make_selftrain_step(
                 ),
                 "correct_recall": (correct * sel_f).sum()
                 / jnp.maximum(correct.sum(), 1),
+                "_preds_t": preds_full_t,
             })
             return loss, diag
 
@@ -230,7 +231,14 @@ def make_selftrain_step(
         )
         grads, grad_norm = clip_by_global_norm(grads, clip_grad)
         state = state.apply_gradients(grads)
-        metrics = {"loss": loss, "grad_norm": grad_norm, **diag}
+        # per-sample arrays for the epoch-level compare_model_predictions
+        # table (run_stage3.py:789-817); the host loop routes ndim>0 metrics
+        # into an array sink instead of the scalar meters
+        preds_t = diag.pop("_preds_t")
+        metrics = {"loss": loss, "grad_norm": grad_norm, **diag,
+                   "preds_t": preds_t, "labels_t": labels_t}
+        if "clip_sim" in batch:
+            metrics["clip_preds_t"] = batch["clip_sim"].argmax(-1)
         return state, metrics
 
     return train_step
@@ -239,9 +247,14 @@ def make_selftrain_step(
 def compare_model_predictions(student_logits, clip_similarities, target):
     """Student-vs-CLIP agreement diagnostics (run_stage3.py:789-817).
 
+    Accepts logits/similarities [N, C] or already-argmaxed preds [N].
     Returns the stat dict instead of printing (the entry script logs it)."""
-    student_preds = np.argmax(np.asarray(student_logits), -1)
-    clip_preds = np.argmax(np.asarray(clip_similarities), -1)
+    student_preds = np.asarray(student_logits)
+    if student_preds.ndim > 1:
+        student_preds = student_preds.argmax(-1)
+    clip_preds = np.asarray(clip_similarities)
+    if clip_preds.ndim > 1:
+        clip_preds = clip_preds.argmax(-1)
     target = np.asarray(target)
     s_ok = student_preds == target
     c_ok = clip_preds == target

@@ -40,18 +40,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis: str = "data",
+                replicated_keys: Sequence[str] = ("classwise_thresholds",)):
     """Device-put a host batch with the leading dim sharded over ``axis``.
 
     The global batch must be divisible by the axis size (the reference's
     sampler pads per-rank shards to equal length, datasets/distributed.py:
     133-147 — our data layer does the same per host).
-    """
-    sharding = batch_sharding(mesh, axis)
 
-    def put(x):
+    Top-level entries named in ``replicated_keys`` (non-batch side tables,
+    e.g. stage 3's per-class thresholds [nb_classes]) are replicated
+    instead of sharded.
+    """
+
+    def put(x, force_replicate=False):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim == 0 or force_replicate:
             return jax.device_put(x, replicated(mesh))
         assert x.shape[0] % mesh.shape[axis] == 0, (
             f"batch dim {x.shape[0]} not divisible by {axis}={mesh.shape[axis]}"
@@ -60,6 +64,10 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
             x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
         )
 
+    if isinstance(batch, dict):
+        return {k: (put(v, k in replicated_keys) if not isinstance(v, dict)
+                    else jax.tree.map(put, v))
+                for k, v in batch.items()}
     return jax.tree.map(put, batch)
 
 
@@ -103,7 +111,9 @@ def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
         elif i in state_argnums:
             in_shardings.append(replicated(mesh))
         elif i in batch_argnums:
-            in_shardings.append(batch_sharding(mesh, axis))
+            # inherit per-leaf placement from shard_batch (batch dims on
+            # 'data', side tables like classwise_thresholds replicated)
+            in_shardings.append(None)
         else:
             in_shardings.append(replicated(mesh))
     out_shardings = None

@@ -236,4 +236,10 @@ def stage3_parser() -> argparse.ArgumentParser:
                         "tokenizer/text tower)")
     p.add_argument("--clip_bpe_path", default="",
                    help="CLIP bpe_simple_vocab merges file (.txt[.gz])")
+    p.add_argument("--allow_uniform_clip", type=str2bool, default=False,
+                   help="escape hatch for smoke tests ONLY: run clip_* "
+                        "selection strategies with uniform zero-shot "
+                        "similarities when no text artifacts are available "
+                        "(this degrades clip_matchORconf to a biased rule; "
+                        "see run_stage3 docs)")
     return p

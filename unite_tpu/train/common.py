@@ -103,12 +103,19 @@ def train_one_epoch(
     rng=None,
     profile_dir: Optional[str] = None,
     tb_logger=None,
+    array_sink: Optional[Dict] = None,
 ):
     """Host loop around the jitted step (engine train_one_epoch frame).
 
     Logs a first-class ``clips/sec/chip`` scalar per window (the BASELINE
     north-star metric, SURVEY §5 tracing plan); ``profile_dir`` captures a
     jax.profiler trace of steps 2-7 of the epoch.
+
+    ``array_sink``: optional dict; non-scalar metrics returned by the step
+    are appended here per batch (lists of np arrays) instead of being fed to
+    the scalar meters — used by stage 3 for the epoch-level prediction-
+    comparison table. NOTE: collecting arrays forces a device sync per step;
+    leave None on hot paths. Without a sink, array metrics are dropped.
     """
     logger = metric_logger or MetricLogger()
     rng = rng if rng is not None else jax.random.PRNGKey(epoch)
@@ -122,13 +129,17 @@ def train_one_epoch(
         if profile_dir and step_i == 2 and epoch == 0:
             jax.profiler.start_trace(profile_dir)
         state, metrics = step_fn(state, *extra_step_args, batch, rng)
+        if array_sink is not None:
+            for k, v in metrics.items():
+                if getattr(v, "ndim", 0) > 0:
+                    array_sink.setdefault(k, []).append(np.asarray(v))
         window_clips += _batch_clips(batch)
         # Device-to-host scalar reads cost a full dispatch round-trip each
         # (~30ms on tunneled devices), so metrics only sync on log steps —
         # steps in between stay fully async. The NaN fail-fast (reference
         # run_stage1.py:447-449) therefore fires within log_freq steps.
         if step_i % log_freq == 0:
-            host = {k: float(v) for k, v in metrics.items()}
+            host = _scalar_metrics(metrics)
             if not np.isfinite(host["loss"]):
                 raise FloatingPointError(
                     f"Loss is {host['loss']}, stopping training"
@@ -147,7 +158,7 @@ def train_one_epoch(
             print(f"profiler trace written to {profile_dir}")
         step_i += 1
     if step_i > 0:  # final sync of the epoch's last step
-        host = {k: float(v) for k, v in metrics.items()}
+        host = _scalar_metrics(metrics)
         if not np.isfinite(host["loss"]):
             raise FloatingPointError(
                 f"Loss is {host['loss']}, stopping training")
@@ -157,6 +168,11 @@ def train_one_epoch(
     print("Averaged stats:", logger)
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     return state, stats, last_metrics
+
+
+def _scalar_metrics(metrics) -> Dict[str, float]:
+    return {k: float(v) for k, v in metrics.items()
+            if getattr(v, "ndim", 0) == 0}
 
 
 def _batch_clips(batch) -> int:

@@ -113,8 +113,11 @@ def main(args):
         (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
     sp = student.init(jax.random.PRNGKey(args.seed), example)["params"]
     sp = load_student(args, sp)
+    # classifier input dim == encoder width (run_stage3.py:1191 uses
+    # model.module.head.in_features); read it off the final norm params
+    embed_dim = sp["encoder"]["norm"]["scale"].shape[0]
     hp = classifier.init(jax.random.PRNGKey(args.seed + 1),
-                         jnp.zeros((1, 768)))["params"]
+                         jnp.zeros((1, embed_dim)))["params"]
     hp = load_classifier_head(args, hp)
     tp = load_clip_teacher_params(args, teacher, example)
     params = {"model": sp, "classifier": hp}
@@ -170,15 +173,25 @@ def main(args):
     else:
         state = pmesh.replicate(state, mesh)
 
-    # optional CLIP zero-shot teacher (clip_matchORconf): precomputes per-
-    # batch similarities with the text tower; without text weights we fall
-    # back to uniform similarities, which makes match_mask the student's own
-    # agreement (documented limitation until the text tower ships).
+    # CLIP zero-shot teacher (utils.py:44-82 setup_clip/clip_infer): the
+    # clip_* selection strategies are load-bearing on real text features —
+    # uniform similarities would turn clip_matchORconf's match_mask into
+    # "student predicted class 0" (a different, biased selection rule), so
+    # missing artifacts hard-error unless --allow_uniform_clip (smoke tests).
     zero_shot_fn = None
     if args.selection_strategy in ("clip_only", "clip_matchORconf"):
         from unite_tpu.models.clip_text import build_zero_shot_fn
 
         zero_shot_fn = build_zero_shot_fn(args, teacher, tp)
+        if zero_shot_fn is None and not args.allow_uniform_clip:
+            raise RuntimeError(
+                f"selection_strategy={args.selection_strategy!r} needs the "
+                "CLIP zero-shot teacher: pass --clip_text_features (see "
+                "tools/extract_clip.py --features-for) or --clip_text_init "
+                "+ --clip_bpe_path, or override with --allow_uniform_clip "
+                "for smoke tests (NOT a faithful approximation of the "
+                "reference, run_stage3.py:556-593)."
+            )
 
     if args.initial_validation:
         common.run_validation(state, eval_fn, val_loader, mesh,
@@ -210,14 +223,28 @@ def main(args):
 
     best_acc = -1.0
     for epoch in range(start_epoch, args.epochs):
+        arrays = {}
         state, stats, _ = common.train_one_epoch(
             state, wrapped_step,
             device_prefetch(batches(epoch), lambda b: b, depth=2),
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
+            array_sink=arrays,
         )
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
+        if "clip_preds_t" in arrays:
+            # student-vs-CLIP agreement table (run_stage3.py:789-817)
+            from unite_tpu.engines.selftrain import compare_model_predictions
+
+            cmp = compare_model_predictions(
+                np.concatenate(arrays["preds_t"]),
+                np.concatenate(arrays["clip_preds_t"]),
+                np.concatenate(arrays["labels_t"]),
+            )
+            print(f"compare_model_predictions [{epoch}]: " + " ".join(
+                f"{k}={v}" for k, v in cmp.items()))
+            epoch_stats.update({f"cmp_{k}": v for k, v in cmp.items()})
         val_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
             header=f"Val [{epoch}]")
