@@ -1,0 +1,318 @@
+"""Golden parity against the ACTUAL reference torch modules.
+
+These tests import /root/reference/src/models (read-only, with a 3-function
+timm shim), export real reference state dicts, load them through our torch
+importer, and assert numerical parity of forwards, the stage-1 loss, and a
+gradient step — retiring the importer/model-math accuracy-parity risk
+without data or published checkpoints (VERDICT r1 item 4).
+
+Reference anchors: modeling_finetune.py:237-383 (classification ViT),
+modeling_adaptation.py:216-334 (adaptation student), clip.py:106-188
+(CLIP teacher), run_stage1.py:356-438 (masking + alignment loss).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+
+# --- minimal timm shim (the reference model files use exactly these) --------
+
+
+def _install_timm_shim():
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    registry = types.ModuleType("timm.models.registry")
+    layers = types.ModuleType("timm.models.layers")
+
+    registry.register_model = lambda fn: fn
+
+    def to_2tuple(x):
+        return x if isinstance(x, (tuple, list)) else (x, x)
+
+    def drop_path(x, drop_prob=0.0, training=False):
+        if drop_prob == 0.0 or not training:
+            return x
+        keep = 1.0 - drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+        mask.floor_()
+        return x.div(keep) * mask
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        # init-only in the reference models; parity tests overwrite weights
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std + mean, b * std + mean)
+        return tensor
+
+    layers.to_2tuple = to_2tuple
+    layers.drop_path = drop_path
+    layers.trunc_normal_ = trunc_normal_
+    models.registry = registry
+    models.layers = layers
+    timm.models = models
+    sys.modules.update({
+        "timm": timm, "timm.models": models,
+        "timm.models.registry": registry, "timm.models.layers": layers,
+    })
+
+
+def _ref_modules():
+    _install_timm_shim()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    mf = importlib.import_module("src.models.modeling_finetune")
+    ma = importlib.import_module("src.models.modeling_adaptation")
+    mc = importlib.import_module("src.models.clip")
+    return mf, ma, mc
+
+
+def _to_torch_video(video_np):
+    """[B, T, H, W, C] channels-last → reference [B, C, T, H, W]."""
+    return torch.tensor(np.transpose(video_np, (0, 4, 1, 2, 3)))
+
+
+# --- classification ViT ------------------------------------------------------
+
+
+def test_reference_vit_forward_parity(tmp_path):
+    mf, _, _ = _ref_modules()
+    torch.manual_seed(0)
+    S, T, NC = 32, 2, 5
+    ref = mf.VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=2,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, init_scale=1.0,
+    ).eval()
+    pth = tmp_path / "ref_vit.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    from unite_tpu.models.vit import VisionTransformer
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+
+    ours = VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=2,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, norm_eps=1e-5,
+    )
+
+    class A:
+        finetune = str(pth)
+        model_key = "model|module"
+        nb_classes = NC
+        delete_head = False
+        input_size = S
+        patch_size = 16
+        num_frames = T
+        tubelet_size = 1
+        use_mean_pooling = True
+
+    video = np.random.default_rng(0).normal(size=(2, T, S, S, 3)).astype(
+        np.float32)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(video))["params"]
+    params = load_finetune_ckpt(A, ours, params)
+
+    with torch.no_grad():
+        ref_logits = ref(_to_torch_video(video)).numpy()
+    our_logits = np.asarray(ours.apply({"params": params}, jnp.asarray(video)))
+    np.testing.assert_allclose(our_logits, ref_logits, atol=2e-4, rtol=1e-3)
+
+
+# --- CLIP teacher ------------------------------------------------------------
+
+
+def _tiny_ref_teacher(mc, S=32, width=64, layers=2, heads=2, out=24,
+                      return_index=(0, 1)):
+    torch.manual_seed(1)
+    return mc.VisionTransformer(
+        input_resolution=S, patch_size=16, width=width, layers=layers,
+        heads=heads, output_dim=out, return_attn=True,
+        clip_return_layers=list(return_index),
+    ).eval()
+
+
+def _import_ref_teacher_params(ref, ours, S, video_example):
+    """Reference state dict (Conv3d, kernel_t=1) → extracted OpenAI layout
+    (2D conv) → our importer chain."""
+    from unite_tpu.utils import torch_import as ti
+
+    sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    sd["conv1.weight"] = sd["conv1.weight"].squeeze(2)  # [O,3,1,P,P]→[O,3,P,P]
+    loaded = ti.clip_state_to_flax_params(sd, input_resolution=S, patch_size=16)
+    params = ours.init(jax.random.PRNGKey(0), video_example)["params"]
+    merged, missing, _ = ti.merge_params(params, loaded, strict_shapes=True)
+    return merged
+
+
+def test_reference_clip_teacher_parity():
+    _, _, mc = _ref_modules()
+    S, T = 32, 2
+    ref = _tiny_ref_teacher(mc, S)
+
+    from unite_tpu.utils.registry import create_model
+
+    ours = create_model("clip_b16", input_resolution=S, return_attn=True,
+                        return_index=(0, 1))
+    # the registered factory pins b16 dims; build the raw module instead
+    from unite_tpu.models.clip import CLIPVisionTransformer
+
+    ours = CLIPVisionTransformer(
+        input_resolution=S, patch_size=16, width=64, layers=2, heads=2,
+        output_dim=24, return_attn=True, return_index=(0, 1),
+    )
+    video = np.random.default_rng(1).normal(size=(2, T, S, S, 3)).astype(
+        np.float32)
+    vj = jnp.asarray(video)
+    params = _import_ref_teacher_params(ref, ours, S, vj)
+
+    with torch.no_grad():
+        ref_z, ref_attn = ref(_to_torch_video(video))
+    z, attn = ours.apply({"params": params}, vj)
+    np.testing.assert_allclose(np.asarray(z), ref_z.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(attn), ref_attn.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+
+# --- stage-1 masked pipeline: loss + gradient step ---------------------------
+
+
+def test_reference_stage1_loss_and_grad_parity(tmp_path):
+    """Full stage-1 math against the actual reference modules: identical
+    mask → identical alignment loss (run_stage1.py:389-438) and identical
+    SGD-updated weights (gradient parity through the masked student)."""
+    _, ma, mc = _ref_modules()
+    S, T, K = 32, 2, 2
+    n_patch_frame, n_patch = 4, 8  # (32/16)^2 per frame, 2 frames
+    mask_ratio = 0.5
+    nv_frame = n_patch_frame - int(n_patch_frame * mask_ratio)
+    nv = nv_frame * T
+
+    torch.manual_seed(2)
+    ref_student = ma.AdaptationVisionTransformer(
+        img_size=S, patch_size=16, encoder_embed_dim=48, encoder_depth=2,
+        encoder_num_heads=2, mlp_ratio=4, qkv_bias=True, init_values=0.0,
+        num_frames=T, tubelet_size=1, clip_decoder_embed_dim=48,
+        clip_output_dim=24, clip_return_layers=[0, 1],
+    ).train()
+    ref_teacher = _tiny_ref_teacher(mc, S)
+
+    # export/import the student through the stage-1 chain: the reference
+    # loader wraps the ckpt with 'encoder.' unconditionally (run_stage1.py:
+    # 525-527) — its student_init is always a BARE encoder (published UMT
+    # weights), with decoders arriving via --clip_decoder_init (stage1.sh:21)
+    pth = tmp_path / "ref_student.pth"
+    torch.save({"model": ref_student.encoder.state_dict()}, pth)
+    dec_pth = tmp_path / "ref_decoders.pth"
+    torch.save({"model": ref_student.state_dict()}, dec_pth)
+
+    from unite_tpu.models.adaptation import AdaptationVisionTransformer
+    from unite_tpu.models.clip import CLIPVisionTransformer
+    from unite_tpu.train.run_stage1 import load_student
+
+    student = AdaptationVisionTransformer(
+        img_size=S, patch_size=16, encoder_embed_dim=48, encoder_depth=2,
+        encoder_num_heads=2, mlp_ratio=4, qkv_bias=True, init_values=None,
+        num_frames=T, tubelet_size=1, clip_decoder_embed_dim=48,
+        clip_output_dim=24, clip_return_layers=(0, 1), norm_eps=1e-5,
+    )
+    teacher = CLIPVisionTransformer(
+        input_resolution=S, patch_size=16, width=64, layers=2, heads=2,
+        output_dim=24, return_attn=True, return_index=(0, 1),
+    )
+
+    video = np.random.default_rng(2).normal(size=(2, T, S, S, 3)).astype(
+        np.float32)
+    vj = jnp.asarray(video)
+
+    class A:
+        student_init = str(pth)
+        model_key = "model|module"
+        clip_decoder_init = None  # set below
+        input_size = S
+        patch_size = 16
+        num_frames = T
+        tubelet_size = 1
+        use_cls_token = False
+
+    A.clip_decoder_init = str(dec_pth)
+    sp = student.init(jax.random.PRNGKey(0), vj,
+                      jnp.zeros((2, nv), jnp.int32), True)["params"]
+    sp = load_student(A, sp)
+    tp = _import_ref_teacher_params(ref_teacher, teacher, S, vj)
+
+    # one shared mask: exactly nv_frame visible per frame (ref keeps the
+    # frame structure via the per-(B·T) multinomial, run_stage1.py:381-387)
+    rng = np.random.default_rng(3)
+    mask = np.ones((2, n_patch), bool)
+    for b in range(2):
+        for t in range(T):
+            vis = rng.choice(n_patch_frame, nv_frame, replace=False)
+            mask[b, t * n_patch_frame + vis] = False
+    vis_idx = np.stack([np.nonzero(~m)[0] for m in mask]).astype(np.int32)
+
+    # ---- reference pipeline (run_stage1.py:356-438, clip_loss_data=mixed)
+    vt = _to_torch_video(video)
+    mask_t = torch.tensor(mask)
+    with torch.no_grad():
+        norm_clip, _attn = ref_teacher(vt)
+        Kdim, B, _, C = norm_clip.shape
+        m = mask_t.unsqueeze(0).repeat(Kdim, 1, 1)
+        targets = norm_clip[~m].reshape(Kdim, B, -1, C)
+    out_clip = ref_student(vt, mask_t, clip_only=True)
+    ref_loss = (2 - 2 * (out_clip * targets).sum(dim=-1)).mean()
+    ref_loss.backward()
+    opt = torch.optim.SGD(ref_student.parameters(), lr=0.1)
+    opt.step()
+
+    # ---- our jitted step with the injected mask, plain SGD
+    from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.train_state import TrainState
+
+    tx, _ = create_optimizer("sgd", lr=0.1, params=sp, momentum=0.0,
+                             weight_decay=0.0)
+    state = TrainState.create(sp, tx)
+    step = jax.jit(make_pretrain_train_step(
+        student, teacher, num_patches=n_patch, frames=T,
+        mask_ratio=mask_ratio, source_batch_size=0, clip_loss_data="mixed",
+        clip_input_resolution=S,
+    ))
+    batch = {"videos": vj, "vis_idx": jnp.asarray(vis_idx)}
+    state, metrics = step(state, tp, batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_loss.detach()),
+                               atol=3e-5, rtol=1e-4)
+
+    # gradient parity via the updated weights (spot-check deep + shallow)
+    ref_sd = ref_student.state_dict()
+    pe = np.asarray(
+        state.params["encoder"]["patch_embed"]["proj"]["kernel"])
+    # ours: Dense [ts*p*p*c, D] in (kt, kh, kw, c) order → torch Conv3d
+    # [D, c, kt, kh, kw]
+    pe = pe.reshape(1, 16, 16, 3, -1).transpose(4, 3, 0, 1, 2)
+    checks = [
+        ("encoder.patch_embed.proj.weight", pe),
+        ("encoder.blocks.0.mlp.fc1.weight",
+         np.asarray(state.params["encoder"]["blocks_0"]["mlp"]["fc1"]
+                    ["kernel"]).T),
+        ("clip_decoder.1.head.weight",
+         np.asarray(state.params["clip_decoder_1"]["head"]["kernel"]).T),
+    ]
+    for key, ours_w in checks:
+        np.testing.assert_allclose(
+            ours_w, ref_sd[key].detach().numpy(), atol=5e-5, rtol=1e-3,
+            err_msg=key)
