@@ -14,6 +14,7 @@ publishes no throughput — BASELINE.md derivation).
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
 
+import functools
 import json
 import sys
 import time
@@ -64,13 +65,129 @@ def peak_bf16_flops():
     return 197e12
 
 
+def check_kernels():
+    """On-TPU numerics: all Pallas regimes fwd+bwd vs the XLA reference at
+    the three workload shapes (197 teacher, 314 masked student, 1568 full).
+    Run via ``python bench.py --check`` (VERDICT r1 item 7: CPU tests only
+    exercise the XLA fallback; kernels must be driven on the chip)."""
+    from unite_tpu.ops.attention import (
+        attention_xla,
+        fused_qkv_attention,
+        multi_head_attention,
+        _qkv_attention_reference,
+    )
+
+    assert jax.default_backend() == "tpu", "--check needs the TPU"
+    ok = True
+    for seq in (197, 314, 1568):
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (2, 12, seq, 64),
+                                     jnp.bfloat16) for i in range(3))
+        g = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.bfloat16)
+
+        def loss(fn):
+            return lambda q, k, v: (fn(q, k, v).astype(jnp.float32)
+                                    * g.astype(jnp.float32)).sum()
+
+        pall = functools.partial(multi_head_attention, use_pallas=True)
+        ref = functools.partial(attention_xla)
+        fwd_d = float(jnp.max(jnp.abs(
+            pall(q, k, v).astype(jnp.float32)
+            - ref(q, k, v).astype(jnp.float32))))
+        gp = jax.grad(loss(pall), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+        bwd_d = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                          - b.astype(jnp.float32))))
+                    for a, b in zip(gp, gr))
+        line_ok = fwd_d < 8e-3 and bwd_d < 8e-2  # bf16 tolerances
+        ok &= line_ok
+        print(f"mha seq={seq}: fwd {fwd_d:.5f} bwd {bwd_d:.5f} "
+              f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
+
+        qkv = jax.random.normal(jax.random.PRNGKey(5), (2, seq, 3 * 768),
+                                jnp.bfloat16)
+        gq = jax.random.normal(jax.random.PRNGKey(8), (2, seq, 768),
+                               jnp.bfloat16)
+
+        def floss(fn):
+            return lambda x: (fn(x).astype(jnp.float32)
+                              * gq.astype(jnp.float32)).sum()
+
+        fq = lambda x: fused_qkv_attention(x, 12, 64 ** -0.5)  # noqa: E731
+        fr = lambda x: _qkv_attention_reference(  # noqa: E731
+            x, 12, 64 ** -0.5, use_pallas=False)
+        fwd_d = float(jnp.max(jnp.abs(fq(qkv).astype(jnp.float32)
+                                      - fr(qkv).astype(jnp.float32))))
+        bwd_d = float(jnp.max(jnp.abs(
+            jax.grad(floss(fq))(qkv).astype(jnp.float32)
+            - jax.grad(floss(fr))(qkv).astype(jnp.float32))))
+        line_ok = fwd_d < 1.6e-2 and bwd_d < 1.6e-1
+        ok &= line_ok
+        print(f"fused-qkv seq={seq}: fwd {fwd_d:.5f} bwd {bwd_d:.5f} "
+              f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
+    print(json.dumps({"metric": "kernel_numerics_check",
+                      "value": 1.0 if ok else 0.0, "unit": "pass",
+                      "vs_baseline": 1.0 if ok else 0.0}))
+    return 0 if ok else 1
+
+
+def make_loader_batches(B, frames, img, iters):
+    """Loader-fed input path: synthetic decode → group-crop stack → uint8
+    clips through DataLoader + device_prefetch (VERDICT r1 item 6)."""
+    import os
+    import tempfile
+
+    from unite_tpu.data.build import build_pretraining_dataset
+    from unite_tpu.data.loader import DataLoader
+    from unite_tpu.data.video_reader import SyntheticVideoReader
+
+    anno = os.path.join(tempfile.mkdtemp(), "bench.csv")
+    with open(anno, "w") as f:
+        for i in range(max(512, B * 4)):
+            f.write(f"clip_{i:04d}.mp4 0\n")
+
+    class A:
+        num_frames = frames
+        tubelet_size = 1
+        input_size = img
+        patch_size = 16
+        num_segments = frames
+        sampling_rate = 1
+        mask_type = "attention"
+        mask_ratio = 0.8
+        split = " "
+        color_jitter = 0.0
+        flip = False
+        num_sample = 1
+        fraction = 1.0
+        seed = 0
+        device_normalize = True
+
+    ds = build_pretraining_dataset(A, anno_path=anno,
+                                   reader=SyntheticVideoReader(256, 320))
+    loader = DataLoader(ds, batch_size=B, num_workers=8, drop_last=True,
+                        shuffle=True)
+
+    def gen():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            for videos, _mask, _label in loader:
+                assert videos.dtype == np.uint8, videos.dtype
+                yield {"videos": videos}
+            epoch += 1
+
+    return gen()
+
+
 def main():
     from unite_tpu import create_model
     from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else 24
+    loader_fed = "--loader" in sys.argv
     frames, img, mask_ratio = 8, 224, 0.8
     n_patch = frames * (img // 16) ** 2
     n_vis = n_patch - int(n_patch * mask_ratio)
@@ -98,28 +215,52 @@ def main():
         ),
         donate_argnums=(0,),
     )
-    batch = {"videos": videos}
     rng = jax.random.PRNGKey(2)
-
-    # NOTE: on the axon-tunneled device block_until_ready can return before
-    # execution completes; a D2H value read (float()) is the only reliable
-    # synchronization, so we time with a scalar readback at the fence.
-    state, m = step(state, tp, batch, rng)
-    float(m["loss"])  # compile fence
-    state, m = step(state, tp, batch, rng)
-    float(m["loss"])  # warm fence
-
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
+
+    if loader_fed:
+        # feed through the real host pipeline: synthetic decode + PIL group
+        # transforms on worker threads, uint8 over the link, device_prefetch
+        # keeping 2 batches in flight (run_stage1's exact input path)
+        from unite_tpu.data.loader import device_prefetch
+        from unite_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        batches = device_prefetch(
+            make_loader_batches(B, frames, img, iters + 4),
+            lambda b: shard_batch(b, mesh), depth=2,
+        )
+        state, m = step(state, tp, next(batches), rng)
+        float(m["loss"])  # compile fence
+        state, m = step(state, tp, next(batches), rng)
+        float(m["loss"])  # warm fence
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, tp, next(batches), rng)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        metric = "stage1_loader_fed_clips_per_sec_per_chip"
+    else:
+        batch = {"videos": videos}
+        # NOTE: on the axon-tunneled device block_until_ready can return
+        # before execution completes; a D2H value read (float()) is the only
+        # reliable synchronization, so we time with a scalar readback fence.
         state, m = step(state, tp, batch, rng)
-    float(m["loss"])
-    dt = time.perf_counter() - t0
+        float(m["loss"])  # compile fence
+        state, m = step(state, tp, batch, rng)
+        float(m["loss"])  # warm fence
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, tp, batch, rng)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        metric = "stage1_clips_per_sec_per_chip"
 
     clips_per_sec = B * iters / dt
     sol = peak_bf16_flops() / flops_per_clip()
     print(json.dumps({
-        "metric": "stage1_clips_per_sec_per_chip",
+        "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / sol, 4),
@@ -127,4 +268,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--check" in sys.argv:
+        sys.exit(check_kernels())
     main()

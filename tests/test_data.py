@@ -345,3 +345,110 @@ def test_num_sample_through_loader(anno_file):
     # repeated-aug doubles the effective batch (reference num_sample semantics)
     assert clips.shape == (6, 2, 32, 32, 3)
     assert labels.shape == (6,)
+
+
+def test_device_normalize_uint8_path_matches_fp32():
+    """uint8 (device-normalize) pipeline ≈ host-normalized fp32 pipeline:
+    same per-item RNG draws, output differs only by uint8 quantization."""
+    import jax.numpy as jnp
+
+    from unite_tpu.data.datasets import VideoClsDatasetSparse
+    from unite_tpu.data.video_reader import SyntheticVideoReader
+    from unite_tpu.ops.normalize import normalize_videos
+
+    def make(dev_norm):
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "a.csv")
+        with open(p, "w") as f:
+            for i in range(4):
+                f.write(f"v{i}.mp4 {i % 2}\n")
+        return VideoClsDatasetSparse(
+            p, mode="validation", clip_len=2, crop_size=32,
+            short_side_size=36, reader=SyntheticVideoReader(64, 80),
+            seed=5, device_normalize=dev_norm)
+
+    ds8 = make(True)
+    dsf = make(False)
+    clip8, label8, vid8 = ds8[1]
+    clipf, labelf, vidf = dsf[1]
+    assert clip8.dtype == np.uint8 and clipf.dtype == np.float32
+    assert (label8, vid8) == (labelf, vidf)
+    dev = np.asarray(normalize_videos(jnp.asarray(clip8[None]),
+                                      dtype=jnp.float32))[0]
+    assert np.max(np.abs(dev - clipf)) < 0.05  # quantization only
+
+    # train mode: same rng stream in both modes -> same crops/augs drawn
+    tr8 = make(True); tr8.mode = "train"
+    trf = make(False); trf.mode = "train"
+    c8, l8, i8, _ = tr8[2]
+    cf, lf, if_, _ = trf[2]
+    assert c8.dtype == np.uint8 and cf.dtype == np.float32
+    assert c8.shape == cf.shape
+    dev = np.asarray(normalize_videos(jnp.asarray(c8[None]),
+                                      dtype=jnp.float32))[0]
+    # erasing noise + interpolation rounding: compare medians loosely
+    assert np.median(np.abs(dev - cf)) < 0.05
+
+
+def test_dense_segment_indices_reference_parity():
+    """Pinned against kinetics.py:281-320 arithmetic (literals generated by
+    executing the reference formulas for fixed seeds/video lengths)."""
+    from unite_tpu.data.samplers import dense_segment_indices as dsi
+
+    # test mode: evenly-spaced window starts, stride 2, repeat-padded
+    assert [dsi(100, 8, 2, "test", c) for c in range(5)] == [
+        [0, 2, 4, 6, 8, 10, 12, 14], [21, 23, 25, 27, 29, 31, 33, 35],
+        [42, 44, 46, 48, 50, 52, 54, 56], [63, 65, 67, 69, 71, 73, 75, 77],
+        [84, 86, 88, 90, 92, 94, 96, 98]]
+    # short video: same indices for every chunk, padded with the last frame
+    assert dsi(10, 8, 2, "test", 2) == [0, 2, 4, 6, 8, 8, 8, 8]
+    # validation: deterministic early-ish window (ref's exact (s-c)//2 end)
+    assert dsi(100, 8, 2, "validation") == [26, 28, 30, 32, 35, 37, 39, 41]
+    # short-video train/val: linspace(0, seg) padded + clipped
+    assert dsi(12, 8, 2, "validation") == [0, 2, 4, 7, 9, 11, 11, 11]
+    # train: randint(converted, seg_len) end, linspace window (seed 0)
+    got = dsi(50, 8, 2, "train", rng=np.random.default_rng(0))
+    assert got == [28, 30, 32, 34, 37, 39, 41, 43]
+
+
+def test_ssv2_segment_indices_reference_parity():
+    """Pinned against ssv2.py:580-607 arithmetic."""
+    from unite_tpu.data.samplers import ssv2_segment_indices as ssi
+
+    # test: sorted centers + starts (two interleaved temporal views)
+    assert ssi(41, 8, "test") == [0, 2, 5, 7, 10, 12, 15, 17, 20, 23, 25,
+                                  28, 30, 33, 35, 38]
+    # validation: segment centers int(tick/2 + tick*x)
+    assert ssi(41, 8, "validation") == [2, 7, 12, 17, 23, 28, 33, 38]
+    assert ssi(5, 8, "validation") == [0, 0, 1, 2, 2, 3, 4, 4]
+    # train: arange(T)*avg + randint(avg) (seed 0)
+    got = ssi(41, 8, "train", rng=np.random.default_rng(0))
+    assert got == [4, 8, 12, 16, 21, 25, 30, 35]
+    # degenerate: video shorter than T
+    assert ssi(4, 8, "train", rng=np.random.default_rng(0)) == [0] * 8
+
+
+def test_ssv2_video_dataset_test_protocol(tmp_path):
+    """SSVideoClsDataset: 2 temporal views x crops, [chunk::2] slicing,
+    short_side test windows (ssv2.py:406-486)."""
+    from unite_tpu.data.datasets_extra import SSVideoClsDataset
+    from unite_tpu.data.video_reader import SyntheticVideoReader
+
+    p = tmp_path / "a.csv"
+    p.write_text("".join(f"v{i}.mp4 {i % 3}\n" for i in range(4)))
+    ds = SSVideoClsDataset(
+        str(p), num_segment=4, mode="test", clip_len=1, crop_size=32,
+        short_side_size=32, test_num_crop=3,
+        reader=SyntheticVideoReader(48, 64, frames=40), seed=0)
+    assert len(ds) == 2 * 3 * 4  # 2 temporal x 3 spatial x 4 videos
+    clip, label, vid, chunk_nb, split_nb = ds[0]
+    assert clip.shape == (4, 32, 32, 3)  # num_segment frames after [0::2]
+    assert chunk_nb in (0, 1) and split_nb in (0, 1, 2)
+
+    ds_tr = SSVideoClsDataset(
+        str(p), num_segment=4, mode="train", clip_len=1, crop_size=32,
+        short_side_size=32, aa="", reprob=0.0,
+        reader=SyntheticVideoReader(48, 64, frames=40), seed=0)
+    clip, label, idx, _ = ds_tr[1]
+    assert clip.shape == (4, 32, 32, 3)

@@ -193,3 +193,18 @@ def test_stage1_resume_bitwise(tmp_path):
     got = _read_epoch_stats(str(tmp_path / "b"))
     for e in (0, 1, 2):
         assert got[e] == ref[e], f"epoch {e}: {got[e]} != {ref[e]}"
+
+
+@pytest.mark.slow
+def test_stage2_reset_train_dataset(tmp_path):
+    """--reset_train_dataset remakes the loader each epoch and re-draws the
+    train_fraction subset (ref run_stage2.py:440-453, 754)."""
+    from unite_tpu.train.run_stage2 import main
+
+    args = _stage2_args(tmp_path, tmp_path / "r", 2)
+    args.reset_train_dataset = True
+    args.train_fraction = 0.5
+    main(args)
+    got = _read_epoch_stats(str(tmp_path / "r"))
+    assert set(got) == {0, 1}
+    assert all(np.isfinite(v) for v in got.values())

@@ -61,10 +61,15 @@ def _install_timm_shim():
     models.registry = registry
     models.layers = layers
     timm.models = models
-    sys.modules.update({
-        "timm": timm, "timm.models": models,
-        "timm.models.registry": registry, "timm.models.layers": layers,
-    })
+    import importlib.machinery
+
+    mods = {"timm": timm, "timm.models": models,
+            "timm.models.registry": registry, "timm.models.layers": layers}
+    for name, mod in mods.items():
+        # a real ModuleSpec so importlib.util.find_spec('timm') (e.g. in
+        # transformers' availability probes) doesn't raise on __spec__=None
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    sys.modules.update(mods)
 
 
 def _ref_modules():

@@ -65,6 +65,7 @@ def build_pretraining_dataset(args, anno_path: Optional[str] = None,
         fraction=getattr(args, "fraction", 1.0),
         reader=reader,
         seed=getattr(args, "seed", None),
+        device_normalize=getattr(args, "device_normalize", False),
     )
 
 
@@ -88,6 +89,12 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         from unite_tpu.data.datasets_extra import SSRawFrameClsDataset as DS
 
         extra = {"name_pattern": getattr(args, "name_pattern", "img_{:05}.jpg")}
+    elif data_set == "SSV2":
+        # decord-video variant (ref build.py:165-176: use_decord default;
+        # num_segment = num_frames, clip_len = 1)
+        from unite_tpu.data.datasets_extra import SSVideoClsDataset as DS
+
+        extra = {"num_segment": args.num_frames}
     elif data_set == "Kinetics":  # dense sampling family (kinetics.py)
         from unite_tpu.data.datasets_extra import VideoClsDatasetDense as DS
 
@@ -116,6 +123,7 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         no_horizontal_flip=(data_set == "SSV2"),
         reader=reader,
         seed=getattr(args, "seed", None),
+        device_normalize=getattr(args, "device_normalize", False),
     )
     assert nb_classes > 0, "nb_classes must be resolved (build.py:254)"
     return ds, nb_classes

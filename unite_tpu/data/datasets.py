@@ -98,6 +98,7 @@ class VideoClsDatasetSparse:
         no_horizontal_flip: bool = False,
         reader: Optional[VideoReaderBase] = None,
         seed: Optional[int] = None,
+        device_normalize: bool = False,
     ):
         assert mode in ("train", "validation", "test")
         self.mode = mode
@@ -116,6 +117,11 @@ class VideoClsDatasetSparse:
         self.reader = reader or default_reader()
         self.seed = 0 if seed is None else int(seed)
         self.epoch = 0
+        # uint8 output mode: keep frames uint8 through crop/flip/erase and
+        # normalize on device (ops/normalize.normalize_videos) — 4x fewer
+        # H2D bytes. Host-normalized fp32 (the reference pipeline) is the
+        # parity default; interpolation then happens pre-quantization.
+        self.device_normalize = device_normalize
 
         self.samples, self.labels = load_annotations(anno_path, sep)
         if train_fraction < 1.0 and mode == "train":
@@ -189,7 +195,7 @@ class VideoClsDatasetSparse:
                  "interpolation": interp},
             )
             buffer = _from_pil(augment(_to_pil(buffer), rng))
-        clip = T.tensor_normalize(buffer)
+        clip = buffer if self.device_normalize else T.tensor_normalize(buffer)
         clip = T.spatial_sampling(
             clip, spatial_idx=-1, min_scale=256, max_scale=320,
             crop_size=self.crop_size,
@@ -201,6 +207,8 @@ class VideoClsDatasetSparse:
             erase = RandomErasing(reprob, mode=self.remode,
                                   max_count=self.recount, cube=True)
             clip = erase(np.ascontiguousarray(clip), rng)
+        if self.device_normalize:
+            return np.ascontiguousarray(clip).astype(np.uint8)
         return clip.astype(np.float32)
 
     # -- items -------------------------------------------------------------
@@ -222,19 +230,25 @@ class VideoClsDatasetSparse:
 
         if self.mode == "validation":
             buffer, path, label, _, _ = self._load_with_retry(index, 0, rng)
-            clip = T.val_transform(buffer, self.short_side_size, self.crop_size)
+            clip = T.val_transform(buffer, self.short_side_size,
+                                   self.crop_size,
+                                   normalize=not self.device_normalize)
+            clip = clip.astype(
+                np.uint8 if self.device_normalize else np.float32)
             vid = path.split("/")[-1].split(".")[0]
             if self.return_aug_for_val:
                 # milder policy for the stage-3 target stream (:174-182)
                 aug = self._aug_frame(buffer, rng, aa="rand-m3-n2-mstd0.5-inc1",
                                       reprob=0.0)
-                return clip.astype(np.float32), aug, label, vid
-            return clip.astype(np.float32), label, vid
+                return clip, aug, label, vid
+            return clip, label, vid
 
         # test: short-side resize then strided spatial window (:186-208)
         buffer, path, label, split_nb, chunk_nb = self._load_with_retry(
             index, 0, rng)
-        buffer = T.resize_clip(buffer.astype(np.float32), self.short_side_size)
+        buffer = T.resize_clip(
+            buffer if self.device_normalize else buffer.astype(np.float32),
+            self.short_side_size)
         h, w = buffer.shape[1], buffer.shape[2]
         long_side = max(h, w)
         if self.test_num_crop == 1:
@@ -246,9 +260,12 @@ class VideoClsDatasetSparse:
             buffer = buffer[:, start : start + self.short_side_size, :, :]
         else:
             buffer = buffer[:, :, start : start + self.short_side_size, :]
-        clip = T.tensor_normalize(buffer)
         vid = path.split("/")[-1].split(".")[0]
-        return clip.astype(np.float32), label, vid, chunk_nb, split_nb
+        if self.device_normalize:
+            clip = np.ascontiguousarray(buffer).astype(np.uint8)
+        else:
+            clip = T.tensor_normalize(buffer).astype(np.float32)
+        return clip, label, vid, chunk_nb, split_nb
 
 
 class VideoMAEPretrainDataset:
@@ -272,7 +289,9 @@ class VideoMAEPretrainDataset:
         sep: str = " ",
         reader: Optional[VideoReaderBase] = None,
         seed: Optional[int] = None,
+        device_normalize: bool = False,
     ):
+        self.device_normalize = device_normalize
         self.seed = 0 if seed is None else int(seed)
         self.epoch = 0
         self.samples, self.labels = load_annotations(anno_path, sep)
@@ -317,6 +336,26 @@ class VideoMAEPretrainDataset:
 
     def _transform(self, clip: np.ndarray,
                    rng: np.random.Generator) -> np.ndarray:
+        if (self.device_normalize and self.color_jitter is None
+                and self.gray is None):
+            # uint8 fast path: identical geometry draws (same _sample_crop
+            # rng calls), numpy slice + SIMD cv2 resize instead of per-frame
+            # PIL objects; /255 + mean/std fuse into the jitted step
+            import cv2
+
+            h, w = clip.shape[1], clip.shape[2]
+            crop_w, crop_h, x1, y1 = self.crop._sample_crop((w, h), rng)
+            out = clip[:, y1:y1 + crop_h, x1:x1 + crop_w]
+            tw, th = self.crop.input_size
+            if (crop_w, crop_h) != (tw, th):
+                out = np.stack([
+                    cv2.resize(f, (tw, th), interpolation=cv2.INTER_LINEAR)
+                    for f in out
+                ])
+            if self.flip is not None and rng.random() < self.flip.prob:
+                out = out[:, :, ::-1]
+            return np.ascontiguousarray(out)
+
         frames = _to_pil(clip)
         frames = self.crop(frames, rng)
         if self.color_jitter is not None:
@@ -325,6 +364,8 @@ class VideoMAEPretrainDataset:
             frames = self.gray(frames, rng)
         if self.flip is not None:
             frames = self.flip(frames, rng)
+        if self.device_normalize:
+            return _from_pil(frames)
         return T.stack_normalize(frames).astype(np.float32)
 
     def __getitem__(self, index: int):

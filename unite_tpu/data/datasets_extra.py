@@ -22,13 +22,13 @@ from unite_tpu.data.datasets import (
     VideoClsDatasetSparse,
     load_annotations,
 )
-from unite_tpu.data.samplers import dense_frame_indices
 from unite_tpu.data.video_reader import VideoReaderBase
 
 
 class VideoClsDatasetDense(VideoClsDatasetSparse):
-    """Dense fixed-stride sampling (kinetics.py): clip_len frames at
-    frame_sample_rate; test chunks are evenly-spaced window starts."""
+    """Dense fixed-stride sampling (kinetics.py VideoClsDataset): clip_len
+    frames at frame_sample_rate; index arithmetic is the exact port in
+    samplers.dense_segment_indices (kinetics.py:281-320)."""
 
     def __init__(self, *args, frame_sample_rate: int = 2, **kwargs):
         self.frame_sample_rate = frame_sample_rate
@@ -36,20 +36,16 @@ class VideoClsDatasetDense(VideoClsDatasetSparse):
 
     def _load_clip(self, path: str, chunk_nb: int,
                    rng: np.random.Generator) -> np.ndarray:
+        from unite_tpu.data.samplers import dense_segment_indices
+
         n = self.reader.num_frames(path)
         if n <= 0:
             raise RuntimeError(f"empty video {path}")
-        span = self.clip_len * self.frame_sample_rate
-        if chunk_nb == -1:  # train: random window
-            idx = dense_frame_indices(n, self.clip_len, self.frame_sample_rate,
-                                      rng=rng)
-        else:
-            nseg = self.test_num_segment if self.mode == "test" else 1
-            max_start = max(0, n - span)
-            start = (max_start * chunk_nb) // max(1, nseg - 1) if nseg > 1 \
-                else max_start // 2
-            idx = dense_frame_indices(n, self.clip_len, self.frame_sample_rate,
-                                      start=start)
+        idx = dense_segment_indices(
+            n, self.clip_len, self.frame_sample_rate,
+            mode=self.mode, chunk_nb=max(chunk_nb, 0),
+            test_num_segment=self.test_num_segment, rng=rng,
+        )
         return self.reader.get_batch(path, idx)
 
 
@@ -109,3 +105,70 @@ class SSRawFrameClsDataset(VideoClsDatasetSparse):
         idx = sparse_frame_indices(count, self.clip_len, clip_idx=chunk_nb,
                                    test_num_segment=nseg, rng=rng)
         return self.reader.get_batch(path, idx)
+
+
+class SSVideoClsDataset(VideoClsDatasetSparse):
+    """Something-Something decord-video dataset (ssv2.py:342-617).
+
+    Built with ``num_segment = num_frames`` and ``clip_len = 1`` in the
+    reference factory (build.py:170-185); index arithmetic is the exact port
+    in samplers.ssv2_segment_indices. Test protocol: the decode returns two
+    interleaved temporal views (segment centers + segment starts, sorted);
+    view ``chunk_nb`` is ``buffer[chunk_nb::2]`` after the short-side resize
+    (ssv2.py:468-486), then the strided spatial window. Horizontal flip is
+    disabled (ssv2 temporal semantics)."""
+
+    def __init__(self, anno_path: str, num_segment: int = 8, **kwargs):
+        kwargs.setdefault("no_horizontal_flip", True)
+        kwargs.setdefault("test_num_segment", 2)
+        super().__init__(anno_path, **kwargs)
+        self.num_segment = num_segment
+        if self.mode == "test":
+            # two temporal views regardless of the sparse default
+            self.test_items = [
+                (ck, cp, i)
+                for ck in range(min(self.test_num_segment, 2))
+                for cp in range(self.test_num_crop)
+                for i in range(len(self.samples))
+            ]
+
+    def _load_clip(self, path: str, chunk_nb: int,
+                   rng: np.random.Generator) -> np.ndarray:
+        from unite_tpu.data.samplers import ssv2_segment_indices
+
+        n = self.reader.num_frames(path)
+        if n <= 0:
+            raise RuntimeError(f"empty video {path}")
+        idx = ssv2_segment_indices(n, self.num_segment, self.mode, rng)
+        return self.reader.get_batch(path, idx)
+
+    def __getitem__(self, index: int):
+        if self.mode != "test":
+            return super().__getitem__(index)
+        from unite_tpu.data.datasets import _item_rng
+
+        rng = _item_rng(self.seed, self.epoch, index)
+        buffer, path, label, split_nb, chunk_nb = self._load_with_retry(
+            index, 0, rng)
+        buffer = T.resize_clip(
+            buffer if self.device_normalize else buffer.astype(np.float32),
+            self.short_side_size)
+        buffer = buffer[chunk_nb::2]  # temporal view (ssv2.py:475-481)
+        h, w = buffer.shape[1], buffer.shape[2]
+        long_side = max(h, w)
+        if self.test_num_crop == 1:
+            start = int((long_side - self.short_side_size) / 2)
+        else:
+            step = ((long_side - self.short_side_size)
+                    / (self.test_num_crop - 1))
+            start = int(split_nb * step)
+        if h >= w:
+            buffer = buffer[:, start:start + self.short_side_size, :, :]
+        else:
+            buffer = buffer[:, :, start:start + self.short_side_size, :]
+        vid = path.split("/")[-1].split(".")[0]
+        if self.device_normalize:
+            clip = np.ascontiguousarray(buffer).astype(np.uint8)
+        else:
+            clip = T.tensor_normalize(buffer).astype(np.float32)
+        return clip, label, vid, chunk_nb, split_nb

@@ -35,17 +35,28 @@ class RandomErasing:
         self.per_pixel = mode == "pixel"
         assert mode in ("rand", "pixel", "const")
 
-    def _fill(self, shape, rng: np.random.Generator):
+    def _fill(self, shape, rng: np.random.Generator, uint8: bool = False):
         if self.per_pixel:
-            return rng.standard_normal(shape).astype(np.float32)
-        if self.rand_color:
-            return rng.standard_normal(
+            fill = rng.standard_normal(shape).astype(np.float32)
+        elif self.rand_color:
+            fill = rng.standard_normal(
                 (1,) * (len(shape) - 1) + (shape[-1],)
             ).astype(np.float32)
-        return np.zeros(shape, np.float32)
+        else:
+            fill = np.zeros(shape, np.float32)
+        if uint8:
+            # uint8 input path (device-side normalization): map the
+            # normalized-space noise N(0,1) into pixel space so the erased
+            # region normalizes back to ~N(0,1) on device
+            from unite_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            fill = (fill * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+            return np.clip(np.round(fill), 0, 255).astype(np.uint8)
+        return fill
 
     def _erase_cube(self, clip: np.ndarray, rng: np.random.Generator):
         t, h, w, c = clip.shape
+        uint8 = clip.dtype == np.uint8
         area = h * w
         count = (self.min_count if self.min_count == self.max_count
                  else int(rng.integers(self.min_count, self.max_count + 1)))
@@ -61,13 +72,13 @@ class RandomErasing:
                     top = int(rng.integers(0, h - eh + 1))
                     left = int(rng.integers(0, w - ew + 1))
                     if self.cube:
-                        fill = self._fill((eh, ew, c), rng)
+                        fill = self._fill((eh, ew, c), rng, uint8)
                         for ti in range(t):
                             clip[ti, top : top + eh, left : left + ew] = fill
                     else:
                         for ti in range(t):
                             clip[ti, top : top + eh, left : left + ew] = (
-                                self._fill((eh, ew, c), rng)
+                                self._fill((eh, ew, c), rng, uint8)
                             )
                     break
         return clip

@@ -69,6 +69,97 @@ def dense_frame_indices(
     return [min(i, max_frame) for i in seq]
 
 
+def dense_segment_indices(
+    video_size: int,
+    clip_len: int,
+    frame_sample_rate: int,
+    mode: str,
+    chunk_nb: int = 0,
+    test_num_segment: int = 5,
+    num_segment: int = 1,
+    rng: Optional[np.random.Generator] = None,
+) -> List[int]:
+    """EXACT port of the dense loader's index arithmetic
+    (kinetics.py:281-320 loadvideo_decord):
+
+    * test: evenly-spaced window starts over ``test_num_segment`` chunks,
+      stride ``frame_sample_rate``, repeat-padded to ``clip_len``;
+    * train: per segment, linspace over a random window
+      [end-converted, end), end ~ randint(converted, seg_len);
+    * validation: the deterministic end ``(seg_len - converted)//2``
+      (replicated faithfully — including its early-clip placement);
+    * short videos (seg_len <= converted): linspace(0, seg_len) padded with
+      the last frame.
+    """
+    converted_len = int(clip_len * frame_sample_rate)
+    if mode == "test":
+        step = (max(1.0 * (video_size - converted_len)
+                    / (test_num_segment - 1), 0)
+                if test_num_segment > 1 else 0.0)
+        start = int(chunk_nb * step)
+        bound = min(start + converted_len, video_size)
+        idx = list(range(start, bound, frame_sample_rate))
+        while len(idx) < clip_len:
+            idx.append(idx[-1])
+        return idx
+
+    seg_len = video_size // num_segment
+    all_index: List[int] = []
+    for i in range(num_segment):
+        if seg_len <= converted_len:
+            n = seg_len // frame_sample_rate
+            index = np.linspace(0, seg_len, num=n)
+            index = np.concatenate(
+                (index, np.ones(clip_len - n) * seg_len))
+            index = np.clip(index, 0, seg_len - 1).astype(np.int64)
+        else:
+            if mode == "validation":
+                end_idx = (seg_len - converted_len) // 2
+            else:
+                rng = rng or np.random.default_rng()
+                end_idx = int(rng.integers(converted_len, seg_len))
+            str_idx = end_idx - converted_len
+            index = np.linspace(str_idx, end_idx, num=clip_len)
+            index = np.clip(index, str_idx, end_idx - 1).astype(np.int64)
+        all_index.extend((index + i * seg_len).tolist())
+    return [int(i) for i in all_index]
+
+
+def ssv2_segment_indices(
+    video_size: int,
+    num_segment: int,
+    mode: str,
+    rng: Optional[np.random.Generator] = None,
+) -> List[int]:
+    """EXACT port of SSVideoClsDataset.loadvideo_decord's TSN arithmetic
+    (ssv2.py:580-607):
+
+    * train: ``arange(T)*avg + randint(avg, size=T)`` per segment (sorted
+      random over the video when segments are empty, zeros when too short);
+    * validation: segment centers ``int(tick/2 + tick*x)``;
+    * test: sorted centers + starts (two interleaved temporal views;
+      __getitem__ slices ``[chunk_nb::2]``), repeat-padded.
+    """
+    rng = rng or np.random.default_rng()
+    if mode == "test":
+        tick = video_size / float(num_segment)
+        idx = ([int(tick / 2.0 + tick * x) for x in range(num_segment)]
+               + [int(tick * x) for x in range(num_segment)])
+        return np.sort(np.array(idx)).tolist()
+    if mode == "validation":
+        tick = video_size / float(num_segment)
+        return [int(tick / 2.0 + tick * x) for x in range(num_segment)]
+    avg = video_size // num_segment
+    if avg > 0:
+        idx = (np.multiply(list(range(num_segment)), avg)
+               + rng.integers(0, avg, size=num_segment))
+        return [int(i) for i in idx]
+    if video_size > num_segment:
+        return np.sort(
+            rng.integers(0, video_size, size=num_segment)).tolist()
+    return [0] * num_segment
+
+
 def pretrain_segment_indices(
     num_video_frames: int,
     num_segments: int,

@@ -332,8 +332,11 @@ def spatial_sampling(clip: np.ndarray, spatial_idx: int = -1,
 
 
 def val_transform(clip: np.ndarray, short_side_size: int,
-                  crop_size: int) -> np.ndarray:
-    """Resize(short side) + CenterCrop + Normalize (kinetics_sparse.py:101-108)."""
+                  crop_size: int, normalize: bool = True) -> np.ndarray:
+    """Resize(short side) + CenterCrop + Normalize (kinetics_sparse.py:101-108).
+
+    ``normalize=False`` keeps the uint8 representation for device-side
+    normalization."""
     clip = resize_clip(clip, short_side_size)
     clip = center_crop(clip, crop_size)
-    return tensor_normalize(clip)
+    return tensor_normalize(clip) if normalize else clip

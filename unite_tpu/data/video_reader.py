@@ -173,14 +173,25 @@ class SyntheticVideoReader(VideoReaderBase):
         return 40 + self._seed(path) % 80
 
     def get_batch(self, path: str, indices: Sequence[int]) -> np.ndarray:
+        # the content formula (yy*base + xx*(255-base) + 7i) mod 256 is
+        # separable: precompute per-row and per-column byte patterns, then
+        # broadcast-add in uint8 — native wraparound IS the mod 256, so the
+        # hot loop is two uint8 adds per element (bitwise-identical to the
+        # naive int64 formula)
         seed = self._seed(path)
-        out = np.empty((len(indices), self.height, self.width, 3), np.uint8)
-        yy, xx = np.mgrid[0 : self.height, 0 : self.width]
-        for n, i in enumerate(indices):
-            rng = np.random.default_rng(seed + int(i))
-            base = rng.integers(0, 255, size=3)
-            out[n] = ((yy[..., None] * base + xx[..., None] * (255 - base)
-                       + int(i) * 7) % 256).astype(np.uint8)
+        idx = np.asarray(list(indices), np.int64)
+        base = np.stack([
+            np.random.default_rng(seed + int(i)).integers(0, 255, size=3)
+            for i in idx
+        ])  # [N, 3]
+        yy = np.arange(self.height, dtype=np.int64)
+        xx = np.arange(self.width, dtype=np.int64)
+        row = ((yy[None, :, None] * base[:, None, :]) % 256).astype(np.uint8)
+        col = ((xx[None, :, None] * (255 - base)[:, None, :]) % 256).astype(
+            np.uint8)
+        off = ((idx * 7) % 256).astype(np.uint8)
+        out = row[:, :, None, :] + col[:, None, :, :]  # uint8 wrap = mod 256
+        out += off[:, None, None, None]
         return out
 
 

@@ -343,7 +343,10 @@ def build_zero_shot_fn(args, teacher, teacher_params):
 
     @jax.jit
     def zero_shot(videos):
-        feats = teacher.apply({"params": teacher_params}, videos, None, True)
+        from unite_tpu.ops.normalize import normalize_videos
+
+        feats = teacher.apply({"params": teacher_params},
+                              normalize_videos(videos), None, True)
         b = videos.shape[0]
         feats = feats.reshape(b, -1, feats.shape[-1])  # [B, T, D]
         logits = 100.0 * jnp.einsum("btd,cd->btc", feats.astype(jnp.float32), tf)

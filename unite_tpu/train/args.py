@@ -70,6 +70,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--flip", type=str2bool, default=True)
     p.add_argument("--synthetic_data", type=str2bool, default=False,
                    help="use the synthetic video reader (tests/benchmarks)")
+    p.add_argument("--device_normalize", type=str2bool, default=False,
+                   help="ship uint8 clips and fuse /255+mean/std into the "
+                        "jitted step (4x fewer H2D bytes; host-normalized "
+                        "fp32 is the reference-parity default)")
     # optimizer / schedules
     p.add_argument("--opt", default="adamw")
     p.add_argument("--opt_eps", type=float, default=1e-8)
@@ -197,6 +201,10 @@ def stage2_parser() -> argparse.ArgumentParser:
     # eval
     p.add_argument("--eval", type=str2bool, default=False)
     p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--reset_train_dataset", type=str2bool, default=False,
+                   help="recreate the train dataset every epoch (re-draws "
+                        "the train_fraction subset; ref run_stage2.py:"
+                        "440-453,754)")
     p.add_argument("--eval_data_path", default=None)
     p.add_argument("--dist_eval", type=str2bool, default=True)
     p.add_argument("--disable_eval_during_finetuning", type=str2bool,

@@ -175,6 +175,16 @@ def _scalar_metrics(metrics) -> Dict[str, float]:
             if getattr(v, "ndim", 0) == 0}
 
 
+def as_video_array(x) -> np.ndarray:
+    """Host batch dtype policy: uint8 stays uint8 (device-side normalize,
+    1 byte/px over the H2D link), everything else ships fp32 (cast to bf16
+    by cast_videos_bf16)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    return x.astype(np.float32, copy=False)
+
+
 def _batch_clips(batch) -> int:
     """Global clip count of a (possibly sharded) batch dict."""
     for key in ("videos", "videos_s"):
@@ -208,7 +218,7 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
         true_n = np.asarray(clips).shape[0]
         host = _pad_batch({"videos": clips, "labels": labels}, batch_size)
         dev = pmesh.shard_batch(
-            {"videos": host["videos"].astype(np.float32),
+            {"videos": as_video_array(host["videos"]),
              "labels": host["labels"].astype(np.int32)}, mesh)
         out = eval_step(state, dev)
         probs = np.asarray(out["probs"])[:true_n]
@@ -252,7 +262,7 @@ def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
     for batch in loader:
         clips, labels, vids, chunk_nb, split_nb = batch
         true_n = np.asarray(clips).shape[0]
-        host = _pad_batch({"videos": np.asarray(clips, np.float32),
+        host = _pad_batch({"videos": as_video_array(clips),
                            "labels": np.asarray(labels, np.int32)}, batch_size)
         dev = pmesh.shard_batch(host, mesh)
         out = eval_step(state, dev)

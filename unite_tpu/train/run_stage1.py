@@ -205,7 +205,7 @@ def main(args):
                 videos = np.concatenate([videos, videos_t], 0)
                 if args.mask_type not in ("attention",):
                     mask = np.concatenate([mask, mask_t], 0)
-            batch = {"videos": np.asarray(videos, np.float32)}
+            batch = {"videos": common.as_video_array(videos)}
             if args.mask_type not in ("attention",):
                 bool_mask = np.asarray(mask).astype(bool).reshape(
                     videos.shape[0], -1)

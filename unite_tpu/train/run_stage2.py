@@ -214,11 +214,23 @@ def main(args):
         loader.set_epoch(epoch)
         for clips, labels, _, _ in loader:
             yield pmesh.shard_batch(pmesh.cast_videos_bf16(
-                {"videos": np.asarray(clips, np.float32),
+                {"videos": common.as_video_array(clips),
                  "labels": np.asarray(labels, np.int32)}), mesh)
 
     best_acc = -1.0
     for epoch in range(start_epoch, args.epochs):
+        if args.reset_train_dataset and epoch > start_epoch:
+            # remake_train_dataloader (run_stage2.py:440-453): fresh dataset
+            # each epoch re-draws the train_fraction subset; epoch-salted
+            # seed keeps the run deterministic
+            import copy
+
+            a2 = copy.copy(args)
+            a2.seed = args.seed + 100003 * epoch
+            ds_train, _ = build_dataset(
+                "train", a2, anno_path=args.ann_file_train, reader=reader)
+            loader = common.make_loader(ds_train, args, args.batch_size)
+            print("Made new train dataloader.")
         if args.lp_ft_epochs > 0 and epoch == args.lp_ft_epochs:
             # LP→FT switch: rebuild the optimizer with everything unfrozen
             # (fresh optimizer state for the newly-trainable params —

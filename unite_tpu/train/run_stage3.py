@@ -202,10 +202,10 @@ def main(args):
         for clips_s, labels_s, _, _ in src_loader:
             clean_t, aug_t, labels_t, _names = next(tgt_iter)
             batch = {
-                "videos_s": np.asarray(clips_s, np.float32),
+                "videos_s": common.as_video_array(clips_s),
                 "labels_s": np.asarray(labels_s, np.int32),
-                "videos_t": np.asarray(clean_t, np.float32),
-                "videos_t_aug": np.asarray(aug_t, np.float32),
+                "videos_t": common.as_video_array(clean_t),
+                "videos_t_aug": common.as_video_array(aug_t),
                 "labels_t": np.asarray(labels_t, np.int32),
                 # shipped reference uses zero thresholds (run_stage3.py:1303)
                 "classwise_thresholds": np.zeros(args.nb_classes, np.float32),
