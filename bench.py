@@ -186,7 +186,10 @@ def main():
     from unite_tpu.train.train_state import TrainState
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    B = int(args[0]) if args else 24
+    # B=64 matches the reference's per-GPU batch (stage1.sh:23) and is the
+    # fastest point of the measured scan (24: 217, 32: 219, 48: 229, 64: 234
+    # clips/s on v5e)
+    B = int(args[0]) if args else 64
     loader_fed = "--loader" in sys.argv
     frames, img, mask_ratio = 8, 224, 0.8
     n_patch = frames * (img // 16) ** 2

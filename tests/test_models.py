@@ -177,6 +177,31 @@ def test_clip_teacher_forward():
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
 
+def test_clip_raw_taps_project_equivalence():
+    """gather→project_clip_taps == project-everything→gather (the stage-1
+    engine's reordering of the teacher's frozen per-token projection)."""
+    from unite_tpu.models.clip import CLIPVisionTransformer, project_clip_taps
+
+    m = CLIPVisionTransformer(
+        input_resolution=32, patch_size=16, width=32, layers=3, heads=2,
+        output_dim=24, return_attn=True, return_index=(1, 2),
+    )
+    params = m.init(jax.random.PRNGKey(0), video())["params"]
+    z_full, _ = m.apply({"params": params}, video())
+    raw, attn = m.apply({"params": params}, video(), raw_taps=True)
+    assert raw.shape == (2, 2, 16, 32)  # [K, B, T*HW, width]
+    assert attn.shape == (8, 4)
+
+    vis_idx = jnp.array([[0, 3, 5, 9, 12, 14], [1, 2, 6, 8, 11, 15]])
+    raw_vis = jnp.take_along_axis(raw, vis_idx[None, :, :, None], axis=2)
+    z_vis = project_clip_taps(params, raw_vis, dtype=m.dtype)
+    want = jnp.take_along_axis(z_full, vis_idx[None, :, :, None], axis=2)
+    np.testing.assert_allclose(
+        np.asarray(z_vis, np.float32), np.asarray(want, np.float32),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
 def test_clip_teacher_return_cls():
     from unite_tpu.models.clip import CLIPVisionTransformer
     m = CLIPVisionTransformer(

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from unite_tpu.engines.losses import clip_alignment_loss
+from unite_tpu.models.clip import project_clip_taps
 from unite_tpu.ops.normalize import normalize_videos
 from unite_tpu.ops.masking import (
     attention_multinomial_mask,
@@ -81,8 +82,13 @@ def make_pretrain_train_step(
         mask_rng, drop_rng = jax.random.split(step_rng)
 
         clip_videos = resize_for_teacher(videos, clip_input_resolution)
-        z, attn = teacher.apply({"params": teacher_params}, clip_videos)
-        z = jax.lax.stop_gradient(z)  # [K, B, T*HW, C_clip]
+        # raw taps: ln_post/proj/L2 are per-token, so they run AFTER the
+        # visible-token gather below (~20% of tokens at mask_ratio 0.8) —
+        # math-identical to projecting everything then gathering.
+        z_raw, attn = teacher.apply(
+            {"params": teacher_params}, clip_videos, raw_taps=True
+        )
+        z_raw = jax.lax.stop_gradient(z_raw)  # [K, B, T*HW, width]
         attn = jax.lax.stop_gradient(attn)  # [B*T, HW]
 
         if "vis_idx" in batch:
@@ -98,10 +104,15 @@ def make_pretrain_train_step(
             raise ValueError(
                 f"mask_type {mask_type!r} requires vis_idx in the batch")
 
-        # masked CLIP-target gather (run_stage1.py:389-397)
-        targets_clip = jnp.take_along_axis(
-            z, vis_idx[None, :, :, None], axis=2
-        )  # [K, B, N_vis, C]
+        # masked CLIP-target gather (run_stage1.py:389-397), then the
+        # teacher's frozen projection on the visible subset only
+        raw_vis = jnp.take_along_axis(
+            z_raw, vis_idx[None, :, :, None], axis=2
+        )  # [K, B, N_vis, width]
+        targets_clip = project_clip_taps(
+            teacher_params, raw_vis,
+            clip_norm_type=teacher.clip_norm_type, dtype=teacher.dtype,
+        )  # [K, B, N_vis, C_clip]
 
         def loss_fn(params):
             x_clip = student.apply(

@@ -67,11 +67,17 @@ class AdaptationEncoder(nn.Module):
         n_patch = num_patches(
             self.img_size, self.patch_size, self.num_frames, self.tubelet_size
         )
-        x = PatchEmbed(
+        embed = PatchEmbed(
             embed_dim=self.embed_dim, patch_size=self.patch_size,
             tubelet_size=self.tubelet_size, dtype=self.dtype,
             kernel_init=xavier_uniform, name="patch_embed",
-        )(x.astype(self.dtype))
+        )
+        # Without a CLS token the mask gather moves BEFORE the patch
+        # projection (row-wise identical, ~5x less embed work+grad at
+        # mask_ratio 0.8); the CLS path keeps the reference order
+        # (modeling_adaptation.py:147-153).
+        gather_early = vis_idx is not None and not self.use_cls_token
+        x = embed(x.astype(self.dtype), vis_idx if gather_early else None)
         b = x.shape[0]
 
         seq = n_patch + (1 if self.use_cls_token else 0)
@@ -88,18 +94,20 @@ class AdaptationEncoder(nn.Module):
             )
         else:
             pos_embed = get_sinusoid_encoding_table(seq, self.embed_dim)
-        x = x + jnp.asarray(pos_embed).astype(x.dtype)
+        pos = jnp.broadcast_to(
+            jnp.asarray(pos_embed).astype(x.dtype), (b, seq, self.embed_dim)
+        )
+        if gather_early:
+            pos = gather_tokens(pos, vis_idx)
+        x = x + pos
 
         # Mask gather: CLS token (if any) stays outside masking
         # (reference modeling_adaptation.py:147-153).
-        if vis_idx is not None:
-            if self.use_cls_token:
-                cls_tok, patches = x[:, :1], x[:, 1:]
-                x = jnp.concatenate(
-                    [cls_tok, gather_tokens(patches, vis_idx)], axis=1
-                )
-            else:
-                x = gather_tokens(x, vis_idx)
+        if vis_idx is not None and not gather_early:
+            cls_tok, patches = x[:, :1], x[:, 1:]
+            x = jnp.concatenate(
+                [cls_tok, gather_tokens(patches, vis_idx)], axis=1
+            )
 
         return_index = list(self.return_index)
         max_ret = max(return_index)

@@ -41,12 +41,23 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _dense(features: int, *, quantize: bool, use_bias: bool, dtype, name: str):
+    """nn.Dense, or its int8 twin when the frozen teacher is quantized."""
+    if quantize:
+        from unite_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
+
+
 class CLIPAttention(nn.Module):
     """Self-attention with packed qkv + full bias (torch MHA layout parity)."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, return_probs: bool = False):
@@ -55,8 +66,8 @@ class CLIPAttention(nn.Module):
         b, n, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
-        qkv = nn.Dense(
-            3 * c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+        qkv = _dense(
+            3 * c, quantize=self.quantize, use_bias=True, dtype=self.dtype,
             name="in_proj",
         )(x)
         probs = None
@@ -75,8 +86,8 @@ class CLIPAttention(nn.Module):
                 out, probs = out
                 probs = jnp.mean(probs, axis=1)  # head avg (torch MHA default)
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
-        out = nn.Dense(
-            c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+        out = _dense(
+            c, quantize=self.quantize, use_bias=True, dtype=self.dtype,
             name="out_proj",
         )(out)
         if return_probs:
@@ -90,12 +101,13 @@ class CLIPBlock(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, return_probs: bool = False):
         attn = CLIPAttention(
             num_heads=self.num_heads, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn",
+            use_pallas=self.use_pallas, quantize=self.quantize, name="attn",
         )
         h = LayerNorm(name="ln_1")(x)
         probs = None
@@ -107,11 +119,11 @@ class CLIPBlock(nn.Module):
 
         h = LayerNorm(name="ln_2")(x)
         dim = x.shape[-1]
-        h = nn.Dense(4 * dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="mlp_c_fc")(h)
+        h = _dense(4 * dim, quantize=self.quantize, use_bias=True,
+                   dtype=self.dtype, name="mlp_c_fc")(h)
         h = quick_gelu(h)
-        h = nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="mlp_c_proj")(h)
+        h = _dense(dim, quantize=self.quantize, use_bias=True,
+                   dtype=self.dtype, name="mlp_c_proj")(h)
         x = x + h
         if return_probs:
             return x, probs
@@ -134,9 +146,11 @@ class CLIPVisionTransformer(nn.Module):
     return_cls: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    quantize: bool = False  # int8 block matmuls (frozen teacher only)
 
     @nn.compact
-    def __call__(self, x, vis_idx=None, cls_features: bool = False):
+    def __call__(self, x, vis_idx=None, cls_features: bool = False,
+                 raw_taps: bool = False):
         """x: [B, T, H, W, 3] video.
 
         cls_features=True switches to image-encoder mode: returns ONLY the
@@ -149,8 +163,16 @@ class CLIPVisionTransformer(nn.Module):
         the flattened T'*HW patch grid (masked-teacher path, clip.py:154-160);
         N_vis_total must be divisible by T'.
 
+        raw_taps=True returns the tap stack BEFORE ln_post/proj/L2-norm
+        ([K, B, T'*HW_vis, width], CLS stripped). The stage-1 engine gathers
+        the ~20% visible tokens first and then applies ``project_clip_taps``
+        — per-token-identical math at a fifth of the projection cost (the
+        mask depends on this forward's own attention output, so the gather
+        cannot happen inside this call).
+
         Returns (z, attn?, cls?):
           z    [K, B, T'*HW_vis, output_dim] L2-normed CLIP features
+               (pre-projection width-dim taps when raw_taps)
           attn [B*T', HW] last-layer CLS→patch head-averaged probabilities
                (only when return_attn and vis_idx is None)
           cls  [B*T', width] last-layer CLS tokens (when return_cls)
@@ -201,7 +223,8 @@ class CLIPVisionTransformer(nn.Module):
                          and vis_idx is None and not cls_features)
             blk = CLIPBlock(
                 num_heads=self.heads, dtype=self.dtype,
-                use_pallas=self.use_pallas, name=f"resblocks_{i}",
+                use_pallas=self.use_pallas, quantize=self.quantize,
+                name=f"resblocks_{i}",
             )
             if want_attn:
                 x, probs = blk(x, return_probs=True)
@@ -229,23 +252,29 @@ class CLIPVisionTransformer(nn.Module):
 
         z = jnp.stack(taps)  # [K, B*T', 1+HW_vis, width]
         k = z.shape[0]
-        z = LayerNorm(name="ln_post")(z[:, :, 1:, :])  # strip CLS
-        z = z.reshape(k, b, t, hw_vis, self.width).reshape(
-            k, b, t * hw_vis, self.width
-        )
-        proj = self.param(
-            "proj", nn.initializers.normal(self.width**-0.5),
-            (self.width, self.output_dim), jnp.float32,
-        )
-        z = jnp.einsum(
-            "kbnc,cd->kbnd", z, proj.astype(z.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        if self.clip_norm_type == "l2":
-            z = z / jnp.linalg.norm(z.astype(jnp.float32), axis=-1, keepdims=True)
-        elif self.clip_norm_type != "none":
-            raise NotImplementedError(self.clip_norm_type)
-        z = z.astype(self.dtype)
+        z = z[:, :, 1:, :]  # strip CLS
+        if raw_taps:
+            z = z.reshape(k, b, t * hw_vis, self.width)
+        else:
+            z = LayerNorm(name="ln_post")(z)
+            z = z.reshape(k, b, t, hw_vis, self.width).reshape(
+                k, b, t * hw_vis, self.width
+            )
+            proj = self.param(
+                "proj", nn.initializers.normal(self.width**-0.5),
+                (self.width, self.output_dim), jnp.float32,
+            )
+            z = jnp.einsum(
+                "kbnc,cd->kbnd", z, proj.astype(z.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if self.clip_norm_type == "l2":
+                z = z / jnp.linalg.norm(
+                    z.astype(jnp.float32), axis=-1, keepdims=True
+                )
+            elif self.clip_norm_type != "none":
+                raise NotImplementedError(self.clip_norm_type)
+            z = z.astype(self.dtype)
 
         outs = [z]
         if self.return_attn:
@@ -253,6 +282,35 @@ class CLIPVisionTransformer(nn.Module):
         if self.return_cls:
             outs.append(cls_out)
         return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def project_clip_taps(params, taps, clip_norm_type: str = "l2",
+                      dtype=jnp.float32, output_dtype=None):
+    """ln_post + proj + L2-norm on a (gathered) tap stack [..., N, width].
+
+    Pure-function twin of the tail of ``CLIPVisionTransformer.__call__``
+    (reference clip.py:166-177): per-token ops, so applying it AFTER the
+    visible-token gather is mathematically identical to gathering the full
+    projected output — at ~20% of the cost for stage-1's mask_ratio 0.8.
+    ``params`` is the teacher's param dict (needs ``ln_post`` and ``proj``).
+    ``dtype`` must match the teacher module's compute dtype for bit-parity
+    with the fused path.
+    """
+    ln = params["ln_post"]
+    x32 = taps.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    y = (y * ln["scale"] + ln["bias"]).astype(taps.dtype)
+    z = jnp.einsum(
+        "...nc,cd->...nd", y, params["proj"].astype(y.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if clip_norm_type == "l2":
+        z = z / jnp.linalg.norm(z.astype(jnp.float32), axis=-1, keepdims=True)
+    elif clip_norm_type != "none":
+        raise NotImplementedError(clip_norm_type)
+    return z.astype(output_dtype if output_dtype is not None else dtype)
 
 
 @register_model

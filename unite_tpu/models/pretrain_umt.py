@@ -68,11 +68,14 @@ class PretrainEncoder(nn.Module):
         n_patch = num_patches(
             self.img_size, self.patch_size, self.num_frames, self.tubelet_size
         )
+        # mask gather BEFORE the patch projection (row-wise identical,
+        # ~5x less embed work+grad at mask_ratio 0.8)
         x = PatchEmbed(
             embed_dim=self.embed_dim, patch_size=self.patch_size,
             tubelet_size=self.tubelet_size, dtype=self.dtype,
             kernel_init=xavier_uniform, name="patch_embed",
-        )(x.astype(self.dtype))
+        )(x.astype(self.dtype), vis_idx)
+        b = x.shape[0]
 
         if self.use_learnable_pos_emb:
             pos_embed = self.param(
@@ -81,10 +84,12 @@ class PretrainEncoder(nn.Module):
             )
         else:
             pos_embed = get_sinusoid_encoding_table(n_patch, self.embed_dim)
-        x = x + jnp.asarray(pos_embed).astype(x.dtype)
-
+        pos = jnp.broadcast_to(
+            jnp.asarray(pos_embed).astype(x.dtype), (b, n_patch, self.embed_dim)
+        )
         if vis_idx is not None:
-            x = gather_tokens(x, vis_idx)
+            pos = gather_tokens(pos, vis_idx)
+        x = x + pos
 
         return_index = list(self.return_index)
         dpr = np.linspace(0, self.drop_path_rate, self.depth)

@@ -12,8 +12,11 @@ and clip.py:48-53). Design is TPU-first:
 * backward is two Pallas kernels (dQ blocked over queries; dK/dV blocked over
   keys) using the stored row logsumexp — the standard flash-attention
   recomputation split;
-* sequence lengths are padded to the 128-lane boundary inside the op; key
-  padding is masked with -inf, query padding rows are sliced off;
+* the blocked flash kernels pad sequence lengths to the 128-lane boundary
+  (key padding masked with -inf, query padding rows sliced off); the
+  fused-qkv kernels instead use blocks equal to the array dims and let
+  Mosaic mask the logical (197/314) tile padding — no jnp.pad HBM
+  round-trips, no in-kernel column masks;
 * an XLA einsum fallback runs on CPU (tests) and whenever attention-prob
   output or dropout is requested (teacher's last layer needs head-averaged
   CLS->patch probabilities, clip.py:95-96 — tiny, not worth a kernel).
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -477,14 +481,15 @@ def _qkv_attention_reference(qkv, heads: int, scale: float,
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, heads * d)
 
 
-def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale, seq_len):
-    # q_ref [GB, BQ, H·D] (q-row blocks of GB batch rows), k/v_ref
-    # [GB, S_pad, H·D] (full rows) — three lane-blocked views of the SAME
-    # qkv array, so only the needed lanes are DMA'd. Per-head
+def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
+    # q/k/v_ref [GB, S, H·D] — three lane-blocked views of the SAME qkv
+    # array, so only the needed lanes are DMA'd. S is the LOGICAL sequence
+    # length (197/314): blocks equal the array dim and Mosaic masks the
+    # physically padded sublanes/lanes itself — no explicit jnp.pad HBM
+    # round-trip outside, no in-kernel -inf column masking. Per-head
     # rank-preserving lane slices + leading-batch-dim MXU matmuls; several
     # batch rows per program amortize the program-launch overhead.
     xq, xk, xv = q_ref[...], k_ref[...], v_ref[...]
-    s_pad = xk.shape[1]
     d = xq.shape[2] // heads
     bdims = (((2,), (2,)), ((0,), (0,)))  # contract D, batch over dim 0
     for h in range(heads):
@@ -493,17 +498,14 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale, seq_len):
         v = xv[:, :, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, bdims, preferred_element_type=jnp.float32
-        )  # [GB, BQ, S]
-        if seq_len < s_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-            s = jnp.where(col < seq_len, s, NEG_INF)
+        )  # [GB, S, S]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         inv_l = 1.0 / jnp.sum(p, axis=-1)[..., None]
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * inv_l  # [GB, BQ, D]
+        ) * inv_l  # [GB, S, D]
         o_ref[:, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
 
 
@@ -517,54 +519,56 @@ def _fused_qkv_fwd(qkv, heads, scale):
     b, s, thd = qkv.shape
     d = thd // (3 * heads)
     hd = heads * d
-    s_pad = _round_up(s, 128)
-    if s_pad > FUSED_QKV_FWD_MAX_SEQ or hd % 128 != 0 or not _on_tpu():
+    if s > FUSED_QKV_FWD_MAX_SEQ or hd % 128 != 0 or not _on_tpu():
         # graceful degradation for direct callers: blocked flash kernels.
         # hd must be a multiple of 128 — the per-head lane-sliced BlockSpecs
         # block the last dim in units of H·D lanes (Mosaic constraint).
         return _qkv_attention_reference(qkv, heads, scale,
                                         use_pallas=_on_tpu()), (qkv,)
-    qkvp = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else qkv
-    bq = min(512, s_pad)  # q-row blocking for long sequences
-    # batch rows per program: amortize launch overhead, keep the per-head
-    # [GB, S, S] fp32 tile near 1MB
-    gb = max(1, min(4, (1024 * 1024) // (s_pad * s_pad * 4)))
+    # batch rows per program: amortize launch overhead; scanned on v5e
+    # (tools/kernel_probe.py): teacher 197 wants gb=4 (1554us vs 1855 at
+    # gb=1), student 314-320 is flat between gb=2 and 4 (558 vs 554us) but
+    # gb=4 overflows the 16MB scoped VMEM once the double-buffered qkv
+    # views are counted — the 1MB score-tile heuristic lands on 4 and 2.
+    s_sub, s_lane = _round_up(s, 8), _round_up(s, 128)
+    gb = int(os.environ.get("UNITE_FUSED_GB", "0")) or max(
+        1, min(4, (1024 * 1024) // (s_sub * s_lane * 4)))
     b_pad = _round_up(b, gb)
-    if b_pad != b:
-        qkvp = jnp.pad(qkvp, [(0, b_pad - b), (0, 0), (0, 0)])
+    qkvp = (jnp.pad(qkv, [(0, b_pad - b), (0, 0), (0, 0)])
+            if b_pad != b else qkv)
 
-    # three lane-blocked views of the same array (block units of H·D lanes)
-    q_spec = pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+    # three lane-blocked views of the same array (block units of H·D lanes;
+    # the sequence dim equals the array dim — legal block per Mosaic rules)
+    q_spec = pl.BlockSpec((gb, s, hd), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((gb, s_pad, hd), lambda i, j: (i, 0, 1),
+    k_spec = pl.BlockSpec((gb, s, hd), lambda i: (i, 0, 1),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((gb, s_pad, hd), lambda i, j: (i, 0, 2),
+    v_spec = pl.BlockSpec((gb, s, hd), lambda i: (i, 0, 2),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fused_qkv_kernel, heads=heads, scale=scale,
-                          seq_len=s),
-        grid=(b_pad // gb, s_pad // bq),
+        functools.partial(_fused_qkv_kernel, heads=heads, scale=scale),
+        grid=(b_pad // gb,),
         in_specs=[q_spec, k_spec, v_spec],
-        out_specs=pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((gb, s, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, hd), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s, hd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b_pad * heads * s_pad * s_pad * d,
-            bytes_accessed=b_pad * s_pad * (thd + hd) * qkv.dtype.itemsize,
-            transcendentals=b_pad * heads * s_pad * s_pad,
+            flops=4 * b_pad * heads * s_lane * s_sub * d,
+            bytes_accessed=b_pad * s * (thd + hd) * qkv.dtype.itemsize,
+            transcendentals=b_pad * heads * s_sub * s_lane,
         ),
     )(qkvp, qkvp, qkvp)
-    return out[:b, :s], (qkv,)
+    return out[:b] if b_pad != b else out, (qkv,)
 
 
-def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, seq_len):
+def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale):
     """Fused backward in the same lane-slice layout: recomputes the softmax
     per head and writes dq/dk/dv into the dqkv lane slices — the student's
-    attention backward without any HBM transposes. GB batch rows per
-    program (leading batch dims) amortize the program-launch overhead."""
+    attention backward without any HBM transposes. S is the logical length
+    (Mosaic masks the tile padding); GB batch rows per program (leading
+    batch dims) amortize the program-launch overhead."""
     x = qkv_ref[...]       # [GB, S, 3·H·D]
     do_all = do_ref[...]   # [GB, S, H·D]
-    s_pad = x.shape[1]
     d = x.shape[2] // (3 * heads)
     hd = heads * d
     for h in range(heads):
@@ -577,9 +581,6 @@ def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, seq_len):
             q * scale, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [GB, S(q), S(k)]
-        if seq_len < s_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-            s = jnp.where(col < seq_len, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [GB, S, 1]
@@ -612,42 +613,41 @@ def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, seq_len):
 def _fused_qkv_bwd(heads, scale, res, g):
     (qkv,) = res
     b, s, thd = qkv.shape
-    s_pad = _round_up(s, 128)
     # long-seq bwd (pallas bwd is VMEM-bound), non-128-multiple head widths,
     # or non-TPU platforms: unfused VJP
-    if s_pad > 512 or (thd // 3) % 128 != 0 or not _on_tpu():
+    if s > FUSED_QKV_MAX_SEQ or (thd // 3) % 128 != 0 or not _on_tpu():
         _, vjp = jax.vjp(lambda t: _qkv_attention_reference(t, heads, scale),
                          qkv)
         return vjp(g)
-    pad2 = [(0, 0), (0, s_pad - s), (0, 0)]
-    qkvp = jnp.pad(qkv, pad2) if s_pad != s else qkv
-    gp = jnp.pad(g, pad2) if s_pad != s else g
-    gb = max(1, min(4, (512 * 1024) // (s_pad * s_pad * 4)))
+    s_sub, s_lane = _round_up(s, 8), _round_up(s, 128)
+    gb = int(os.environ.get("UNITE_FUSED_BWD_GB", "0")) or max(
+        1, min(4, (512 * 1024) // (s_sub * s_lane * 4)))
     b_pad = _round_up(b, gb)
+    qkvp = qkv
+    gp = g
     if b_pad != b:
         bpad = [(0, b_pad - b), (0, 0), (0, 0)]
         qkvp = jnp.pad(qkvp, bpad)
         gp = jnp.pad(gp, bpad)
     dqkv = pl.pallas_call(
-        functools.partial(_fused_qkv_bwd_kernel, heads=heads, scale=scale,
-                          seq_len=s),
+        functools.partial(_fused_qkv_bwd_kernel, heads=heads, scale=scale),
         grid=(b_pad // gb,),
         in_specs=[
-            pl.BlockSpec((gb, s_pad, thd), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, s, thd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, s_pad, thd // 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, s, thd // 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gb, s_pad, thd), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((gb, s, thd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, thd), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s, thd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=11 * b_pad * (thd // 3) * s_pad * s_pad,
-            bytes_accessed=2 * b_pad * s_pad * thd * qkv.dtype.itemsize,
-            transcendentals=b_pad * (thd // (3 * 64)) * s_pad * s_pad,
+            flops=11 * b_pad * (thd // 3) * s_sub * s_lane,
+            bytes_accessed=2 * b_pad * s * thd * qkv.dtype.itemsize,
+            transcendentals=b_pad * (thd // (3 * 64)) * s_sub * s_lane,
         ),
     )(qkvp, gp)
-    return (dqkv[:b, :s],)
+    return (dqkv[:b] if b_pad != b else dqkv,)
 
 
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
