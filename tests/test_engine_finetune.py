@@ -149,6 +149,58 @@ def test_mixup_elem_mode():
     np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
 
 
+def test_mixup_pair_mode_symmetry():
+    """Pair mode (reference mixup.py:178-200): i and B-1-i share one lam and
+    one box, so the pair's two mixed rows use mirrored coefficients."""
+    from unite_tpu.ops.mixup import Mixup
+    # mixup only (no cutmix) so the mixing is a pure convex combination
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=0.0, mode="pair",
+                num_classes=4, label_smoothing=0.0, prob=1.0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((6, 1, 8, 8, 1)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    mixed, targets = mix(jax.random.PRNGKey(3), x, labels)
+    m = np.asarray(mixed, np.float64)
+    xo = np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
+    for i in range(6):
+        j = 5 - i
+        # solve m[i] = lam*x[i] + (1-lam)*x[j] for lam, check partner
+        denom = (xo[i] - xo[j]).ravel()
+        k = np.argmax(np.abs(denom))
+        lam_i = ((m[i].ravel() - xo[j].ravel()) / denom)[k]
+        # m[j] = lam*x[j] + (1-lam)*x[i]  =>  lam = (x[i]-m[j])/(x[i]-x[j])
+        lam_j = ((xo[i].ravel() - m[j].ravel()) / denom)[k]
+        assert abs(lam_i - lam_j) < 1e-4  # shared pair lam
+        np.testing.assert_allclose(
+            m[i], lam_i * xo[i] + (1 - lam_i) * xo[j], atol=1e-4)
+
+
+def test_mixup_cutmix_minmax_box_bounds():
+    """cutmix_minmax (reference mixup.py:66-96,131-134): box side lengths
+    are uniform fractions within the bounds and lam is the exact area."""
+    from unite_tpu.ops.mixup import Mixup
+    mix = Mixup(mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.25, 0.5),
+                mode="elem", num_classes=4, label_smoothing=0.0, prob=1.0)
+    h = w = 32
+    x = jnp.zeros((4, 1, h, w, 1))
+    x = x.at[2:].set(1.0)  # flip partners differ -> box visible in output
+    labels = jnp.asarray([0, 1, 2, 3])
+    mixed, targets = mix(jax.random.PRNGKey(5), x, labels)
+    m = np.asarray(mixed)[:, 0, :, :, 0]
+    t = np.asarray(targets)
+    for i in range(4):
+        box = m[i] != (0.0 if i < 2 else 1.0)
+        rows = box.any(1).sum()
+        cols = box.any(0).sum()
+        assert int(h * 0.25) <= rows < int(h * 0.5)
+        assert int(w * 0.25) <= cols < int(w * 0.5)
+        # lam in targets equals 1 - exact box area fraction
+        lam = 1.0 - rows * cols / (h * w)
+        own = t[i, labels[i]]
+        np.testing.assert_allclose(own, lam, atol=1e-5)
+
+
 def test_zero1_sharded_optimizer_matches_replicated():
     """ZeRO-1 layout produces the same training trajectory as replicated."""
     from unite_tpu.parallel.mesh import (

@@ -35,6 +35,31 @@ def mixup_target(labels, num_classes: int, lam, smoothing: float = 0.0):
     return y1 * lam + y2 * (1.0 - lam)
 
 
+def _rand_bbox_minmax_mask(rng, h: int, w: int, minmax, count=()):
+    """Boolean [*count, H, W] cutmix box from ratio bounds (mixup.py:66-96).
+
+    rand_bbox_minmax: height/width drawn independently as uniform fractions
+    of the image in [minmax[0], minmax[1]); top-left uniform so the box fits
+    entirely; lam is always the corrected 1 - area ratio.
+    """
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    cut_h = jax.random.randint(
+        k1, count, int(h * minmax[0]), int(h * minmax[1]))
+    cut_w = jax.random.randint(
+        k2, count, int(w * minmax[0]), int(w * minmax[1]))
+    y1 = jax.random.randint(k3, count, 0, jnp.maximum(h - cut_h, 1))
+    x1 = jax.random.randint(k4, count, 0, jnp.maximum(w - cut_w, 1))
+    y2 = y1 + cut_h
+    x2 = x1 + cut_w
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    rmask = (rows >= y1[..., None]) & (rows < y2[..., None])
+    cmask = (cols >= x1[..., None]) & (cols < x2[..., None])
+    mask = rmask[..., :, None] & cmask[..., None, :]
+    lam = 1.0 - (cut_h * cut_w).astype(jnp.float32) / float(h * w)
+    return mask, lam
+
+
 def _rand_bbox_mask(rng, h: int, w: int, lam, count=()):
     """Boolean [*count, H, W] cutmix box mask with area ratio ~= 1-lam.
 
@@ -67,10 +92,13 @@ class Mixup:
     def __init__(self, mixup_alpha=1.0, cutmix_alpha=0.0, cutmix_minmax=None,
                  prob=1.0, switch_prob=0.5, mode="batch", correct_lam=True,
                  label_smoothing=0.1, num_classes=1000):
+        self.cutmix_minmax = cutmix_minmax
         if cutmix_minmax is not None:
-            raise NotImplementedError("cutmix_minmax ranges not supported")
-        if mode == "pair":
-            raise NotImplementedError("pair mode not supported")
+            # ratio-bounded boxes force cutmix on and corrected lam
+            # (reference mixup.py:131-134)
+            assert len(cutmix_minmax) == 2
+            cutmix_alpha = 1.0
+            correct_lam = True
         self.mixup_alpha = mixup_alpha
         self.cutmix_alpha = cutmix_alpha
         self.prob = prob
@@ -97,13 +125,19 @@ class Mixup:
         lam = jnp.where(use_mix, lam, 1.0)
         return lam.astype(jnp.float32), use_cutmix, use_mix
 
+    def _box(self, rng, h: int, w: int, lam, count=()):
+        if self.cutmix_minmax is not None:
+            return _rand_bbox_minmax_mask(rng, h, w, self.cutmix_minmax,
+                                          count)
+        return _rand_bbox_mask(rng, h, w, lam, count)
+
     def __call__(self, rng, x, labels) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: [B, T, H, W, C]; labels: int [B] → (mixed_x, soft_targets)."""
         b, t, h, w, c = x.shape
         k_lam, k_box = jax.random.split(rng)
         if self.mode == "batch":
             lam, use_cutmix, _ = self._sample_lam(k_lam)
-            box, lam_cut = _rand_bbox_mask(k_box, h, w, lam)
+            box, lam_cut = self._box(k_box, h, w, lam)
             if self.correct_lam:
                 lam_cut_final = jnp.where(use_cutmix, lam_cut, lam)
             else:
@@ -113,9 +147,22 @@ class Mixup:
             mixed_cut = jnp.where(box[None, None, :, :, None], x_flip, x)
             mixed = jnp.where(use_cutmix, mixed_cut, mixed_mix)
             lam_final = jnp.where(use_cutmix, lam_cut_final, lam)
-        else:  # elem
-            lam, use_cutmix, _ = self._sample_lam(k_lam, (b,))
-            box, lam_cut = _rand_bbox_mask(k_box, h, w, lam, (b,))
+        else:  # elem / pair
+            if self.mode == "pair":
+                # per-PAIR draws mirrored onto the flipped partner
+                # (reference _mix_pair, mixup.py:178-200: sample i mixes
+                # with j = B-1-i using one shared lam and one shared box;
+                # lam vector is [lam_half, lam_half reversed])
+                assert b % 2 == 0, "pair mode needs an even batch"
+                lam_h, cut_h, _ = self._sample_lam(k_lam, (b // 2,))
+                box_h, lamc_h = self._box(k_box, h, w, lam_h, (b // 2,))
+                lam = jnp.concatenate([lam_h, jnp.flip(lam_h, 0)])
+                use_cutmix = jnp.concatenate([cut_h, jnp.flip(cut_h, 0)])
+                box = jnp.concatenate([box_h, jnp.flip(box_h, 0)])
+                lam_cut = jnp.concatenate([lamc_h, jnp.flip(lamc_h, 0)])
+            else:
+                lam, use_cutmix, _ = self._sample_lam(k_lam, (b,))
+                box, lam_cut = self._box(k_box, h, w, lam, (b,))
             lam_cut_final = jnp.where(use_cutmix, lam_cut, lam) \
                 if self.correct_lam else lam
             x_flip = jnp.flip(x, 0)

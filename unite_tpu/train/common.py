@@ -222,9 +222,16 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
              "labels": host["labels"].astype(np.int32)}, mesh)
         out = eval_step(state, dev)
         probs = np.asarray(out["probs"])[:true_n]
+        labels_np = np.asarray(labels)[:true_n]
         all_probs.append(probs)
-        all_labels.append(np.asarray(labels)[:true_n])
-        loss_sum += float(out["loss"]) * true_n
+        all_labels.append(labels_np)
+        # CE recomputed host-side from the SLICED probs: the in-step mean
+        # includes the padded repeat rows and would bias the last batch
+        # (same slicing top1/5/ECE already get; -log softmax == the step's
+        # cross_entropy on logits)
+        nll = -np.log(np.maximum(
+            probs[np.arange(true_n), labels_np], 1e-30))
+        loss_sum += float(nll.sum())
         n_total += true_n
     if n_total == 0:
         return {}
