@@ -146,6 +146,27 @@ def test_spatial_sampling_modes():
     assert not np.array_equal(o0, o2)
 
 
+def test_random_resized_crop_with_shift():
+    """motion_shift RRC (video_transforms.py:595-639): output shape, value
+    domain, and actual box drift across frames."""
+    from unite_tpu.data.transforms import (
+        random_resized_crop_with_shift,
+        spatial_sampling,
+    )
+    rng = np.random.default_rng(3)
+    clip = rng.integers(0, 255, (8, 64, 80, 3)).astype(np.uint8)
+    out = random_resized_crop_with_shift(
+        clip.astype(np.float32), 32, 32, rng=np.random.default_rng(0))
+    assert out.shape == (8, 32, 32, 3)
+    # first and last frame crops come from independent boxes -> differ
+    assert not np.allclose(out[0], out[-1])
+    out2 = spatial_sampling(
+        clip.astype(np.float32), spatial_idx=-1, crop_size=32,
+        scale=(0.5, 1.0), aspect_ratio=(0.9, 1.1), motion_shift=True,
+        random_horizontal_flip=False, rng=np.random.default_rng(1))
+    assert out2.shape == (8, 32, 32, 3)
+
+
 def test_uniform_crop_positions():
     clip = np.arange(1 * 4 * 10 * 3, dtype=np.float32).reshape(1, 4, 10, 3)
     left = T.uniform_crop(clip, 4, 0)

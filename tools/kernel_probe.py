@@ -54,12 +54,15 @@ def main():
               f"({dt*1e3*12:6.2f} ms/12 layers)")
 
         if bwd:
+            # grad-only: with custom_vjp the primal output is dead under
+            # jax.grad and XLA DCEs the forward kernel, so this times the
+            # BACKWARD kernel alone
             gfn = jax.jit(jax.grad(
                 lambda x: (fused_qkv_attention(x, heads, scale)
                            .astype(jnp.float32)
                            * g.astype(jnp.float32)).sum()))
             dt = timeit(gfn, qkv)
-            print(f"{tag} f+b  [{b},{s}]: {dt*1e6:9.1f} us/layer "
+            print(f"{tag} bwd  [{b},{s}]: {dt*1e6:9.1f} us/layer "
                   f"({dt*1e3*12:6.2f} ms/12 layers)")
 
 

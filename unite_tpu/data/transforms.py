@@ -306,20 +306,65 @@ def random_resized_crop(clip: np.ndarray, target_h: int, target_w: int,
     return resize_clip(clip[:, y : y + ch, x : x + cw], (target_h, target_w))
 
 
+def random_resized_crop_with_shift(
+        clip: np.ndarray, target_h: int, target_w: int,
+        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+        rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """RRC whose box drifts linearly across the clip ("motion shift",
+    video_transforms.py:595-639): one box drawn for the first frame, an
+    independent one for the last, intermediate frames crop at linearly
+    interpolated coordinates, each resized to the target."""
+    import math
+
+    rng = _rng_or_default(rng)
+    t, h, w, c = clip.shape
+
+    def draw_box():
+        area = h * w
+        for _ in range(10):
+            target_area = area * rng.uniform(*scale)
+            aspect = math.exp(
+                rng.uniform(math.log(ratio[0]), math.log(ratio[1])))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                y = int(rng.integers(0, h - ch + 1))
+                x = int(rng.integers(0, w - cw + 1))
+                return y, x, ch, cw
+        ch = cw = min(h, w)
+        return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+    y0, x0, h0, w0 = draw_box()
+    y1, x1, h1, w1 = draw_box()
+    ys = np.linspace(y0, y1, t).astype(int)
+    xs = np.linspace(x0, x1, t).astype(int)
+    hs = np.linspace(h0, h1, t).astype(int)
+    ws = np.linspace(w0, w1, t).astype(int)
+    frames = [
+        resize_clip(clip[i : i + 1, ys[i] : ys[i] + hs[i],
+                         xs[i] : xs[i] + ws[i]], (target_h, target_w))[0]
+        for i in range(t)
+    ]
+    return np.stack(frames)
+
+
 def spatial_sampling(clip: np.ndarray, spatial_idx: int = -1,
                      min_scale: int = 256, max_scale: int = 320,
                      crop_size: int = 224, random_horizontal_flip: bool = True,
-                     scale=None, aspect_ratio=None,
+                     scale=None, aspect_ratio=None, motion_shift: bool = False,
                      rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """kinetics_sparse.py:360-433 dispatch: -1 with scale/ratio → RRC (the
-    train path, :246-264), -1 without → short-side jitter + random crop;
+    train path, :246-264; per-frame drifting box when ``motion_shift``,
+    kinetics.py:381-397), -1 without → short-side jitter + random crop;
     0/1/2 → deterministic test crop at min_scale."""
     if spatial_idx == -1:
         if scale is None and aspect_ratio is None:
             clip = random_short_side_scale_jitter(clip, min_scale, max_scale, rng)
             clip = random_crop(clip, crop_size, rng)
         else:
-            clip = random_resized_crop(
+            rrc = (random_resized_crop_with_shift if motion_shift
+                   else random_resized_crop)
+            clip = rrc(
                 clip, crop_size, crop_size, scale or (0.08, 1.0),
                 aspect_ratio or (3 / 4, 4 / 3), rng,
             )

@@ -109,7 +109,7 @@ class CLIPBlock(nn.Module):
             num_heads=self.num_heads, dtype=self.dtype,
             use_pallas=self.use_pallas, quantize=self.quantize, name="attn",
         )
-        h = LayerNorm(name="ln_1")(x)
+        h = LayerNorm(epsilon=1e-5, name="ln_1")(x)
         probs = None
         if return_probs:
             h, probs = attn(h, return_probs=True)
@@ -117,7 +117,7 @@ class CLIPBlock(nn.Module):
             h = attn(h)
         x = x + h
 
-        h = LayerNorm(name="ln_2")(x)
+        h = LayerNorm(epsilon=1e-5, name="ln_2")(x)
         dim = x.shape[-1]
         h = _dense(4 * dim, quantize=self.quantize, use_bias=True,
                    dtype=self.dtype, name="mlp_c_fc")(h)
@@ -200,7 +200,7 @@ class CLIPVisionTransformer(nn.Module):
         )
         x = jnp.concatenate([cls, x], axis=1)
         x = x + positional_embedding.astype(x.dtype)
-        x = LayerNorm(name="ln_pre")(x)
+        x = LayerNorm(epsilon=1e-5, name="ln_pre")(x)
 
         if vis_idx is not None:
             # Drop masked patch tokens (clip.py:154-160): gather over the
@@ -237,7 +237,7 @@ class CLIPVisionTransformer(nn.Module):
                 cls_out = x[:, 0, :]
 
         if cls_features:
-            feat = LayerNorm(name="ln_post")(cls_out)
+            feat = LayerNorm(epsilon=1e-5, name="ln_post")(cls_out)
             proj = self.param(
                 "proj", nn.initializers.normal(self.width**-0.5),
                 (self.width, self.output_dim), jnp.float32,
@@ -256,7 +256,7 @@ class CLIPVisionTransformer(nn.Module):
         if raw_taps:
             z = z.reshape(k, b, t * hw_vis, self.width)
         else:
-            z = LayerNorm(name="ln_post")(z)
+            z = LayerNorm(epsilon=1e-5, name="ln_post")(z)
             z = z.reshape(k, b, t, hw_vis, self.width).reshape(
                 k, b, t * hw_vis, self.width
             )
@@ -300,7 +300,7 @@ def project_clip_taps(params, taps, clip_norm_type: str = "l2",
     x32 = taps.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)  # torch-default LN eps
     y = (y * ln["scale"] + ln["bias"]).astype(taps.dtype)
     z = jnp.einsum(
         "...nc,cd->...nd", y, params["proj"].astype(y.dtype),

@@ -92,7 +92,7 @@ class CLIPTextTransformer(nn.Module):
             x = CLIPTextBlock(
                 num_heads=self.heads, dtype=self.dtype, name=f"resblocks_{i}",
             )(x, causal)
-        x = LayerNorm(name="ln_final")(x)
+        x = LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # eot token = highest token id in each sequence (OpenAI convention)
         eot = jnp.argmax(tokens, axis=-1)
         feats = x[jnp.arange(x.shape[0]), eot]
@@ -116,7 +116,7 @@ class CLIPTextBlock(nn.Module):
 
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        h = LayerNorm(name="ln_1")(x)
+        h = LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
                        param_dtype=jnp.float32, name="attn_in_proj")(h)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
@@ -132,7 +132,7 @@ class CLIPTextBlock(nn.Module):
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                        name="attn_out_proj")(out)
         x = x + out
-        h = LayerNorm(name="ln_2")(x)
+        h = LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * c, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_c_fc")(h)
         h = quick_gelu(h)
