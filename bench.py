@@ -179,6 +179,54 @@ def make_loader_batches(B, frames, img, iters):
     return gen()
 
 
+def bench_stage2(B=8, frames=8, img=224):
+    """Stage-2 finetune step (full 1568-token ViT-B + CE + adamw):
+    ``python bench.py --stage2 [B]``. SOL from the same bf16-peak
+    derivation with the finetune per-clip FLOPs."""
+    from unite_tpu import create_model
+    from unite_tpu.engines.finetune import make_finetune_train_step
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.train_state import TrainState
+
+    model = create_model(
+        "vit_base_patch16_224", num_classes=12, all_frames=frames,
+        tubelet_size=1, dtype=jnp.bfloat16, use_mean_pooling=True,
+    )
+    videos = jax.device_put(jnp.zeros((B, frames, img, img, 3), jnp.bfloat16))
+    labels = jax.device_put(jnp.zeros((B,), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), videos)["params"]
+    tx, _ = create_optimizer("adamw", lr=2.5e-5, params=params,
+                             weight_decay=0.05)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_finetune_train_step(model), donate_argnums=(0,))
+    batch = {"videos": videos, "labels": labels}
+    rng = jax.random.PRNGKey(1)
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    def block(n, dd):
+        mm = 2 * n * dd * (3 * dd) + 2 * n * dd * dd + 2 * (2 * n * dd * 4 * dd)
+        return mm + 2 * 2 * n * n * dd
+
+    n_tok = frames * (img // 16) ** 2
+    fpc = 3 * (12 * block(n_tok, 768) + 2 * n_tok * (16 * 16 * 3) * 768)
+    sol = peak_bf16_flops() / fpc
+    clips = B * iters / dt
+    print(json.dumps({
+        "metric": "stage2_clips_per_sec_per_chip",
+        "value": round(clips, 2), "unit": "clips/s/chip",
+        "vs_baseline": round(clips / sol, 4),
+    }))
+
+
 def main():
     from unite_tpu import create_model
     from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
@@ -273,4 +321,8 @@ def main():
 if __name__ == "__main__":
     if "--check" in sys.argv:
         sys.exit(check_kernels())
-    main()
+    elif "--stage2" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        bench_stage2(int(pos[0]) if pos else 8)
+    else:
+        main()

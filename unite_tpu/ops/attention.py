@@ -79,13 +79,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len):
     # Block shapes: q [1, BQ, D]; k,v [1, S_pad, D]; o [1, BQ, D];
     # lse [1, 8, BQ] — row stats broadcast over 8 sublanes to satisfy the
     # TPU (8, 128) tile constraint (a [1, BQ] block is not a legal tile).
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)  # [S_pad, D]
+    # bf16 operands with fp32 accumulation: bf16 products are exact in the
+    # MXU's fp32 accumulator, and the fp32-upcast path runs at quarter rate
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [S_pad, D]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, S_pad]
+    ) * scale  # [BQ, S_pad] fp32
 
     s_pad = k.shape[0]
     if seq_len < s_pad:
@@ -158,12 +160,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
                    *, scale, seq_len):
     # Recomputes softmax stats in-kernel (the full key row is resident), so
     # no lse/delta inputs are needed: delta = rowsum(do * o) on the block.
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Dots take the native bf16 operands (exact in fp32 accumulation).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [BQ, 1]
+    do = do_ref[0]
+    do32 = do.astype(jnp.float32)
+    delta = jnp.sum(do32 * o, axis=-1, keepdims=True)  # [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -179,7 +183,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -189,11 +193,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, seq_len):
     # k,v blocks [1, BK, D]; q, do full [1, S_pad, D];
-    # lse/delta [1, 8, S_pad] (row stats broadcast over sublanes by fwd)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # lse/delta [1, 8, S_pad] (row stats broadcast over sublanes by fwd).
+    # Dots take the native bf16 operands (exact in fp32 accumulation).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0][None, :]       # [1, S_pad] (per-query row stats)
     delta = delta_ref[0, 0][None, :]   # [1, S_pad]
 
@@ -209,14 +214,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
         pt = jnp.where(qcol < seq_len, pt, 0.0)
 
+    ptc = pt.astype(q.dtype)
     dv = jax.lax.dot_general(
-        pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ptc, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     # dpt [BK, S_pad] = v @ do^T
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dst = pt * (dpt - delta) * scale
+    dst = (pt * (dpt - delta) * scale).astype(q.dtype)
     dk = jax.lax.dot_general(
         dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -318,15 +324,15 @@ def _grouped_group_bwd(s_pad: int) -> int:
 
 
 def _grouped_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
-    # VPU-lean softmax: the scale folds into q ([G,S,D] — 1/S the elements of
-    # the score tile) and the 1/l normalization moves to the OUTPUT
-    # ([G,S,D]), so the [G,S,S] tile sees only sub, exp and the pad mask.
-    q = q_ref[...].astype(jnp.float32) * scale  # [G, S, D]
-    k = k_ref[...].astype(jnp.float32)
+    # VPU-lean softmax: the scale folds into the fp32 score tile, the 1/l
+    # normalization moves to the OUTPUT ([G,S,D]); dots take native bf16
+    # operands (exact in fp32 accumulation, 4x the fp32-upcast MXU rate).
+    q = q_ref[...]  # [G, S, D]
+    k = k_ref[...]
     v = v_ref[...]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [G, S, S]
+    ) * scale  # [G, S, S]
     s_pad = k.shape[1]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -343,15 +349,15 @@ def _grouped_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
 
 def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                         *, scale, seq_len):
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    # bf16-operand dots with fp32 accumulation throughout (see fwd note)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
 
-    qs = q * scale
     s = jax.lax.dot_general(
-        qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
     s_pad = k.shape[1]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -361,9 +367,11 @@ def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [G, S, 1]
 
     # dv = (e/l)^T @ do == e^T @ (do/l broadcast over query rows)
-    do_l = do * inv_l
+    ec = e.astype(q.dtype)
+    do_l = (do.astype(jnp.float32) * inv_l).astype(q.dtype)
     dv = jax.lax.dot_general(
-        e, do_l, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ec, do_l, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     # dp = do @ v^T ; ds = p * (dp - delta); fold 1/l into the [G,S,D] side
     dp = jax.lax.dot_general(
@@ -372,12 +380,13 @@ def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     delta = jnp.sum(e * dp, axis=-1)[..., None] * inv_l  # rowsum(p·dp)
     ds = e * (dp - delta)  # == ds/scale * l  (scale, 1/l deferred)
     dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     ) * (scale * inv_l)
     dk = jax.lax.dot_general(
-        ds * inv_l, qs, (((1,), (1,)), ((0,), (0,))),
+        (ds * inv_l).astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * scale
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
@@ -481,6 +490,31 @@ def _qkv_attention_reference(qkv, heads: int, scale: float,
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, heads * d)
 
 
+# Softmax without the per-row max pass: fp32 exp overflows only beyond ~88,
+# while LN'd ViT/CLIP attention logits stay |s| < ~30 (random-init ~N(0,1));
+# the clamp is a seatbelt that saturates (identically for every row) instead
+# of producing inf. Removing the max turns the softmax from 3 full passes
+# over the [GB, S, S] score tile (max-reduce, sub+exp, sum-reduce) into ONE
+# (clamp+exp, written directly as bf16); the row sum l moves onto the
+# otherwise-idle MXU as p @ ones, and since the SAME bf16 p feeds both the
+# numerator (p @ v) and denominator, their rounding cancels to first order.
+SOFTMAX_CLAMP = 50.0
+
+
+def _row_sums(p, out_dtype=jnp.float32):
+    """Row sums of [GB, S, Sk] via an MXU dot with ones → [GB, S, 1].
+
+    The ones operand carries the batch dim — Mosaic lowers batched dots
+    directly but rejects the batch-collapsing reshape an unbatched RHS
+    would need."""
+    ones = jnp.ones((p.shape[0], p.shape[2], 128), p.dtype)
+    l = jax.lax.dot_general(
+        p, ones, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=out_dtype,
+    )
+    return l[:, :, :1]
+
+
 def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     # q/k/v_ref [GB, S, H·D] — three lane-blocked views of the SAME qkv
     # array, so only the needed lanes are DMA'd. S is the LOGICAL sequence
@@ -488,22 +522,25 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     # physically padded sublanes/lanes itself — no explicit jnp.pad HBM
     # round-trip outside, no in-kernel -inf column masking. Per-head
     # rank-preserving lane slices + leading-batch-dim MXU matmuls; several
-    # batch rows per program amortize the program-launch overhead.
+    # batch rows per program amortize the program-launch overhead. ONE VPU
+    # pass over the score tile (see SOFTMAX_CLAMP note).
+    # All dots take the native bf16 operands (fp32 MXU runs at quarter
+    # rate, and bf16×bf16→fp32-accum is exact for bf16-sourced values);
+    # the softmax scale folds into the fused clamp+exp map in fp32.
     xq, xk, xv = q_ref[...], k_ref[...], v_ref[...]
     d = xq.shape[2] // heads
     bdims = (((2,), (2,)), ((0,), (0,)))  # contract D, batch over dim 0
     for h in range(heads):
-        q = xq[:, :, h * d : (h + 1) * d].astype(jnp.float32) * scale
-        k = xk[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        q = xq[:, :, h * d : (h + 1) * d]
+        k = xk[:, :, h * d : (h + 1) * d]
         v = xv[:, :, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, bdims, preferred_element_type=jnp.float32
-        )  # [GB, S, S]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        inv_l = 1.0 / jnp.sum(p, axis=-1)[..., None]
+        )  # [GB, S, S] fp32
+        p = jnp.exp(jnp.minimum(s * scale, SOFTMAX_CLAMP)).astype(v.dtype)
+        inv_l = 1.0 / _row_sums(p)  # [GB, S, 1] fp32, summed on the MXU
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * inv_l  # [GB, S, D]
         o_ref[:, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
@@ -572,38 +609,44 @@ def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale):
     d = x.shape[2] // (3 * heads)
     hd = heads * d
     for h in range(heads):
-        q = x[:, :, h * d : (h + 1) * d].astype(jnp.float32)
-        k = x[:, :, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
-        v = x[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d].astype(jnp.float32)
-        do = do_all[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        q = x[:, :, h * d : (h + 1) * d]
+        k = x[:, :, hd + h * d : hd + (h + 1) * d]
+        v = x[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        do = do_all[:, :, h * d : (h + 1) * d]
 
         s = jax.lax.dot_general(
-            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [GB, S(q), S(k)]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [GB, S, 1]
-        p = e * inv_l
+        )  # [GB, S(q), S(k)] fp32 (bf16 operands, scale folded into exp)
+        # same VPU-lean recompute as fwd: one clamp+exp pass, MXU row sums
+        p = jnp.exp(jnp.minimum(s * scale, SOFTMAX_CLAMP)).astype(x.dtype)
+        inv_l = 1.0 / _row_sums(p)  # [GB, S(q), 1] fp32
 
+        # dv = (p/l)^T @ do  ==  p^T @ (do·inv_l)
+        do_l = (do.astype(jnp.float32) * inv_l).astype(x.dtype)  # small map
         dv = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))),
+            p, do_l, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [GB, S(k), D]
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [GB, S(q), S(k)]
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale
+        )  # [GB, S(q), S(k)] fp32
+        # delta = rowsum(p_norm·dp) = inv_l · rowsum(p·dp); the product is
+        # one map pass, its row sum rides the MXU
+        t = p.astype(jnp.float32) * dp  # [GB, S, S] map pass
+        delta2 = _row_sums(t) * (inv_l * inv_l)  # = delta · inv_l, [GB,S,1]
+        # ds2 = full ds/scale in one map: ds = p_norm·(dp − delta) =
+        # t·inv_l − p·(delta·inv_l); the scale applies on the [GB,S,D] side
+        ds2 = (t * inv_l - p.astype(jnp.float32) * delta2).astype(x.dtype)
         dq = jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))),
+            ds2, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         dk = jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))),
+            ds2, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         dqkv_ref[:, :, h * d : (h + 1) * d] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, hd + h * d : hd + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d] = \
