@@ -135,6 +135,100 @@ def test_reference_vit_forward_parity(tmp_path):
     np.testing.assert_allclose(our_logits, ref_logits, atol=2e-4, rtol=1e-3)
 
 
+def test_reference_vit_adamw_trajectory_parity(tmp_path):
+    """3 AdamW steps on identical weights/batches: loss sequence and final
+    params match the reference stack (torch.optim.AdamW vs our optimizer
+    factory — decoupled weight decay, bias correction, eps placement)."""
+    mf, _, _ = _ref_modules()
+    torch.manual_seed(4)
+    S, T, NC = 32, 2, 5
+    ref = mf.VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=2,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, init_scale=1.0,
+    ).train()
+    pth = tmp_path / "ref_vit.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    from unite_tpu.engines.finetune import make_finetune_train_step
+    from unite_tpu.models.vit import VisionTransformer
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+    from unite_tpu.train.train_state import TrainState
+
+    ours = VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=2,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, norm_eps=1e-5,
+    )
+
+    class A:
+        finetune = str(pth)
+        model_key = "model|module"
+        nb_classes = NC
+        delete_head = False
+        input_size = S
+        patch_size = 16
+        num_frames = T
+        tubelet_size = 1
+        use_mean_pooling = True
+
+    rng = np.random.default_rng(5)
+    videos = rng.normal(size=(3, 2, T, S, S, 3)).astype(np.float32)
+    labels = rng.integers(0, NC, size=(3, 2))
+
+    lr, wd = 1e-3, 0.05
+    # reference param grouping (optim_factory.py:76-118): 1-D params and
+    # biases get no weight decay — our factory applies the same mask
+    decay, no_decay = [], []
+    for name, p in ref.named_parameters():
+        (no_decay if p.ndim <= 1 or name.endswith(".bias") else decay).append(p)
+    opt = torch.optim.AdamW(
+        [{"params": no_decay, "weight_decay": 0.0},
+         {"params": decay, "weight_decay": wd}],
+        lr=lr, betas=(0.9, 0.999), eps=1e-8)
+    ref_losses = []
+    crit = torch.nn.CrossEntropyLoss()
+    for i in range(3):
+        opt.zero_grad()
+        out = ref(_to_torch_video(videos[i]))
+        loss = crit(out, torch.tensor(labels[i]))
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(videos[0]))["params"]
+    params = load_finetune_ckpt(A, ours, params)
+    tx, _ = create_optimizer(
+        "adamw", lr=lr, params=params, weight_decay=wd, betas=(0.9, 0.999),
+        eps=1e-8,
+    )
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_finetune_train_step(ours))
+    our_losses = []
+    for i in range(3):
+        batch = {"videos": jnp.asarray(videos[i]),
+                 "labels": jnp.asarray(labels[i])}
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, atol=1e-4, rtol=1e-4)
+    # final params: spot-check head + an attention kernel
+    ref_sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(state.params["head"]["kernel"]),
+        ref_sd["head.weight"].detach().numpy().T, atol=2e-5, rtol=1e-4)
+    # adam normalizes by sqrt(v): for elements whose gradient is ~0 the
+    # update direction is fp32-noise-dominated and can flip sign (observed
+    # ~0.1% of elements drifting up to ~2·lr over 3 steps in BOTH stacks) —
+    # assert the overwhelming majority updated identically; the loss
+    # trajectory above is the tight functional assertion
+    got = np.asarray(state.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    want = ref_sd["blocks.0.attn.qkv.weight"].detach().numpy().T
+    close = np.isclose(got, want, atol=5e-4, rtol=1e-3)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of qkv close"
+
+
 # --- CLIP teacher ------------------------------------------------------------
 
 

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = int(os.environ.get("UNITE_FLASH_BQ", "128"))
+DEFAULT_BLOCK_K = int(os.environ.get("UNITE_FLASH_BK", "128"))
 NEG_INF = -1e30
 
 
@@ -75,36 +75,46 @@ def attention_xla(q, k, v, *, scale=None, return_probs=False, dropout_rate=0.0,
 # ---------------------------------------------------------------------------
 
 
+def _flash_gb(s_pad: int, bq: int, tiles: int = 1) -> int:
+    """(batch·head) rows per program: multi-row programs amortize launch
+    overhead (same lesson as the fused-qkv kernels). Scanned on v5e at the
+    1568-token stage-2 workload: gb=4 beats 1/2/3 for fwd AND both bwd
+    kernels (62.7 → 65.1 clips/s) and the ~3.4MB score tiles still fit."""
+    env = int(os.environ.get("UNITE_FLASH_GB", "0"))
+    return env or max(1, min(4, (4 * 1024 * 1024) // (bq * s_pad * 4)))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len):
-    # Block shapes: q [1, BQ, D]; k,v [1, S_pad, D]; o [1, BQ, D];
-    # lse [1, 8, BQ] — row stats broadcast over 8 sublanes to satisfy the
-    # TPU (8, 128) tile constraint (a [1, BQ] block is not a legal tile).
+    # Block shapes: q [GB, BQ, D]; k,v [GB, S_pad, D]; o [GB, BQ, D];
+    # lse [GB, 8, BQ] — row stats broadcast over 8 sublanes to satisfy the
+    # TPU (8, 128) tile constraint (a [GB, BQ] block is not a legal tile).
     # bf16 operands with fp32 accumulation: bf16 products are exact in the
     # MXU's fp32 accumulator, and the fp32-upcast path runs at quarter rate
-    q = q_ref[0]  # [BQ, D]
-    k = k_ref[0]  # [S_pad, D]
-    v = v_ref[0]
+    q = q_ref[...]  # [GB, BQ, D]
+    k = k_ref[...]  # [GB, S_pad, D]
+    v = v_ref[...]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, S_pad] fp32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [GB, BQ, S_pad] fp32
 
-    s_pad = k.shape[0]
+    s_pad = k.shape[1]
     if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    lse = (m + jnp.log(l))[:, 0]  # [BQ]
-    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+    lse = (m + jnp.log(l))[:, :, 0]  # [GB, BQ]
+    lse_ref[...] = jnp.broadcast_to(
+        lse[:, None, :], (lse.shape[0], 8, lse.shape[1]))
     p = p / l
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, scale, block_q):
@@ -116,39 +126,45 @@ def _flash_fwd(q, k, v, scale, block_q):
     kp = jnp.pad(k, pad) if s_pad != s else k
     vp = jnp.pad(v, pad) if s_pad != s else v
     bh = b * h
-    qp = qp.reshape(bh, s_pad, d)
-    kp = kp.reshape(bh, s_pad, d)
-    vp = vp.reshape(bh, s_pad, d)
+    gb = _flash_gb(s_pad, bq)
+    bh_pad = _round_up(bh, gb)
+    bpad = [(0, bh_pad - bh), (0, 0), (0, 0)]
 
-    grid = (bh, s_pad // bq)
+    def prep(x):
+        x = x.reshape(bh, s_pad, d)
+        return jnp.pad(x, bpad) if bh_pad != bh else x
+
+    qp, kp, vp = prep(qp), prep(kp), prep(vp)
+
+    grid = (bh_pad // gb, s_pad // bq)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, seq_len=s),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, bq), lambda i, j: (i, 0, j),
+            pl.BlockSpec((gb, 8, bq), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 8, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, 8, s_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * s_pad * s_pad * d,
-            bytes_accessed=3 * bh * s_pad * d * q.dtype.itemsize,
-            transcendentals=bh * s_pad * s_pad,
+            flops=4 * bh_pad * s_pad * s_pad * d,
+            bytes_accessed=3 * bh_pad * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_pad * s_pad,
         ),
     )(qp, kp, vp)
-    return out, lse, (s_pad, bq)
+    return out[:bh], lse[:bh], (s_pad, bq)
 
 
 # ---------------------------------------------------------------------------
@@ -160,74 +176,76 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
                    *, scale, seq_len):
     # Recomputes softmax stats in-kernel (the full key row is resident), so
     # no lse/delta inputs are needed: delta = rowsum(do * o) on the block.
-    # Dots take the native bf16 operands (exact in fp32 accumulation).
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0]
+    # Dots take the native bf16 operands (exact in fp32 accumulation);
+    # GB (batch·head) rows per program.
+    q = q_ref[...]   # [GB, BQ, D]
+    k = k_ref[...]   # [GB, S_pad, D]
+    v = v_ref[...]
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...]
     do32 = do.astype(jnp.float32)
-    delta = jnp.sum(do32 * o, axis=-1, keepdims=True)  # [BQ, 1]
+    delta = jnp.sum(do32 * o, axis=-1, keepdims=True)  # [GB, BQ, 1]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s_pad = k.shape[0]
+    s_pad = k.shape[1]
     if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BQ, S_pad]
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [GB, BQ, S_pad]
 
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, seq_len):
-    # k,v blocks [1, BK, D]; q, do full [1, S_pad, D];
-    # lse/delta [1, 8, S_pad] (row stats broadcast over sublanes by fwd).
+    # k,v blocks [GB, BK, D]; q, do full [GB, S_pad, D];
+    # lse/delta [GB, 8, S_pad] (row stats broadcast over sublanes by fwd).
     # Dots take the native bf16 operands (exact in fp32 accumulation).
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0, 0][None, :]       # [1, S_pad] (per-query row stats)
-    delta = delta_ref[0, 0][None, :]   # [1, S_pad]
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[:, 0:1, :]       # [GB, 1, S_pad] per-query row stats
+    delta = delta_ref[:, 0:1, :]   # [GB, 1, S_pad] (rank-preserving slices)
 
-    # scores transposed: [BK, S_pad] = k @ q^T
+    # scores transposed: [GB, BK, S_pad] = k @ q^T
     st = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        k, q, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s_pad = q.shape[0]
-    pt = jnp.exp(st - lse)  # [BK, S_pad] = P^T
+    s_pad = q.shape[1]
+    pt = jnp.exp(st - lse)  # [GB, BK, S_pad] = P^T
     if seq_len < s_pad:
         # zero contributions from padded *query* rows (columns here);
         # padded key rows of this block yield garbage dk/dv sliced off outside.
-        qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+        qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
         pt = jnp.where(qcol < seq_len, pt, 0.0)
 
     ptc = pt.astype(q.dtype)
     dv = jax.lax.dot_general(
-        ptc, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ptc, do, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
-    # dpt [BK, S_pad] = v @ do^T
+    # dpt [GB, BK, S_pad] = v @ do^T
     dpt = jax.lax.dot_general(
-        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        v, do, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     dst = (pt * (dpt - delta) * scale).astype(q.dtype)
     dk = jax.lax.dot_general(
-        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dst, q, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 def _flash_bwd(res, g, scale, block_q, block_k):
@@ -241,53 +259,60 @@ def _flash_bwd(res, g, scale, block_q, block_k):
 
     bq = min(block_q, s_pad)
     bk = min(block_k, s_pad)
+    gb = _flash_gb(s_pad, max(bq, bk))
+    bh_pad = _round_up(bh, gb)
+    if bh_pad != bh:
+        bpad = [(0, bh_pad - bh), (0, 0), (0, 0)]
+        q, k, v, out, do = (jnp.pad(x, bpad) for x in (q, k, v, out, do))
+        lse = jnp.pad(lse, bpad)
+        delta = jnp.pad(delta, bpad)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, seq_len=s),
-        grid=(bh, s_pad // bq),
+        grid=(bh_pad // gb, s_pad // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh * s_pad * s_pad * d,
-            bytes_accessed=4 * bh * s_pad * d * q.dtype.itemsize,
-            transcendentals=bh * s_pad * s_pad,
+            flops=6 * bh_pad * s_pad * s_pad * d,
+            bytes_accessed=4 * bh_pad * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_pad * s_pad,
         ),
     )(q, k, v, out, do)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=s),
-        grid=(bh, s_pad // bk),
+        grid=(bh_pad // gb, s_pad // bk),
         in_specs=[
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * bh * s_pad * s_pad * d,
-            bytes_accessed=4 * bh * s_pad * d * q.dtype.itemsize,
-            transcendentals=bh * s_pad * s_pad,
+            flops=8 * bh_pad * s_pad * s_pad * d,
+            bytes_accessed=4 * bh_pad * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_pad * s_pad,
         ),
     )(q, k, v, do, lse, delta)
-    return dq, dk, dv
+    return dq[:bh], dk[:bh], dv[:bh]
 
 
 # ---------------------------------------------------------------------------
