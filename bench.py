@@ -227,6 +227,81 @@ def bench_stage2(B=8, frames=8, img=224):
     }))
 
 
+def bench_stage3(B=5, frames=8, img=224):
+    """Stage-3 self-training step (source CE + target full/masked student
+    passes + teacher attention + committee selection + pseudo-label CE):
+    ``python bench.py --stage3 [B]``. B is the per-stream batch (reference
+    stage3.sh: bs 5 source + 5 target per GPU). SOL counts source fwd+bwd,
+    target full fwd, k=2 masked fwd+bwd and the teacher forward."""
+    import flax.linen as nn
+
+    from unite_tpu import create_model
+    from unite_tpu.engines.selftrain import make_selftrain_step
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.train_state import TrainState
+
+    mask_ratio = 0.8
+    n_patch = frames * (img // 16) ** 2
+    student = create_model(
+        "adaptation_umt_base_patch16_224", num_frames=frames, tubelet_size=1,
+        clip_return_layers=(6,), dtype=jnp.bfloat16,
+    )
+    classifier = nn.Dense(12, param_dtype=jnp.float32, dtype=jnp.float32)
+    teacher = create_model(
+        "clip_b16", return_attn=True, return_index=(6,), dtype=jnp.bfloat16,
+    )
+    videos = jax.device_put(jnp.zeros((B, frames, img, img, 3), jnp.bfloat16))
+    labels = jax.device_put(jnp.zeros((B,), jnp.int32))
+    clip_sim = jax.device_put(jnp.full((B, 12), 1.0 / 12, jnp.float32))
+    tp = teacher.init(jax.random.PRNGKey(0), videos[:1])["params"]
+    sp = student.init(jax.random.PRNGKey(1), videos[:1])["params"]
+    hp = classifier.init(jax.random.PRNGKey(2),
+                         jnp.zeros((1, 768), jnp.float32))["params"]
+    params = {"model": sp, "classifier": hp}
+    tx, _ = create_optimizer("adamw", lr=1e-5, params=params,
+                             weight_decay=0.05)
+    state = TrainState.create(params, tx)
+    step = jax.jit(
+        make_selftrain_step(
+            student, classifier, teacher, num_patches=n_patch, frames=frames,
+            mask_ratio=mask_ratio, selection_strategy="clip_matchORconf",
+        ),
+        donate_argnums=(0,),
+    )
+    batch = {"videos_s": videos, "labels_s": labels, "videos_t": videos,
+             "labels_t": labels, "clip_sim": clip_sim}
+    rng = jax.random.PRNGKey(3)
+    state, m = step(state, tp, batch, rng)
+    float(m["loss"])
+    state, m = step(state, tp, batch, rng)
+    float(m["loss"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, tp, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    def block(n, dd):
+        mm = 2 * n * dd * (3 * dd) + 2 * n * dd * dd + 2 * (2 * n * dd * 4 * dd)
+        return mm + 2 * 2 * n * n * dd
+
+    hw = (img // 16) ** 2
+    n_vis = (hw - int(hw * mask_ratio)) * frames
+    teacher_f = frames * 12 * block(hw + 1, 768)
+    src = 3 * 12 * block(n_patch, 768)          # source fwd+bwd
+    tgt_full = 12 * block(n_patch, 768)          # target full fwd (stop-grad)
+    committee = 2 * 3 * 12 * block(n_vis, 768)   # k=2 masked fwd+bwd
+    fpc = teacher_f + src + tgt_full + committee  # per target+source PAIR
+    sol = peak_bf16_flops() / fpc
+    clips = B * iters / dt  # clip pairs/s
+    print(json.dumps({
+        "metric": "stage3_pairs_per_sec_per_chip",
+        "value": round(clips, 2), "unit": "pairs/s/chip",
+        "vs_baseline": round(clips / sol, 4),
+    }))
+
+
 def main():
     from unite_tpu import create_model
     from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
@@ -324,5 +399,8 @@ if __name__ == "__main__":
     elif "--stage2" in sys.argv:
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         bench_stage2(int(pos[0]) if pos else 8)
+    elif "--stage3" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        bench_stage3(int(pos[0]) if pos else 5)
     else:
         main()
