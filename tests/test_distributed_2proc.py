@@ -1,0 +1,102 @@
+"""Real 2-process jax.distributed integration (CPU backend).
+
+Unlike tests/test_multihost.py's monkeypatched world, this spawns two
+actual processes that rendezvous through ``jax.distributed.initialize``,
+build one global 2-device mesh, feed DISTINCT per-process batches through
+``shard_batch`` (exercising the multi-host
+``make_array_from_process_local_data`` path), run a psum-reduced step via
+``data_parallel_jit``, and cross-check ``process_allgather`` — the
+counterpart of the reference's torchrun+NCCL world
+(/root/reference/src/utils.py:510-551, stage launchers)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+_CHILD = textwrap.dedent("""
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 2, jax.device_count()
+    assert len(jax.local_devices()) == 1
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from unite_tpu.parallel.mesh import data_parallel_jit, make_mesh, \\
+        replicate, shard_batch
+
+    mesh = make_mesh()
+    # distinct per-process data: global batch = [0..3] rows on p0, [4..7] p1
+    local = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + pid * 12.0
+    batch = shard_batch({"x": local}, mesh)
+    assert batch["x"].shape == (8, 3), batch["x"].shape  # global shape
+
+    params = replicate({"w": jnp.ones((3,), jnp.float32)}, mesh)
+
+    def step(params, batch):
+        # per-shard mean -> psum-mean emitted by GSPMD: the global mean
+        loss = jnp.mean(batch["x"] @ params["w"])
+        return params, {"loss": loss}
+
+    step_p = data_parallel_jit(step, mesh, state_argnums=(0,),
+                               batch_argnums=(1,))
+    _, metrics = step_p(params, batch)
+    loss = float(metrics["loss"])
+    want = float(np.arange(24, dtype=np.float32).reshape(8, 3).sum(1).mean())
+    assert abs(loss - want) < 1e-4, (loss, want)
+
+    gathered = multihost_utils.process_allgather(np.array([pid, loss]))
+    assert gathered.shape == (2, 2), gathered.shape
+    assert gathered[0, 0] == 0.0 and gathered[1, 0] == 1.0
+    print(f"proc {pid}: loss={loss:.4f} OK")
+""")
+
+
+def test_two_process_distributed_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # one CPU device per process: drop the 8-fake-device flag the parent
+    # test env forces
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"proc {i}: loss=" in out
+    # both processes computed the identical global loss
+    l0 = outs[0].split("loss=")[1].split()[0]
+    l1 = outs[1].split("loss=")[1].split()[0]
+    assert l0 == l1
+    np.testing.assert_allclose(float(l0.rstrip("OK")), 34.5, atol=1e-3)

@@ -57,12 +57,18 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data",
         x = np.asarray(x)
         if x.ndim == 0 or force_replicate:
             return jax.device_put(x, replicated(mesh))
+        sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        if jax.process_count() > 1:
+            # multi-host: ``x`` is this PROCESS's shard (the per-host
+            # sampler feeds each host distinct data, reference
+            # datasets/distributed.py:133-147); assemble the global array
+            # from the per-process locals instead of device_put-ing a
+            # pretend-global value
+            return jax.make_array_from_process_local_data(sharding, x)
         assert x.shape[0] % mesh.shape[axis] == 0, (
             f"batch dim {x.shape[0]} not divisible by {axis}={mesh.shape[axis]}"
         )
-        return jax.device_put(
-            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
-        )
+        return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):
         return {k: (put(v, k in replicated_keys) if not isinstance(v, dict)
