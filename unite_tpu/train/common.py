@@ -242,6 +242,12 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
 
         probs = multihost_utils.process_allgather(probs).reshape(-1, probs.shape[-1])
         labels = multihost_utils.process_allgather(labels).reshape(-1)
+        # loss must aggregate across hosts too (top1/5/ECE already do via
+        # the gathered probs; loss_sum/n_total were per-host)
+        sums = multihost_utils.process_allgather(
+            np.array([loss_sum, n_total], np.float64)).reshape(-1, 2)
+        loss_sum = float(sums[:, 0].sum())
+        n_total = float(sums[:, 1].sum())
     pred = probs.argmax(-1)
     top1 = 100.0 * (pred == labels).mean()
     order = np.argsort(-probs, axis=-1)[:, :5]

@@ -237,11 +237,21 @@ def main(args):
             # student-vs-CLIP agreement table (run_stage3.py:789-817)
             from unite_tpu.engines.selftrain import compare_model_predictions
 
-            cmp = compare_model_predictions(
-                np.concatenate(arrays["preds_t"]),
-                np.concatenate(arrays["clip_preds_t"]),
-                np.concatenate(arrays["labels_t"]),
-            )
+            preds_t = np.concatenate(arrays["preds_t"])
+            clip_preds_t = np.concatenate(arrays["clip_preds_t"])
+            labels_t = np.concatenate(arrays["labels_t"])
+            if jax.process_count() > 1:
+                # per-host target shards → global table (equal-length
+                # shards guaranteed by the padded per-host sampler)
+                from jax.experimental import multihost_utils
+
+                preds_t = multihost_utils.process_allgather(
+                    preds_t).reshape(-1)
+                clip_preds_t = multihost_utils.process_allgather(
+                    clip_preds_t).reshape(-1)
+                labels_t = multihost_utils.process_allgather(
+                    labels_t).reshape(-1)
+            cmp = compare_model_predictions(preds_t, clip_preds_t, labels_t)
             print(f"compare_model_predictions [{epoch}]: " + " ".join(
                 f"{k}={v}" for k, v in cmp.items()))
             epoch_stats.update({f"cmp_{k}": v for k, v in cmp.items()})
