@@ -60,7 +60,15 @@ class CLIPAttention(nn.Module):
     quantize: bool = False
 
     @nn.compact
-    def __call__(self, x, return_probs: bool = False):
+    def __call__(self, x, return_probs: bool = False,
+                 cls_probs_only: bool = False):
+        """cls_probs_only (with return_probs): return the head-averaged
+        CLS-query attention ROW [B, N] instead of the full [B, N, N]
+        matrix — the only piece the masking path consumes
+        (reference clip.py:95-96 keeps need_weights' full matrix and the
+        caller slices [:, 0, 1:]; materializing it costs ~1GB at the
+        stage-1 batch). The attention OUTPUT still runs through the fused
+        kernel; the CLS row is one [B, H, N] einsum + softmax."""
         from unite_tpu.ops.attention import fused_qkv_attention, use_fused_qkv
 
         b, n, c = x.shape
@@ -71,7 +79,17 @@ class CLIPAttention(nn.Module):
             name="in_proj",
         )(x)
         probs = None
-        if not return_probs and use_fused_qkv(n, self.use_pallas, fwd_only=True):
+        fused_ok = use_fused_qkv(n, self.use_pallas, fwd_only=True)
+        if return_probs and cls_probs_only and fused_ok:
+            out = fused_qkv_attention(qkv, self.num_heads, scale)
+            qh = qkv[:, 0, :c].reshape(b, self.num_heads, head_dim)
+            kh = qkv[:, :, c:2 * c].reshape(b, n, self.num_heads, head_dim)
+            scores = jnp.einsum(
+                "bhd,bnhd->bhn", qh.astype(jnp.float32),
+                kh.astype(jnp.float32),
+            ) * scale
+            probs = jax.nn.softmax(scores, axis=-1).mean(axis=1)  # [B, N]
+        elif not return_probs and fused_ok:
             # head split/merge fused into the kernel — no HBM transposes
             out = fused_qkv_attention(qkv, self.num_heads, scale)
         else:
@@ -85,6 +103,8 @@ class CLIPAttention(nn.Module):
             if return_probs:
                 out, probs = out
                 probs = jnp.mean(probs, axis=1)  # head avg (torch MHA default)
+                if cls_probs_only:
+                    probs = probs[:, 0, :]  # CLS row [B, N]
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         out = _dense(
             c, quantize=self.quantize, use_bias=True, dtype=self.dtype,
@@ -104,7 +124,8 @@ class CLIPBlock(nn.Module):
     quantize: bool = False
 
     @nn.compact
-    def __call__(self, x, return_probs: bool = False):
+    def __call__(self, x, return_probs: bool = False,
+                 cls_probs_only: bool = False):
         attn = CLIPAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             use_pallas=self.use_pallas, quantize=self.quantize, name="attn",
@@ -112,7 +133,8 @@ class CLIPBlock(nn.Module):
         h = LayerNorm(epsilon=1e-5, name="ln_1")(x)
         probs = None
         if return_probs:
-            h, probs = attn(h, return_probs=True)
+            h, probs = attn(h, return_probs=True,
+                            cls_probs_only=cls_probs_only)
         else:
             h = attn(h)
         x = x + h
@@ -227,8 +249,8 @@ class CLIPVisionTransformer(nn.Module):
                 name=f"resblocks_{i}",
             )
             if want_attn:
-                x, probs = blk(x, return_probs=True)
-                attn = probs[:, 0, 1:]  # CLS→patch [B*T', HW]
+                x, probs = blk(x, return_probs=True, cls_probs_only=True)
+                attn = probs[:, 1:]  # CLS→patch [B*T', HW]
             else:
                 x = blk(x)
             if i in return_index:
