@@ -146,6 +146,20 @@ def test_spatial_sampling_modes():
     assert not np.array_equal(o0, o2)
 
 
+def test_group_random_crop_shared_window():
+    """GroupRandomCrop (transforms.py:31-56): one window for all frames."""
+    from PIL import Image
+    from unite_tpu.data.transforms import GroupRandomCrop
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (40, 48, 3)).astype(np.uint8)
+    frames = [Image.fromarray(base), Image.fromarray(base)]
+    out = GroupRandomCrop(32, rng=np.random.default_rng(1))(frames)
+    assert all(f.size == (32, 32) for f in out)
+    # identical source + shared window -> identical crops
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))
+
+
 def test_random_resized_crop_with_shift():
     """motion_shift RRC (video_transforms.py:595-639): output shape, value
     domain, and actual box drift across frames."""

@@ -60,6 +60,25 @@ class GroupScale:
         return [f.resize((ow, oh), self.interpolation) for f in frames]
 
 
+class GroupRandomCrop:
+    """One random crop window shared by every frame (transforms.py:31-56)."""
+
+    def __init__(self, size: int,
+                 rng: Optional[np.random.Generator] = None):
+        self.size = size
+        self.rng = rng
+
+    def __call__(self, frames: List[Image.Image]):
+        rng = _rng_or_default(self.rng)
+        w, h = frames[0].size
+        if w == self.size and h == self.size:
+            return frames
+        x1 = int(rng.integers(0, w - self.size + 1))
+        y1 = int(rng.integers(0, h - self.size + 1))
+        return [f.crop((x1, y1, x1 + self.size, y1 + self.size))
+                for f in frames]
+
+
 class GroupCenterCrop:
     def __init__(self, size: int):
         self.size = size
