@@ -17,9 +17,11 @@ and clip.py:48-53). Design is TPU-first:
   fused-qkv kernels instead use blocks equal to the array dims and let
   Mosaic mask the logical (197/314) tile padding — no jnp.pad HBM
   round-trips, no in-kernel column masks;
-* an XLA einsum fallback runs on CPU (tests) and whenever attention-prob
-  output or dropout is requested (teacher's last layer needs head-averaged
-  CLS->patch probabilities, clip.py:95-96 — tiny, not worth a kernel).
+* an XLA einsum fallback runs on CPU (tests) and whenever full
+  attention-prob output or dropout is requested. The teacher's last layer
+  (head-averaged CLS->patch probabilities, clip.py:95-96) does NOT hit it
+  on TPU: models/clip.py computes the CLS row with one [B,H,N] einsum
+  alongside the fused kernel instead of materializing [B,H,N,N].
 """
 
 from __future__ import annotations
