@@ -154,7 +154,7 @@ def test_group_random_crop_shared_window():
     rng = np.random.default_rng(7)
     base = rng.integers(0, 255, (40, 48, 3)).astype(np.uint8)
     frames = [Image.fromarray(base), Image.fromarray(base)]
-    out = GroupRandomCrop(32, rng=np.random.default_rng(1))(frames)
+    out = GroupRandomCrop(32)(frames, rng=np.random.default_rng(1))
     assert all(f.size == (32, 32) for f in out)
     # identical source + shared window -> identical crops
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))

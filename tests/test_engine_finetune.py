@@ -201,6 +201,22 @@ def test_mixup_cutmix_minmax_box_bounds():
         np.testing.assert_allclose(own, lam, atol=1e-5)
 
 
+def test_mixup_prob_gate_suppresses_minmax_box():
+    """Samples excluded by the prob gate must come back untouched even with
+    cutmix_minmax, whose box is drawn independent of lam (the reference
+    returns early with lam=1 before drawing any box, mixup.py:152-155)."""
+    from unite_tpu.ops.mixup import Mixup
+    mix = Mixup(mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.3, 0.6),
+                mode="elem", num_classes=4, label_smoothing=0.0, prob=0.0)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (4, 1, 16, 16, 1)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    mixed, targets = mix(jax.random.PRNGKey(9), x, labels)
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(targets), np.eye(4)[np.asarray(labels)], atol=1e-6)
+
+
 def test_zero1_sharded_optimizer_matches_replicated():
     """ZeRO-1 layout produces the same training trajectory as replicated."""
     from unite_tpu.parallel.mesh import (

@@ -63,14 +63,16 @@ class GroupScale:
 class GroupRandomCrop:
     """One random crop window shared by every frame (transforms.py:31-56)."""
 
-    def __init__(self, size: int,
-                 rng: Optional[np.random.Generator] = None):
+    def __init__(self, size: int):
         self.size = size
-        self.rng = rng
 
-    def __call__(self, frames: List[Image.Image]):
-        rng = _rng_or_default(self.rng)
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None):
+        rng = _rng_or_default(rng)
         w, h = frames[0].size
+        if w < self.size or h < self.size:
+            raise ValueError(
+                f"frame {w}x{h} smaller than crop size {self.size}")
         if w == self.size and h == self.size:
             return frames
         x1 = int(rng.integers(0, w - self.size + 1))

@@ -318,12 +318,12 @@ def project_clip_taps(params, taps, clip_norm_type: str = "l2",
     ``dtype`` must match the teacher module's compute dtype for bit-parity
     with the fused path.
     """
+    from unite_tpu.models.layers import layer_norm
+
     ln = params["ln_post"]
-    x32 = taps.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)  # torch-default LN eps
-    y = (y * ln["scale"] + ln["bias"]).astype(taps.dtype)
+    # same LN math as the module path (torch-default eps, see LayerNorm
+    # usages above) — shared helper keeps the two paths bit-identical
+    y = layer_norm(taps, ln["scale"], ln["bias"], epsilon=1e-5)
     z = jnp.einsum(
         "...nc,cd->...nd", y, params["proj"].astype(y.dtype),
         preferred_element_type=jnp.float32,

@@ -47,6 +47,21 @@ def get_sinusoid_encoding_table(n_position: int, d_hid: int) -> np.ndarray:
     return table[None].astype(np.float32)
 
 
+def layer_norm(x, scale, bias, epsilon: float):
+    """fp32-statistics LayerNorm from raw params.
+
+    The single source of the LN math: used by the ``LayerNorm`` module and
+    by frozen-param paths that apply it functionally (e.g.
+    ``models.clip.project_clip_taps``) — keeping them bit-identical."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    y = y * scale + bias
+    return y.astype(orig_dtype)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics regardless of compute dtype."""
 
@@ -55,16 +70,10 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
-        return y.astype(orig_dtype)
+        return layer_norm(x, scale, bias, self.epsilon)
 
 
 class DropPath(nn.Module):

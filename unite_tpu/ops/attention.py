@@ -123,6 +123,11 @@ def _flash_fwd(q, k, v, scale, block_q):
     b, h, s, d = q.shape
     s_pad = _round_up(s, max(block_q, 128))
     bq = min(block_q, s_pad)
+    if s_pad % bq:
+        raise ValueError(
+            f"flash block_q={bq} must divide the padded sequence {s_pad} "
+            f"(non-dividing blocks silently drop the tail of the grid); "
+            f"use a multiple of 128")
     pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
     qp = jnp.pad(q, pad) if s_pad != s else q
     kp = jnp.pad(k, pad) if s_pad != s else k
@@ -261,6 +266,10 @@ def _flash_bwd(res, g, scale, block_q, block_k):
 
     bq = min(block_q, s_pad)
     bk = min(block_k, s_pad)
+    if s_pad % bq or s_pad % bk:
+        raise ValueError(
+            f"flash block_q={bq}/block_k={bk} must divide the padded "
+            f"sequence {s_pad}; use multiples of 128")
     gb = _flash_gb(s_pad, max(bq, bk))
     bh_pad = _round_up(bh, gb)
     if bh_pad != bh:
@@ -517,15 +526,13 @@ def _qkv_attention_reference(qkv, heads: int, scale: float,
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, heads * d)
 
 
-# Softmax without the per-row max pass: fp32 exp overflows only beyond ~88,
-# while LN'd ViT/CLIP attention logits stay |s| < ~30 (random-init ~N(0,1));
-# the clamp is a seatbelt that saturates (identically for every row) instead
-# of producing inf. Removing the max turns the softmax from 3 full passes
-# over the [GB, S, S] score tile (max-reduce, sub+exp, sum-reduce) into ONE
-# (clamp+exp, written directly as bf16); the row sum l moves onto the
-# otherwise-idle MXU as p @ ones, and since the SAME bf16 p feeds both the
-# numerator (p @ v) and denominator, their rounding cancels to first order.
-SOFTMAX_CLAMP = 50.0
+# VPU-lean softmax: keep the per-row max subtraction (dropping it NaNs
+# whole rows whose logits all underflow exp, and silently flattens rows
+# with several logits past any fixed clamp — a training-time attention
+# entropy collapse would corrupt gradients without an error), but write
+# exp's output directly as bf16 and move the row-sum denominator onto the
+# otherwise-idle MXU as p @ ones. The SAME bf16 p feeds both the numerator
+# (p @ v) and the denominator, so their rounding cancels to first order.
 
 
 def _row_sums(p, out_dtype=jnp.float32):
@@ -549,11 +556,10 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     # physically padded sublanes/lanes itself — no explicit jnp.pad HBM
     # round-trip outside, no in-kernel -inf column masking. Per-head
     # rank-preserving lane slices + leading-batch-dim MXU matmuls; several
-    # batch rows per program amortize the program-launch overhead. ONE VPU
-    # pass over the score tile (see SOFTMAX_CLAMP note).
+    # batch rows per program amortize the program-launch overhead.
     # All dots take the native bf16 operands (fp32 MXU runs at quarter
     # rate, and bf16×bf16→fp32-accum is exact for bf16-sourced values);
-    # the softmax scale folds into the fused clamp+exp map in fp32.
+    # the softmax scale folds into the max/exp maps in fp32.
     xq, xk, xv = q_ref[...], k_ref[...], v_ref[...]
     d = xq.shape[2] // heads
     bdims = (((2,), (2,)), ((0,), (0,)))  # contract D, batch over dim 0
@@ -563,8 +569,9 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
         v = xv[:, :, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, bdims, preferred_element_type=jnp.float32
-        )  # [GB, S, S] fp32
-        p = jnp.exp(jnp.minimum(s * scale, SOFTMAX_CLAMP)).astype(v.dtype)
+        ) * scale  # [GB, S, S] fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(v.dtype)
         inv_l = 1.0 / _row_sums(p)  # [GB, S, 1] fp32, summed on the MXU
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -644,9 +651,10 @@ def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale):
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [GB, S(q), S(k)] fp32 (bf16 operands, scale folded into exp)
-        # same VPU-lean recompute as fwd: one clamp+exp pass, MXU row sums
-        p = jnp.exp(jnp.minimum(s * scale, SOFTMAX_CLAMP)).astype(x.dtype)
+        ) * scale  # [GB, S(q), S(k)] fp32 (bf16 operands)
+        # same VPU-lean recompute as fwd: max-sub + exp to bf16, MXU sums
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(x.dtype)
         inv_l = 1.0 / _row_sums(p)  # [GB, S(q), 1] fp32
 
         # dv = (p/l)^T @ do  ==  p^T @ (do·inv_l)

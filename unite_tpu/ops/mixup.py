@@ -136,7 +136,7 @@ class Mixup:
         b, t, h, w, c = x.shape
         k_lam, k_box = jax.random.split(rng)
         if self.mode == "batch":
-            lam, use_cutmix, _ = self._sample_lam(k_lam)
+            lam, use_cutmix, use_mix = self._sample_lam(k_lam)
             box, lam_cut = self._box(k_box, h, w, lam)
             if self.correct_lam:
                 lam_cut_final = jnp.where(use_cutmix, lam_cut, lam)
@@ -147,6 +147,12 @@ class Mixup:
             mixed_cut = jnp.where(box[None, None, :, :, None], x_flip, x)
             mixed = jnp.where(use_cutmix, mixed_cut, mixed_mix)
             lam_final = jnp.where(use_cutmix, lam_cut_final, lam)
+            # prob gate (mixup.py:152-155 early return): samples the gate
+            # excluded stay untouched — lam=1 suppresses plain mixup
+            # already, but the minmax cutmix box is drawn lam-independent
+            # and must be masked explicitly
+            mixed = jnp.where(use_mix, mixed, x)
+            lam_final = jnp.where(use_mix, lam_final, 1.0)
         else:  # elem / pair
             if self.mode == "pair":
                 # per-PAIR draws mirrored onto the flipped partner
@@ -154,14 +160,15 @@ class Mixup:
                 # with j = B-1-i using one shared lam and one shared box;
                 # lam vector is [lam_half, lam_half reversed])
                 assert b % 2 == 0, "pair mode needs an even batch"
-                lam_h, cut_h, _ = self._sample_lam(k_lam, (b // 2,))
+                lam_h, cut_h, mix_h = self._sample_lam(k_lam, (b // 2,))
                 box_h, lamc_h = self._box(k_box, h, w, lam_h, (b // 2,))
                 lam = jnp.concatenate([lam_h, jnp.flip(lam_h, 0)])
                 use_cutmix = jnp.concatenate([cut_h, jnp.flip(cut_h, 0)])
+                use_mix = jnp.concatenate([mix_h, jnp.flip(mix_h, 0)])
                 box = jnp.concatenate([box_h, jnp.flip(box_h, 0)])
                 lam_cut = jnp.concatenate([lamc_h, jnp.flip(lamc_h, 0)])
             else:
-                lam, use_cutmix, _ = self._sample_lam(k_lam, (b,))
+                lam, use_cutmix, use_mix = self._sample_lam(k_lam, (b,))
                 box, lam_cut = self._box(k_box, h, w, lam, (b,))
             lam_cut_final = jnp.where(use_cutmix, lam_cut, lam) \
                 if self.correct_lam else lam
@@ -173,6 +180,9 @@ class Mixup:
                 use_cutmix.reshape(b, 1, 1, 1, 1), mixed_cut, mixed_mix
             )
             lam_final = jnp.where(use_cutmix, lam_cut_final, lam)
+            # prob gate (see batch-mode note)
+            mixed = jnp.where(use_mix.reshape(b, 1, 1, 1, 1), mixed, x)
+            lam_final = jnp.where(use_mix, lam_final, 1.0)
         targets = mixup_target(
             labels, self.num_classes, lam_final, self.label_smoothing
         )

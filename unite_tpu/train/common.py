@@ -112,10 +112,10 @@ def train_one_epoch(
     jax.profiler trace of steps 2-7 of the epoch.
 
     ``array_sink``: optional dict; non-scalar metrics returned by the step
-    are appended here per batch (lists of np arrays) instead of being fed to
-    the scalar meters — used by stage 3 for the epoch-level prediction-
-    comparison table. NOTE: collecting arrays forces a device sync per step;
-    leave None on hot paths. Without a sink, array metrics are dropped.
+    are appended here per batch as DEVICE arrays (converted to the host's
+    local shards at epoch end) so collection neither blocks the async
+    dispatch chain per step nor tries to np.asarray a multi-host-sharded
+    value. Without a sink, array metrics are dropped.
     """
     logger = metric_logger or MetricLogger()
     rng = rng if rng is not None else jax.random.PRNGKey(epoch)
@@ -132,7 +132,9 @@ def train_one_epoch(
         if array_sink is not None:
             for k, v in metrics.items():
                 if getattr(v, "ndim", 0) > 0:
-                    array_sink.setdefault(k, []).append(np.asarray(v))
+                    # keep the device array: no per-step sync, and
+                    # np.asarray would raise on multi-host-sharded values
+                    array_sink.setdefault(k, []).append(v)
         window_clips += _batch_clips(batch)
         # Device-to-host scalar reads cost a full dispatch round-trip each
         # (~30ms on tunneled devices), so metrics only sync on log steps —
@@ -164,6 +166,11 @@ def train_one_epoch(
                 f"Loss is {host['loss']}, stopping training")
         logger.update(**host)
         last_metrics = host
+    if array_sink:
+        # one sync at epoch end: pull each collected device array's LOCAL
+        # shards (np.asarray on a multi-host-sharded value raises)
+        for k, chunks in array_sink.items():
+            array_sink[k] = [_local_host_array(v) for v in chunks]
     logger.synchronize_between_processes()
     print("Averaged stats:", logger)
     stats = {k: m.global_avg for k, m in logger.meters.items()}
@@ -173,6 +180,20 @@ def train_one_epoch(
 def _scalar_metrics(metrics) -> Dict[str, float]:
     return {k: float(v) for k, v in metrics.items()
             if getattr(v, "ndim", 0) == 0}
+
+
+def _local_host_array(v) -> np.ndarray:
+    """Device array → this host's rows (handles multi-host shardings).
+
+    Deduplicates replica shards (same index on several local devices) and
+    orders the unique ones by their global offset."""
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        parts = {}
+        for s in v.addressable_shards:
+            start = (s.index[0].start or 0) if s.index else 0
+            parts.setdefault(start, np.asarray(s.data))
+        return np.concatenate([parts[k] for k in sorted(parts)])
+    return np.asarray(v)
 
 
 def as_video_array(x) -> np.ndarray:

@@ -219,10 +219,14 @@ def main(args):
 
     best_acc = -1.0
     for epoch in range(start_epoch, args.epochs):
-        if args.reset_train_dataset and epoch > start_epoch:
+        if args.reset_train_dataset and epoch > 0:
             # remake_train_dataloader (run_stage2.py:440-453): fresh dataset
-            # each epoch re-draws the train_fraction subset; epoch-salted
-            # seed keeps the run deterministic
+            # each epoch re-draws the train_fraction subset; the
+            # epoch-salted seed keeps the run deterministic AND
+            # resume-consistent (guarding on epoch > start_epoch would make
+            # the first resumed epoch train on the base-seed subset instead
+            # of the one the uninterrupted run used; epoch 0 keeps the
+            # startup dataset in both cases)
             import copy
 
             a2 = copy.copy(args)
