@@ -55,6 +55,16 @@ def test_xla_attention_grad_finite():
         assert np.isfinite(np.asarray(g)).all()
 
 
+def test_flash_rejects_non_dividing_blocks():
+    """Non-dividing block_q would silently truncate the Pallas grid tail;
+    the kernels must refuse instead."""
+    from unite_tpu.ops.attention import _flash_fwd
+
+    q = jnp.zeros((1, 2, 1568, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="must divide"):
+        _flash_fwd(q, q, q, 0.125, block_q=96)
+
+
 def test_bf16_attention_close():
     rng = np.random.default_rng(3)
     q, k, v = (rng.standard_normal((1, 2, 64, 32), np.float32) for _ in range(3))

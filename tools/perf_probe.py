@@ -45,7 +45,10 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     frames, img, mask_ratio = 8, 224, 0.8
     n_patch = frames * (img // 16) ** 2
-    n_vis = n_patch - int(n_patch * mask_ratio)
+    # per-frame masking like the engine: 8 x (196 - int(196*0.8)) = 320
+    # visible tokens (NOT int(1568*0.8) = 314)
+    ppf = (img // 16) ** 2
+    n_vis = (ppf - int(ppf * mask_ratio)) * frames
 
     student = create_model(
         "adaptation_umt_base_patch16_224", num_frames=frames, tubelet_size=1,
