@@ -601,6 +601,8 @@ def _fused_qkv_fwd(qkv, heads, scale):
     # gb=1), student 314-320 is flat between gb=2 and 4 (558 vs 554us) but
     # gb=4 overflows the 16MB scoped VMEM once the double-buffered qkv
     # views are counted — the 1MB score-tile heuristic lands on 4 and 2.
+    # (a 1.5MB budget — student gb=3 — overflows scoped VMEM in-step; the
+    # 1MB budget's gb=2/4 split is the measured optimum)
     s_sub, s_lane = _round_up(s, 8), _round_up(s, 128)
     gb = int(os.environ.get("UNITE_FUSED_GB", "0")) or max(
         1, min(4, (1024 * 1024) // (s_sub * s_lane * 4)))
