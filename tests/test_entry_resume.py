@@ -208,3 +208,42 @@ def test_stage2_reset_train_dataset(tmp_path):
     got = _read_epoch_stats(str(tmp_path / "r"))
     assert set(got) == {0, 1}
     assert all(np.isfinite(v) for v in got.values())
+
+
+@pytest.mark.slow
+def test_stage2_reset_train_dataset_resume_bitwise(tmp_path):
+    """reset_train_dataset × resume: the first RESUMED epoch must rebuild
+    with the same epoch-salted seed an uninterrupted run used (guarding the
+    rebuild on epoch > start_epoch trained the first resumed epoch on the
+    base-seed subset — a different train_fraction draw)."""
+    from unite_tpu.train import common
+    from unite_tpu.train.run_stage2 import main
+
+    def cfg(out, epochs):
+        args = _stage2_args(tmp_path, out, epochs)
+        args.reset_train_dataset = True
+        args.train_fraction = 0.5
+        return args
+
+    main(cfg(tmp_path / "ra", 3))
+    ref = _read_epoch_stats(str(tmp_path / "ra"))
+    assert set(ref) == {0, 1, 2}
+
+    orig = common.save_epoch_stats
+
+    def dying_save(args, epoch, stats):
+        orig(args, epoch, stats)
+        if epoch == 0 and "train_loss" in stats:
+            raise RuntimeError("simulated preemption")
+
+    common.save_epoch_stats = dying_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            main(cfg(tmp_path / "rb", 3))
+    finally:
+        common.save_epoch_stats = orig
+
+    main(cfg(tmp_path / "rb", 3))
+    got = _read_epoch_stats(str(tmp_path / "rb"))
+    for e in (0, 1, 2):
+        assert got[e] == ref[e], f"epoch {e}: {got[e]} != {ref[e]}"
