@@ -58,6 +58,34 @@ _CHILD = textwrap.dedent("""
     assert gathered.shape == (2, 2), gathered.shape
     assert gathered[0, 0] == 0.0 and gathered[1, 0] == 1.0
     print(f"proc {pid}: loss={loss:.4f} OK")
+
+    # --- run_validation over the real 2-process mesh: regression for the
+    # sharded-probs fetch (must go through _local_host_array; np.asarray on
+    # the non-fully-addressable step output used to raise) and for the
+    # cross-host loss/acc aggregation.
+    from unite_tpu.train.common import run_validation
+
+    nb = 4
+
+    def eval_step(state, batch):
+        logits = batch["videos"].reshape(batch["videos"].shape[0], -1)[:, :nb]
+        return {"probs": jax.nn.softmax(logits, axis=-1)}
+
+    eval_p = data_parallel_jit(eval_step, mesh, state_argnums=(0,),
+                               batch_argnums=(1,), donate_state=False)
+    rng = np.random.default_rng(7)
+    clips_a = (rng.normal(size=(2, nb)).astype(np.float32) + pid)
+    clips_b = (rng.normal(size=(1, nb)).astype(np.float32) - pid)  # short batch -> pad path
+    loader = [
+        (clips_a, np.array([pid * 2, pid * 2 + 1], np.int64) % nb),
+        (clips_b, np.array([pid], np.int64) % nb),
+    ]
+    stats = run_validation(params, eval_p, loader, mesh, batch_size=2)
+    assert 0.0 <= stats["acc1"] <= 100.0, stats
+    g = multihost_utils.process_allgather(
+        np.array([stats["acc1"], stats["loss"]]))
+    assert np.allclose(g[0], g[1]), g  # stats are global, identical on both
+    print(f"proc {pid}: val acc1={stats['acc1']:.2f} OK")
 """)
 
 
@@ -95,6 +123,7 @@ def test_two_process_distributed_step(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         assert f"proc {i}: loss=" in out
+        assert f"proc {i}: val acc1=" in out
     # both processes computed the identical global loss
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]

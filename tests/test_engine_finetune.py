@@ -176,6 +176,24 @@ def test_mixup_pair_mode_symmetry():
             m[i], lam_i * xo[i] + (1 - lam_i) * xo[j], atol=1e-4)
 
 
+def test_mixup_pair_mode_odd_batch_middle_untouched():
+    """Odd batch in pair mode: the reference's range(B//2) loop never
+    visits the middle sample, so it passes through unmixed with a hard
+    one-hot target (mixup.py:178-200)."""
+    from unite_tpu.ops.mixup import Mixup
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, mode="pair",
+                num_classes=4, label_smoothing=0.0, prob=1.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((5, 1, 8, 8, 1)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3, 0])
+    mixed, targets = mix(jax.random.PRNGKey(5), x, labels)
+    np.testing.assert_allclose(np.asarray(mixed)[2], np.asarray(x)[2],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(targets)[2],
+                               np.eye(4, dtype=np.float32)[2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
+
+
 def test_mixup_cutmix_minmax_box_bounds():
     """cutmix_minmax (reference mixup.py:66-96,131-134): box side lengths
     are uniform fractions within the bounds and lam is the exact area."""

@@ -77,11 +77,16 @@ def attention_xla(q, k, v, *, scale=None, return_probs=False, dropout_rate=0.0,
 # ---------------------------------------------------------------------------
 
 
-def _flash_gb(s_pad: int, bq: int, tiles: int = 1) -> int:
+def _flash_gb(s_pad: int, bq: int) -> int:
     """(batch·head) rows per program: multi-row programs amortize launch
     overhead (same lesson as the fused-qkv kernels). Scanned on v5e at the
     1568-token stage-2 workload: gb=4 beats 1/2/3 for fwd AND both bwd
-    kernels (62.7 → 65.1 clips/s) and the ~3.4MB score tiles still fit."""
+    kernels (62.7 → 65.1 clips/s) and the ~3.4MB score tiles still fit.
+
+    UNITE_FLASH_GB (like UNITE_FLASH_BQ/BK and UNITE_FUSED{,_BWD}_GB) is a
+    trace-time-only tuning knob: it is read when the kernel is traced and
+    baked into the jitted code, and an override bypasses the VMEM-fit
+    heuristic (too-large values overflow scoped VMEM at compile time)."""
     env = int(os.environ.get("UNITE_FLASH_GB", "0"))
     return env or max(1, min(4, (4 * 1024 * 1024) // (bq * s_pad * 4)))
 
@@ -183,7 +188,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
                    *, scale, seq_len):
     # Recomputes softmax stats in-kernel (the full key row is resident), so
     # no lse/delta inputs are needed: delta = rowsum(do * o) on the block.
-    # Dots take the native bf16 operands (exact in fp32 accumulation);
+    # Dots take bf16 operands for full MXU rate; the DOT itself accumulates
+    # exactly in fp32, but computed fp32 intermediates (ds below) are
+    # rounded to bf16 first — a deliberate rate-for-precision trade covered
+    # by the on-TPU grad-parity check in bench.py --check.
     # GB (batch·head) rows per program.
     q = q_ref[...]   # [GB, BQ, D]
     k = k_ref[...]   # [GB, S_pad, D]
@@ -218,7 +226,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, seq_len):
     # k,v blocks [GB, BK, D]; q, do full [GB, S_pad, D];
     # lse/delta [GB, 8, S_pad] (row stats broadcast over sublanes by fwd).
-    # Dots take the native bf16 operands (exact in fp32 accumulation).
+    # Dots take bf16 operands (fp32-exact accumulation of the dot itself;
+    # the ds intermediate is rounded to bf16 before its dots — see
+    # _bwd_dq_kernel note).
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
@@ -361,8 +371,9 @@ def _grouped_group_bwd(s_pad: int) -> int:
 
 def _grouped_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
     # VPU-lean softmax: the scale folds into the fp32 score tile, the 1/l
-    # normalization moves to the OUTPUT ([G,S,D]); dots take native bf16
-    # operands (exact in fp32 accumulation, 4x the fp32-upcast MXU rate).
+    # normalization moves to the OUTPUT ([G,S,D]); dots take bf16 operands
+    # (4x the fp32-upcast MXU rate; the dot accumulates in fp32, but the
+    # fp32 exp output is rounded to bf16 before the PV dot).
     q = q_ref[...]  # [G, S, D]
     k = k_ref[...]
     v = v_ref[...]
@@ -557,9 +568,10 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     # round-trip outside, no in-kernel -inf column masking. Per-head
     # rank-preserving lane slices + leading-batch-dim MXU matmuls; several
     # batch rows per program amortize the program-launch overhead.
-    # All dots take the native bf16 operands (fp32 MXU runs at quarter
-    # rate, and bf16×bf16→fp32-accum is exact for bf16-sourced values);
-    # the softmax scale folds into the max/exp maps in fp32.
+    # All dots take bf16 operands (fp32 MXU runs at quarter rate;
+    # bf16×bf16→fp32-accum is exact for the dot itself, though fp32
+    # intermediates rounded to bf16 beforehand — the exp output here — do
+    # lose mantissa); the softmax scale folds into the max/exp maps in fp32.
     xq, xk, xv = q_ref[...], k_ref[...], v_ref[...]
     d = xq.shape[2] // heads
     bdims = (((2,), (2,)), ((0,), (0,)))  # contract D, batch over dim 0

@@ -158,15 +158,26 @@ class Mixup:
                 # per-PAIR draws mirrored onto the flipped partner
                 # (reference _mix_pair, mixup.py:178-200: sample i mixes
                 # with j = B-1-i using one shared lam and one shared box;
-                # lam vector is [lam_half, lam_half reversed])
-                assert b % 2 == 0, "pair mode needs an even batch"
-                lam_h, cut_h, mix_h = self._sample_lam(k_lam, (b // 2,))
-                box_h, lamc_h = self._box(k_box, h, w, lam_h, (b // 2,))
-                lam = jnp.concatenate([lam_h, jnp.flip(lam_h, 0)])
-                use_cutmix = jnp.concatenate([cut_h, jnp.flip(cut_h, 0)])
-                use_mix = jnp.concatenate([mix_h, jnp.flip(mix_h, 0)])
-                box = jnp.concatenate([box_h, jnp.flip(box_h, 0)])
-                lam_cut = jnp.concatenate([lamc_h, jnp.flip(lamc_h, 0)])
+                # lam vector is [lam_half, lam_half reversed]; an odd
+                # batch leaves the middle sample unmixed — the reference's
+                # range(B//2) loop never touches it)
+                half = b // 2
+
+                def _mirror(v, mid):
+                    parts = [v]
+                    if b % 2:
+                        parts.append(jnp.full((1,) + v.shape[1:], mid,
+                                              v.dtype))
+                    parts.append(jnp.flip(v, 0))
+                    return jnp.concatenate(parts)
+
+                lam_h, cut_h, mix_h = self._sample_lam(k_lam, (half,))
+                box_h, lamc_h = self._box(k_box, h, w, lam_h, (half,))
+                lam = _mirror(lam_h, 1.0)
+                use_cutmix = _mirror(cut_h, False)
+                use_mix = _mirror(mix_h, False)
+                box = _mirror(box_h, False)
+                lam_cut = _mirror(lamc_h, 1.0)
             else:
                 lam, use_cutmix, use_mix = self._sample_lam(k_lam, (b,))
                 box, lam_cut = self._box(k_box, h, w, lam, (b,))

@@ -242,7 +242,11 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
             {"videos": as_video_array(host["videos"]),
              "labels": host["labels"].astype(np.int32)}, mesh)
         out = eval_step(state, dev)
-        probs = np.asarray(out["probs"])[:true_n]
+        # _local_host_array, not np.asarray: with multi-host shard_batch the
+        # step's probs are data-sharded across processes and not fully
+        # addressable; the local shard rows ARE this host's batch rows by
+        # construction (make_array_from_process_local_data).
+        probs = _local_host_array(out["probs"])[:true_n]
         labels_np = np.asarray(labels)[:true_n]
         all_probs.append(probs)
         all_labels.append(labels_np)
@@ -300,7 +304,7 @@ def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
                            "labels": np.asarray(labels, np.int32)}, batch_size)
         dev = pmesh.shard_batch(host, mesh)
         out = eval_step(state, dev)
-        probs = np.asarray(out["probs"])[:true_n]
+        probs = _local_host_array(out["probs"])[:true_n]
         records = [
             (vids[i], probs[i], int(labels[i]), int(chunk_nb[i]),
              int(split_nb[i]))
