@@ -79,7 +79,10 @@ def check_kernels():
 
     assert jax.default_backend() == "tpu", "--check needs the TPU"
     ok = True
-    for seq in (197, 314, 1568):
+    # 197: teacher b16 per-frame; 314: masked student; 577: l14_336 teacher
+    # per-frame (24^2+1, clip.py:276-295); 784: 16f tubelet-2 student
+    # (modeling_finetune.py:161); 1568: full stage-2 sequence
+    for seq in (197, 314, 577, 784, 1568):
         q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (2, 12, seq, 64),
                                      jnp.bfloat16) for i in range(3))
         g = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.bfloat16)
@@ -124,6 +127,41 @@ def check_kernels():
         ok &= line_ok
         print(f"fused-qkv seq={seq}: fwd {fwd_d:.5f} bwd {bwd_d:.5f} "
               f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
+    # Model-level geometry drives (VERDICT r2 item 5): one real-chip
+    # forward of the zoo's remaining geometries through the actual modules
+    # (577-token l14_336 teacher frames, clip.py:276-295; 784-token
+    # 16-frame/tubelet-2 classification ViT, modeling_finetune.py:161) so
+    # the kernel-regime dispatch at those shapes is exercised on the TPU.
+    from unite_tpu import create_model
+
+    l14 = create_model("clip_l14_336", return_attn=True,
+                       return_index=(22, 23), dtype=jnp.bfloat16)
+    v336 = jnp.zeros((1, 2, 336, 336, 3), jnp.bfloat16)
+    lp = l14.init(jax.random.PRNGKey(11), v336)["params"]
+    z, attn = jax.jit(l14.apply)({"params": lp}, v336)
+    line_ok = (
+        z.shape == (2, 1, 2 * 576, 768)
+        and attn.shape == (2, 576)
+        and bool(jnp.isfinite(z.astype(jnp.float32)).all())
+        and bool(jnp.isfinite(attn.astype(jnp.float32)).all())
+    )
+    ok &= line_ok
+    print(f"clip_l14_336 fwd (577 tok/frame): {'OK' if line_ok else 'FAIL'}",
+          file=sys.stderr)
+
+    vitt2 = create_model(
+        "vit_base_patch16_224", num_classes=12, all_frames=16,
+        tubelet_size=2, dtype=jnp.bfloat16, use_mean_pooling=True,
+    )
+    v16 = jnp.zeros((1, 16, 224, 224, 3), jnp.bfloat16)
+    vp = vitt2.init(jax.random.PRNGKey(12), v16)["params"]
+    logits = jax.jit(vitt2.apply)({"params": vp}, v16)
+    line_ok = (logits.shape == (1, 12)
+               and bool(jnp.isfinite(logits.astype(jnp.float32)).all()))
+    ok &= line_ok
+    print(f"vit_base 16f/tubelet-2 fwd (784 tok): "
+          f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
+
     print(json.dumps({"metric": "kernel_numerics_check",
                       "value": 1.0 if ok else 0.0, "unit": "pass",
                       "vs_baseline": 1.0 if ok else 0.0}))
