@@ -111,10 +111,18 @@ def make_selftrain_step(
         b_t = videos_t.shape[0]
         drop_rng = jax.random.fold_in(rng, state.step)
 
-        # teacher attention over AUGMENTED target clips (run_stage3.py:434-451)
-        clip_videos_t = resize_for_teacher(videos_t_aug, clip_input_resolution)
-        _, attn = teacher.apply({"params": teacher_params}, clip_videos_t)
-        attn = jax.lax.stop_gradient(attn)  # [B_t*T, HW]
+        if "attn" in batch:
+            # injection hook (mirrors stage-1's vis_idx): externally
+            # computed teacher attention for loss/selection parity checks
+            # against the reference engine given identical inputs
+            attn = batch["attn"]  # [B_t*T, HW]
+        else:
+            # teacher attention over AUGMENTED target clips
+            # (run_stage3.py:434-451)
+            clip_videos_t = resize_for_teacher(videos_t_aug,
+                                               clip_input_resolution)
+            _, attn = teacher.apply({"params": teacher_params}, clip_videos_t)
+            attn = jax.lax.stop_gradient(attn)  # [B_t*T, HW]
 
         # committee visible-index sets (utils.py:89-120, :493-506)
         masks = greedy_committee_masks(attn, mask_ratio, k)  # [k, B_t*T, HW]

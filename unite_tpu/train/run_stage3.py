@@ -127,9 +127,17 @@ def main(args):
     lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
                                                args.num_sample)
     print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
+    # The reference's stage-3 optimizer is built over the ENCODER only
+    # (run_stage3.py:1264: create_optimizer(args, model_without_ddp, ...);
+    # src_classifier's params are never registered with any optimizer), so
+    # the stage-2-loaded head stays fixed through self-training even though
+    # it receives gradients. Freeze it identically here.
+    tmask = {"model": jax.tree.map(lambda _: True, sp),
+             "classifier": jax.tree.map(lambda _: False, hp)}
     tx, _ = create_optimizer(
         args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
         betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
+        trainable_mask=tmask,
     )
     state = TrainState.create(params, tx)
 
