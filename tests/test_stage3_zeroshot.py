@@ -111,11 +111,24 @@ def test_stage3_clip_strategy_requires_text_features(tmp_path):
 @pytest.mark.slow
 def test_stage3_entry_smoke_with_escape_hatch(tmp_path):
     """Full stage-3 entry runs end-to-end with --allow_uniform_clip and the
-    compare_model_predictions table lands in log.txt."""
+    compare_model_predictions table lands in log.txt; also exercises the
+    analysis exports (--save_preds_path → preds/labels/probs .npy, the
+    reference's run_stage3.py:1297 intent) and the kNN probe."""
     from unite_tpu.train.run_stage3 import main
 
+    preds_dir = str(tmp_path / "preds")
     main(_stage3_args(tmp_path, selection_strategy="clip_matchORconf",
-                      allow_uniform_clip=True))
+                      allow_uniform_clip=True, save_preds_path=preds_dir,
+                      initial_validation=True, knn_eval=True,
+                      knn_max_videos=8))
+    for sub in ("initial", "epoch0"):
+        for name in ("preds.npy", "labels.npy", "probs.npy"):
+            path = os.path.join(preds_dir, sub, name)
+            assert os.path.exists(path), path
+    preds = np.load(os.path.join(preds_dir, "epoch0", "preds.npy"))
+    probs = np.load(os.path.join(preds_dir, "epoch0", "probs.npy"))
+    assert preds.shape[0] == probs.shape[0] == 8  # val videos
+    assert probs.shape[1] == 3
     recs = [json.loads(line)
             for line in open(os.path.join(str(tmp_path / "out"), "log.txt"))]
     train_recs = [r for r in recs if "train_loss" in r]

@@ -296,8 +296,9 @@ def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False):
         from unite_tpu.engines.losses import accuracy_topk
 
         acc1, acc5 = accuracy_topk(logits, batch["labels"])
+        feats = pool_outputs(x_vis, use_cls_token).astype(jnp.float32)
         return {"probs": probs, "labels": batch["labels"], "acc1": acc1,
-                "acc5": acc5,
+                "acc5": acc5, "feats": feats,
                 "loss": cross_entropy(logits, batch["labels"])}
 
     return eval_step

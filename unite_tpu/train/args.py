@@ -250,4 +250,14 @@ def stage3_parser() -> argparse.ArgumentParser:
                         "similarities when no text artifacts are available "
                         "(this degrades clip_matchORconf to a biased rule; "
                         "see run_stage3 docs)")
+    p.add_argument("--save_preds_path", default="",
+                   help="dump per-video preds/labels/probs .npy from each "
+                        "validation pass for offline analysis "
+                        "(run_stage3.py:1297 save_preds_path intent)")
+    p.add_argument("--knn_eval", type=str2bool, default=False,
+                   help="run a cosine-kNN representation probe (utils/knn.py)"
+                        " at initial validation: source-train features "
+                        "classify target-val videos")
+    p.add_argument("--knn_k", type=int, default=20)
+    p.add_argument("--knn_max_videos", type=int, default=512)
     return p

@@ -229,9 +229,14 @@ def _pad_batch(batch: Dict, size: int) -> Dict:
 
 
 def run_validation(state, eval_step, loader, mesh, batch_size: int,
-                   header: str = "Val"):
+                   header: str = "Val", save_preds_path: Optional[str] = None):
     """Padded-batch validation; gathers probs/labels for top1/5 + ECE
-    (engine_for_finetuning.py:175-237)."""
+    (engine_for_finetuning.py:175-237).
+
+    ``save_preds_path``: dump the gathered per-video predictions for
+    offline analysis — preds.npy / labels.npy (the reference's
+    ``save_preds_path`` intent, run_stage3.py:778-784, which ships
+    commented out) plus probs.npy."""
     all_probs, all_labels = [], []
     loss_sum = n_total = 0.0
     for batch in loader:
@@ -281,7 +286,59 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
     stats = {"acc1": float(top1), "acc5": float(top5), "ece": float(ece),
              "loss": loss_sum / n_total}
     print(f"{header}: acc1 {top1:.2f} acc5 {top5:.2f} ece {ece:.4f}")
+    if save_preds_path and pmesh.is_main_process():
+        os.makedirs(save_preds_path, exist_ok=True)
+        np.save(os.path.join(save_preds_path, "preds.npy"), pred)
+        np.save(os.path.join(save_preds_path, "labels.npy"), labels)
+        np.save(os.path.join(save_preds_path, "probs.npy"), probs)
+        print(f"Saved predictions to {save_preds_path}")
     return stats
+
+
+def collect_features(state, eval_step, loader, mesh, batch_size: int,
+                     max_videos: int = 512):
+    """Pooled encoder features + labels over a loader (for the kNN
+    representation probe, utils/knn.py; requires an eval step that returns
+    a ``feats`` entry). Stops after ``max_videos`` videos."""
+    feats, labels = [], []
+    n = 0
+    for batch in loader:
+        clips, lab = batch[0], batch[1]
+        true_n = np.asarray(clips).shape[0]
+        host = _pad_batch({"videos": clips, "labels": lab}, batch_size)
+        dev = pmesh.shard_batch(
+            {"videos": as_video_array(host["videos"]),
+             "labels": np.asarray(host["labels"], np.int32)}, mesh)
+        out = eval_step(state, dev)
+        feats.append(_local_host_array(out["feats"])[:true_n])
+        labels.append(np.asarray(lab)[:true_n])
+        n += true_n
+        if n >= max_videos:
+            break
+    if not feats:
+        return np.zeros((0, 1), np.float32), np.zeros((0,), np.int64)
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def run_knn_probe(state, eval_step, train_loader, val_loader, mesh,
+                  batch_size: int, num_classes: int, k: int = 20,
+                  max_videos: int = 512):
+    """Representation-quality probe: cosine-kNN classify val features
+    against train features (utils/knn.py, the DINO/UMT protocol — the
+    reference intended this via its missing ``src.knn`` module)."""
+    from unite_tpu.utils.knn import knn_classifier
+
+    tr_f, tr_l = collect_features(state, eval_step, train_loader, mesh,
+                                  batch_size, max_videos)
+    va_f, va_l = collect_features(state, eval_step, val_loader, mesh,
+                                  batch_size, max_videos)
+    if tr_f.shape[0] == 0 or va_f.shape[0] == 0:
+        return {}
+    top1, top5 = knn_classifier(tr_f, tr_l, va_f, va_l, k=k,
+                                num_classes=num_classes)
+    print(f"kNN probe (k={k}, {tr_f.shape[0]} train / {va_f.shape[0]} val): "
+          f"top1 {top1:.2f} top5 {top5:.2f}")
+    return {"knn_top1": top1, "knn_top5": top5}
 
 
 def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,

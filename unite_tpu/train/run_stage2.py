@@ -204,6 +204,9 @@ def main(args):
         state = pmesh.replicate(state, mesh)
 
     if args.eval:
+        # protocol parity: the reference's eval mode runs ONLY the
+        # multi-view final_test + merge and exits (run_stage2.py:685-700);
+        # its per-epoch validation (:784-785) never runs under --eval
         stats = common.run_final_test(
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
             args.output_dir)

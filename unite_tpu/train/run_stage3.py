@@ -16,6 +16,7 @@ Run: ``python -m unite_tpu.train.run_stage3 --config configs/stage3_config.yaml
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -202,8 +203,22 @@ def main(args):
             )
 
     if args.initial_validation:
-        common.run_validation(state, eval_fn, val_loader, mesh,
-                              args.batch_size_val, header="Initial val")
+        common.run_validation(
+            state, eval_fn, val_loader, mesh, args.batch_size_val,
+            header="Initial val",
+            save_preds_path=(os.path.join(args.save_preds_path, "initial")
+                             if args.save_preds_path else None))
+        if args.knn_eval:
+            # representation-quality probe: source-train features classify
+            # target-val videos (utils/knn.py — the reference's intended
+            # src.knn surface)
+            knn_src = common.make_loader(ds_source, args,
+                                         args.batch_size_val, shuffle=False,
+                                         drop_last=False)
+            common.run_knn_probe(
+                state, eval_fn, knn_src, val_loader, mesh,
+                args.batch_size_val, args.nb_classes, k=args.knn_k,
+                max_videos=args.knn_max_videos)
 
     def batches(epoch):
         src_loader.set_epoch(epoch)
@@ -265,7 +280,9 @@ def main(args):
             epoch_stats.update({f"cmp_{k}": v for k, v in cmp.items()})
         val_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
-            header=f"Val [{epoch}]")
+            header=f"Val [{epoch}]",
+            save_preds_path=(os.path.join(args.save_preds_path, f"epoch{epoch}")
+                             if args.save_preds_path else None))
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
         if val_stats.get("acc1", -1) > best_acc:
             best_acc = val_stats["acc1"]
