@@ -91,73 +91,73 @@ def _flash_gb(s_pad: int, bq: int) -> int:
     return env or max(1, min(4, (4 * 1024 * 1024) // (bq * s_pad * 4)))
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len):
-    # Block shapes: q [GB, BQ, D]; k,v [GB, S_pad, D]; o [GB, BQ, D];
-    # lse [GB, 8, BQ] — row stats broadcast over 8 sublanes to satisfy the
-    # TPU (8, 128) tile constraint (a [GB, BQ] block is not a legal tile).
-    # bf16 operands with fp32 accumulation: bf16 products are exact in the
-    # MXU's fp32 accumulator, and the fp32-upcast path runs at quarter rate
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
+    # Block shapes: q [GB, BQ, D] (query-side zero-padded); k,v [GB, S, D]
+    # with S the LOGICAL length — blocks equal the array dims and Mosaic
+    # masks the physical tile padding in dots and reductions itself (the
+    # fused-qkv lesson: no jnp.pad HBM round trip, no -inf column pass);
+    # o [GB, BQ, D]; lse [GB, 8, BQ] — row stats broadcast over 8 sublanes
+    # to satisfy the TPU (8, 128) tile constraint.
+    # Same VPU-lean softmax as the fused kernels: exp writes bf16, the
+    # row-sum denominator rides the MXU, 1/l folds into the output.
     q = q_ref[...]  # [GB, BQ, D]
-    k = k_ref[...]  # [GB, S_pad, D]
+    k = k_ref[...]  # [GB, S, D]
     v = v_ref[...]
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [GB, BQ, S_pad] fp32
-
-    s_pad = k.shape[1]
-    if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < seq_len, s, NEG_INF)
+    ) * scale  # [GB, BQ, S] fp32
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(s - m).astype(v.dtype)  # bf16 for the MXU dots
+    l = _row_sums(p)  # [GB, BQ, 1] fp32
     lse = (m + jnp.log(l))[:, :, 0]  # [GB, BQ]
     lse_ref[...] = jnp.broadcast_to(
         lse[:, None, :], (lse.shape[0], 8, lse.shape[1]))
-    p = p / l
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * (1.0 / l)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, scale, block_q):
+    # Query-side-only padding: q/out/lse pad S → S_padq (multiple of 128,
+    # needed for a legal lse lane block); k/v stay UNPADDED — their blocks
+    # equal the array dims, so no HBM pad copies and no in-kernel key
+    # masking. Padded query rows are zeros → finite outputs, sliced off.
     b, h, s, d = q.shape
-    s_pad = _round_up(s, max(block_q, 128))
-    bq = min(block_q, s_pad)
-    if s_pad % bq:
+    s_padq = _round_up(s, max(block_q, 128))
+    bq = min(block_q, s_padq)
+    if s_padq % bq:
         raise ValueError(
-            f"flash block_q={bq} must divide the padded sequence {s_pad} "
+            f"flash block_q={bq} must divide the padded sequence {s_padq} "
             f"(non-dividing blocks silently drop the tail of the grid); "
             f"use a multiple of 128")
-    pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
-    qp = jnp.pad(q, pad) if s_pad != s else q
-    kp = jnp.pad(k, pad) if s_pad != s else k
-    vp = jnp.pad(v, pad) if s_pad != s else v
     bh = b * h
-    gb = _flash_gb(s_pad, bq)
+    gb = _flash_gb(_round_up(s, 128), bq)
     bh_pad = _round_up(bh, gb)
-    bpad = [(0, bh_pad - bh), (0, 0), (0, 0)]
 
-    def prep(x):
-        x = x.reshape(bh, s_pad, d)
-        return jnp.pad(x, bpad) if bh_pad != bh else x
+    def prep(x, pad_s):
+        x = x.reshape(bh, s, d)
+        if bh_pad != bh or (pad_s and s_padq != s):
+            x = jnp.pad(x, [(0, bh_pad - bh),
+                            (0, s_padq - s if pad_s else 0), (0, 0)])
+        return x
 
-    qp, kp, vp = prep(qp), prep(kp), prep(vp)
+    qp = prep(q, True)
+    kp, vp = prep(k, False), prep(v, False)
 
-    grid = (bh_pad // gb, s_pad // bq)
+    grid = (bh_pad // gb, s_padq // bq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, seq_len=s),
+        functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -167,16 +167,16 @@ def _flash_fwd(q, k, v, scale, block_q):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh_pad, 8, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh_pad, s_padq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, 8, s_padq), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh_pad * s_pad * s_pad * d,
-            bytes_accessed=3 * bh_pad * s_pad * d * q.dtype.itemsize,
-            transcendentals=bh_pad * s_pad * s_pad,
+            flops=4 * bh_pad * s_padq * s * d,
+            bytes_accessed=3 * bh_pad * s * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_padq * s,
         ),
     )(qp, kp, vp)
-    return out[:bh], lse[:bh], (s_pad, bq)
+    return out[:bh], lse[:bh], (s_padq, bq)
 
 
 # ---------------------------------------------------------------------------
@@ -184,17 +184,16 @@ def _flash_fwd(q, k, v, scale, block_q):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
-                   *, scale, seq_len):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
     # Recomputes softmax stats in-kernel (the full key row is resident), so
     # no lse/delta inputs are needed: delta = rowsum(do * o) on the block.
-    # Dots take bf16 operands for full MXU rate; the DOT itself accumulates
-    # exactly in fp32, but computed fp32 intermediates (ds below) are
-    # rounded to bf16 first — a deliberate rate-for-precision trade covered
-    # by the on-TPU grad-parity check in bench.py --check.
-    # GB (batch·head) rows per program.
+    # q/o/do blocks [GB, BQ, D] (query-side padded); k,v [GB, S, D]
+    # UNPADDED (blocks equal array dims — Mosaic masks tile padding, no
+    # -inf pass). Dots take bf16 operands for full MXU rate; the DOT
+    # accumulates exactly in fp32, but computed fp32 intermediates (ds)
+    # round to bf16 first — covered by bench.py --check grad parity.
     q = q_ref[...]   # [GB, BQ, D]
-    k = k_ref[...]   # [GB, S_pad, D]
+    k = k_ref[...]   # [GB, S, D]
     v = v_ref[...]
     o = o_ref[...].astype(jnp.float32)
     do = do_ref[...]
@@ -204,18 +203,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s_pad = k.shape[1]
-    if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < seq_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [GB, BQ, S_pad]
+    p = jnp.exp(s - m).astype(q.dtype)  # bf16; MXU row sums
+    inv_l = 1.0 / _row_sums(p)  # [GB, BQ, 1] fp32
 
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    # ds = p_norm·(dp − delta)·scale with p_norm = p·inv_l folded in
+    ds = (p.astype(jnp.float32) * (dp - delta)
+          * (inv_l * scale)).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -223,41 +220,33 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, seq_len):
-    # k,v blocks [GB, BK, D]; q, do full [GB, S_pad, D];
-    # lse/delta [GB, 8, S_pad] (row stats broadcast over sublanes by fwd).
-    # Dots take bf16 operands (fp32-exact accumulation of the dot itself;
-    # the ds intermediate is rounded to bf16 before its dots — see
-    # _bwd_dq_kernel note).
+                    dk_ref, dv_ref, *, scale):
+    # k,v blocks [GB, BK, D] (key-side padded only if BK doesn't divide S);
+    # q, do FULL UNPADDED [GB, S, D]; lse/delta [GB, 8, S] (sublane-
+    # broadcast row stats). No masking needed: zero-padded KEY rows only
+    # produce garbage dk/dv rows that are sliced off outside.
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
     do = do_ref[...]
-    lse = lse_ref[:, 0:1, :]       # [GB, 1, S_pad] per-query row stats
-    delta = delta_ref[:, 0:1, :]   # [GB, 1, S_pad] (rank-preserving slices)
+    lse = lse_ref[:, 0:1, :]       # [GB, 1, S] per-query row stats
+    delta = delta_ref[:, 0:1, :]   # [GB, 1, S] (rank-preserving slices)
 
-    # scores transposed: [GB, BK, S_pad] = k @ q^T
+    # scores transposed: [GB, BK, S] = k @ q^T
     st = jax.lax.dot_general(
         k, q, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s_pad = q.shape[1]
-    pt = jnp.exp(st - lse)  # [GB, BK, S_pad] = P^T
-    if seq_len < s_pad:
-        # zero contributions from padded *query* rows (columns here);
-        # padded key rows of this block yield garbage dk/dv sliced off outside.
-        qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
-        pt = jnp.where(qcol < seq_len, pt, 0.0)
+    pt = jnp.exp(st - lse).astype(q.dtype)  # [GB, BK, S] = P^T, bf16
 
-    ptc = pt.astype(q.dtype)
     dv = jax.lax.dot_general(
-        ptc, do, (((2,), (1,)), ((0,), (0,))),
+        pt, do, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    # dpt [GB, BK, S_pad] = v @ do^T
+    # dpt [GB, BK, S] = v @ do^T
     dpt = jax.lax.dot_general(
         v, do, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dst = (pt * (dpt - delta) * scale).astype(q.dtype)
+    dst = (pt.astype(jnp.float32) * (dpt - delta) * scale).astype(q.dtype)
     dk = jax.lax.dot_general(
         dst, q, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -265,75 +254,104 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(res, g, scale, block_q, block_k):
-    # q,k,v,out are the padded [BH, S_pad, D] arrays saved by fwd;
-    # lse is [BH, 8, S_pad] (sublane-broadcast row stats).
-    q, k, v, out, lse, s = res
-    bh, s_pad, d = q.shape
-    do = g
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, s_pad))
+def _divisor_block(s: int, target: int) -> int:
+    """Largest multiple-of-8 divisor of ``s`` that is ≤ ``target`` (legal
+    unpadded sublane block), or 0 if none exists (then the caller pads).
+    E.g. 1568 → 112, 784 → 112, 640 → 128."""
+    best = 0
+    for b in range(8, min(target, s) + 1, 8):
+        if s % b == 0:
+            best = b
+    return best
 
-    bq = min(block_q, s_pad)
-    bk = min(block_k, s_pad)
-    if s_pad % bq or s_pad % bk:
+
+def _flash_bwd(res, g, scale, block_q, block_k):
+    # Residuals: q,k,v UNPADDED [BH, S, D]; out padded [BH, S_padq, D];
+    # lse [BH, 8, S_padq] (sublane-broadcast row stats).
+    q, k, v, out, lse, s = res
+    bh, s_padq, d = out.shape
+    do_p = g  # [BH, S_padq, D] (query-side padded by the vjp glue)
+    do = do_p[:, :s] if s_padq != s else do_p
+    out_l = out[:, :s] if s_padq != s else out
+    delta = jnp.sum(do.astype(jnp.float32) * out_l.astype(jnp.float32),
+                    axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, s))
+    lse_l = lse[:, :, :s] if s_padq != s else lse
+
+    bq = min(block_q, s_padq)
+    if s_padq % bq:
         raise ValueError(
-            f"flash block_q={bq}/block_k={bk} must divide the padded "
-            f"sequence {s_pad}; use multiples of 128")
-    gb = _flash_gb(s_pad, max(bq, bk))
+            f"flash block_q={bq} must divide the padded sequence {s_padq}; "
+            f"use a multiple of 128")
+    # key block: a multiple-of-8 divisor of s keeps k/v unpadded; when none
+    # exists, pad keys (padded key rows only yield garbage dk/dv rows that
+    # are sliced off — no masking needed either way)
+    bk = _divisor_block(s, max(block_k, 160))
+    gb = _flash_gb(_round_up(s, 128), max(bq, bk or block_k))
     bh_pad = _round_up(bh, gb)
     if bh_pad != bh:
         bpad = [(0, bh_pad - bh), (0, 0), (0, 0)]
-        q, k, v, out, do = (jnp.pad(x, bpad) for x in (q, k, v, out, do))
-        lse = jnp.pad(lse, bpad)
+        q, k, v, out, do_p, do = (
+            jnp.pad(x, bpad) for x in (q, k, v, out, do_p, do))
+        lse_l = jnp.pad(lse_l, bpad)
         delta = jnp.pad(delta, bpad)
+    qp = jnp.pad(q, [(0, 0), (0, s_padq - s), (0, 0)]) if s_padq != s else q
+    s_padk = s
+    kb, vb = k, v
+    if bk == 0:
+        bk = min(block_k, _round_up(s, 128))
+        s_padk = _round_up(s, bk)
+        kpad = [(0, 0), (0, s_padk - s), (0, 0)]
+        kb, vb = jnp.pad(k, kpad), jnp.pad(v, kpad)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=s),
-        grid=(bh_pad // gb, s_pad // bq),
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(bh_pad // gb, s_padq // bq),
         in_specs=[
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, s_padq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh_pad * s_pad * s_pad * d,
-            bytes_accessed=4 * bh_pad * s_pad * d * q.dtype.itemsize,
-            transcendentals=bh_pad * s_pad * s_pad,
+            flops=6 * bh_pad * s_padq * s * d,
+            bytes_accessed=4 * bh_pad * s * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_padq * s,
         ),
-    )(q, k, v, out, do)
+    )(qp, k, v, out, do_p)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=s),
-        grid=(bh_pad // gb, s_pad // bk),
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(bh_pad // gb, s_padk // bk),
         in_specs=[
-            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 8, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 8, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 8, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh_pad, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, s_padk, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, s_padk, d), q.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * bh_pad * s_pad * s_pad * d,
-            bytes_accessed=4 * bh_pad * s_pad * d * q.dtype.itemsize,
-            transcendentals=bh_pad * s_pad * s_pad,
+            flops=8 * bh_pad * s_padk * s * d,
+            bytes_accessed=4 * bh_pad * s * d * q.dtype.itemsize,
+            transcendentals=bh_pad * s_padk * s,
         ),
-    )(q, k, v, do, lse, delta)
-    return dq[:bh], dk[:bh], dv[:bh]
+    )(q, kb, vb, do, lse_l, delta)
+    dk = dk[:bh, :s] if s_padk != s else dk[:bh]
+    dv = dv[:bh, :s] if s_padk != s else dv[:bh]
+    return dq[:bh], dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -767,30 +785,30 @@ def use_fused_qkv(seq: int, use_pallas=None, fwd_only: bool = False,
 def _flash_attention(q, k, v, scale, block_q, block_k):
     out, _, _ = _flash_fwd(q, k, v, scale, block_q)
     b, h, s, d = q.shape
-    s_pad = _round_up(s, max(block_q, 128))
-    return out.reshape(b, h, s_pad, d)[:, :, :s, :]
+    s_padq = _round_up(s, max(block_q, 128))
+    return out.reshape(b, h, s_padq, d)[:, :, :s, :]
 
 
 def _flash_attention_fwd(q, k, v, scale, block_q, block_k):
     b, h, s, d = q.shape
-    out, lse, (s_pad, _) = _flash_fwd(q, k, v, scale, block_q)
-    pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
-    qp = jnp.pad(q, pad).reshape(b * h, s_pad, d) if s_pad != s else q.reshape(b * h, s_pad, d)
-    kp = jnp.pad(k, pad).reshape(b * h, s_pad, d) if s_pad != s else k.reshape(b * h, s_pad, d)
-    vp = jnp.pad(v, pad).reshape(b * h, s_pad, d) if s_pad != s else v.reshape(b * h, s_pad, d)
-    res = (qp, kp, vp, out, lse, s)
-    return out.reshape(b, h, s_pad, d)[:, :, :s, :], (res, (b, h, s, d))
+    out, lse, (s_padq, _) = _flash_fwd(q, k, v, scale, block_q)
+    # residuals stay UNPADDED [BH, S, D] (no pad copies saved to HBM);
+    # out/lse keep the fwd's query-side padding for the dq grid
+    res = (q.reshape(b * h, s, d), k.reshape(b * h, s, d),
+           v.reshape(b * h, s, d), out, lse, s)
+    return out.reshape(b, h, s_padq, d)[:, :, :s, :], (res, (b, h, s, d))
 
 
 def _flash_attention_bwd(scale, block_q, block_k, carry, g):
     res, (b, h, s, d) = carry
-    s_pad = res[0].shape[1]
-    gp = jnp.pad(g, [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else g
-    gp = gp.reshape(b * h, s_pad, d)
+    s_padq = res[3].shape[1]
+    gp = (jnp.pad(g, [(0, 0), (0, 0), (0, s_padq - s), (0, 0)])
+          if s_padq != s else g)
+    gp = gp.reshape(b * h, s_padq, d)
     dq, dk, dv = _flash_bwd(res, gp, scale, block_q, block_k)
-    dq = dq.reshape(b, h, s_pad, d)[:, :, :s, :]
-    dk = dk.reshape(b, h, s_pad, d)[:, :, :s, :]
-    dv = dv.reshape(b, h, s_pad, d)[:, :, :s, :]
+    dq = dq.reshape(b, h, s_padq, d)[:, :, :s, :]
+    dk = dk.reshape(b, h, s, d)
+    dv = dv.reshape(b, h, s, d)
     return dq, dk, dv
 
 
