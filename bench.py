@@ -168,9 +168,10 @@ def check_kernels():
     return 0 if ok else 1
 
 
-def make_loader_batches(B, frames, img, iters):
+def make_loader_batches(B, frames, img, iters, num_workers=8):
     """Loader-fed input path: synthetic decode → group-crop stack → uint8
-    clips through DataLoader + device_prefetch (VERDICT r1 item 6)."""
+    clips through DataLoader + device_prefetch (VERDICT r1 item 6).
+    ``--workers N`` controls the loader thread pool for scaling sweeps."""
     import os
     import tempfile
 
@@ -202,8 +203,8 @@ def make_loader_batches(B, frames, img, iters):
 
     ds = build_pretraining_dataset(A, anno_path=anno,
                                    reader=SyntheticVideoReader(256, 320))
-    loader = DataLoader(ds, batch_size=B, num_workers=8, drop_last=True,
-                        shuffle=True)
+    loader = DataLoader(ds, batch_size=B, num_workers=num_workers,
+                        drop_last=True, shuffle=True)
 
     def gen():
         epoch = 0
@@ -346,7 +347,13 @@ def main():
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    workers = 8
+    if "--workers" in argv:
+        i = argv.index("--workers")
+        workers = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     # B=64 matches the reference's per-GPU batch (stage1.sh:23) and is the
     # fastest point of the measured scan (24: 217, 32: 219, 48: 229, 64: 234
     # clips/s on v5e)
@@ -391,7 +398,8 @@ def main():
 
         mesh = make_mesh()
         batches = device_prefetch(
-            make_loader_batches(B, frames, img, iters + 4),
+            make_loader_batches(B, frames, img, iters + 4,
+                                num_workers=workers),
             lambda b: shard_batch(b, mesh), depth=2,
         )
         state, m = step(state, tp, next(batches), rng)

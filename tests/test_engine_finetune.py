@@ -139,6 +139,25 @@ def test_mixup_soft_targets():
     np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
 
 
+def test_eval_probs_are_softmax_of_loss_logits():
+    """run_validation recomputes the last-batch CE host-side as
+    -log(probs[label]) over the SLICED probs (train/common.py) — valid only
+    if the eval step's ``probs`` are the softmax of the very logits its
+    ``loss`` uses. Pin that invariant on the eval step."""
+    model = tiny_model()
+    rng = np.random.default_rng(5)
+    videos = jnp.asarray(rng.normal(size=(6, 2, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, 6), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), videos)["params"]
+    state = TrainState.create(
+        params, create_optimizer("adamw", lr=1e-3, params=params)[0])
+    out = make_eval_step(model)(state, {"videos": videos, "labels": labels})
+    probs = np.asarray(out["probs"], np.float64)
+    nll = -np.log(probs[np.arange(6), np.asarray(labels)])
+    np.testing.assert_allclose(nll.mean(), float(out["loss"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_mixup_elem_mode():
     from unite_tpu.ops.mixup import Mixup
     mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, mode="elem", num_classes=4)

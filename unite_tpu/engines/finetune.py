@@ -114,6 +114,12 @@ def merge(eval_path: str, num_tasks: int) -> Tuple[float, float]:
     Reproduces merge+compute_video (:302-351): views are de-duplicated by
     (chunk, crop) id, the video's probability is the mean softmax over its
     unique views, prediction is the argmax.
+
+    Serial on purpose (the reference forks a 64-proc Pool, :334-336): the
+    per-video work is a few hundred float parses + one mean, ~O(1 µs);
+    at Daily-DA scale (1-3k test videos × 15 views) the whole merge is
+    well under a second, and even Kinetics-scale (240k videos) is ~10 s —
+    dwarfed by the test forward passes that produced the files.
     """
     videos: Dict[str, Dict] = {}
     for rank in range(num_tasks):

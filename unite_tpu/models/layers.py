@@ -92,10 +92,25 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def gelu_for(dtype):
+    """GELU variant by compute dtype.
+
+    Exact-erf GELU (torch nn.GELU default, modeling_finetune.py Mlp) lowers
+    to a long rational polynomial on the TPU VPU — measured ~17 ms/step at
+    the stage-2 workload — while tanh-GELU runs at native transcendental
+    rate. Their outputs differ by <5e-4 absolute (at or below bf16
+    activation rounding), so bf16 compute uses tanh; fp32 keeps exact erf
+    (the golden/engine-parity tests vs the torch reference run fp32 and
+    stay bit-faithful to its erf)."""
+    if dtype == jnp.bfloat16:
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    return lambda x: jax.nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     hidden_features: int
     out_features: Optional[int] = None
-    act: Callable = lambda x: jax.nn.gelu(x, approximate=False)
+    act: Optional[Callable] = None
     drop: float = 0.0
     dtype: Dtype = jnp.float32
     kernel_init: Callable = xavier_uniform
@@ -107,7 +122,7 @@ class Mlp(nn.Module):
             self.hidden_features, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=self.kernel_init, name="fc1",
         )(x)
-        x = self.act(x)
+        x = (self.act or gelu_for(self.dtype))(x)
         x = nn.Dense(
             out_dim, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=self.kernel_init, name="fc2",

@@ -11,12 +11,15 @@ and clip.py:48-53). Design is TPU-first:
   fp32 and bf16 MXU matmuls);
 * backward is two Pallas kernels (dQ blocked over queries; dK/dV blocked over
   keys) using the stored row logsumexp — the standard flash-attention
-  recomputation split;
-* the blocked flash kernels pad sequence lengths to the 128-lane boundary
-  (key padding masked with -inf, query padding rows sliced off); the
-  fused-qkv kernels instead use blocks equal to the array dims and let
-  Mosaic mask the logical (197/314) tile padding — no jnp.pad HBM
-  round-trips, no in-kernel column masks;
+  recomputation split. (A single fused dQ/dK/dV kernel with an accumulated
+  dQ block was tried and measured SLOWER on v5e — 41.6-43.7 vs 36.2 ms at
+  the 1568-token workload — the revisited accumulator block serializes the
+  pipeline; don't re-try.);
+* k/v stay UNPADDED everywhere (blocks equal to the array dims — Mosaic
+  masks the physical tile padding in dots and reductions); only the query
+  side pads to a 128 multiple for a legal lse lane block, and the dkv key
+  block is a multiple-of-8 divisor of S (112 for 1568/784) so keys need no
+  pad either;
 * an XLA einsum fallback runs on CPU (tests) and whenever full
   attention-prob output or dropout is requested. The teacher's last layer
   (head-averaged CLS->patch probabilities, clip.py:95-96) does NOT hit it
