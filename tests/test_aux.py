@@ -90,3 +90,28 @@ def test_shard_batch_divisibility():
     except AssertionError:
         raised = True
     assert raised
+
+
+def test_wandb_offline_sink(tmp_path):
+    """--disable_wandb false without the wandb package mirrors every log()
+    dict to <output_dir>/wandb.jsonl (the reference's 4th sink,
+    run_stage1.py:634-646, replaced for zero-egress environments)."""
+    import json
+    import types
+
+    from unite_tpu.utils.logging import maybe_wandb
+
+    args = types.SimpleNamespace(disable_wandb=False,
+                                 output_dir=str(tmp_path), wandb_group=None)
+    wb = maybe_wandb(args)
+    assert wb is not None
+    wb.log({"train/loss": 1.5, "train/lr": 1e-3})
+    wb.log({"train/loss": 1.25})
+    wb.finish()
+    recs = [json.loads(l) for l in open(tmp_path / "wandb.jsonl")]
+    assert len(recs) == 2
+    assert recs[0]["train/loss"] == 1.5 and recs[0]["_step"] == 0
+    assert recs[1]["_step"] == 1
+
+    args.output_dir = str(tmp_path / "scrap_run")
+    assert maybe_wandb(args) is None  # 'scrap' in output_dir disables

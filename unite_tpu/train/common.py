@@ -103,6 +103,7 @@ def train_one_epoch(
     rng=None,
     profile_dir: Optional[str] = None,
     tb_logger=None,
+    wandb_logger=None,
     array_sink: Optional[Dict] = None,
 ):
     """Host loop around the jitted step (engine train_one_epoch frame).
@@ -154,6 +155,8 @@ def train_one_epoch(
             logger.update(**host)
             if tb_logger is not None:
                 tb_logger.update(head="train", step=step_i, **host)
+            if wandb_logger is not None:
+                wandb_logger.log({f"train/{k}": v for k, v in host.items()})
             last_metrics = host
         if profile_dir and step_i == 7 and epoch == 0:
             jax.profiler.stop_trace()

@@ -117,8 +117,9 @@ def load_clip_teacher_params(args, teacher, example):
 def main(args):
     start = time.time()
     mesh = common.setup_run(args)
-    from unite_tpu.utils.logging import maybe_tensorboard
+    from unite_tpu.utils.logging import maybe_tensorboard, maybe_wandb
     tb = maybe_tensorboard(args)
+    wb = maybe_wandb(args)
     reader = common.reader_for(args)
 
     ds_source = build_pretraining_dataset(
@@ -223,6 +224,7 @@ def main(args):
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
+            wandb_logger=wb,
         )
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:

@@ -120,8 +120,9 @@ def trainable_mask(args, params, lp_phase: bool = False):
 def main(args):
     start = time.time()
     mesh = common.setup_run(args)
-    from unite_tpu.utils.logging import maybe_tensorboard
+    from unite_tpu.utils.logging import maybe_tensorboard, maybe_wandb
     tb = maybe_tensorboard(args)
+    wb = maybe_wandb(args)
     reader = common.reader_for(args)
 
     args.data_path = args.ann_file_train
@@ -262,6 +263,7 @@ def main(args):
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
+            wandb_logger=wb,
         )
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         if (not args.disable_eval_during_finetuning

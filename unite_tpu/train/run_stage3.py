@@ -79,8 +79,9 @@ def load_classifier_head(args, head_params):
 def main(args):
     start = time.time()
     mesh = common.setup_run(args)
-    from unite_tpu.utils.logging import maybe_tensorboard
+    from unite_tpu.utils.logging import maybe_tensorboard, maybe_wandb
     tb = maybe_tensorboard(args)
+    wb = maybe_wandb(args)
     reader = common.reader_for(args)
 
     args.return_aug_for_val = True
@@ -253,6 +254,7 @@ def main(args):
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
+            wandb_logger=wb,
             array_sink=arrays,
         )
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
