@@ -55,14 +55,22 @@ def test_xla_attention_grad_finite():
         assert np.isfinite(np.asarray(g)).all()
 
 
-def test_flash_rejects_non_dividing_blocks():
-    """Non-dividing block_q would silently truncate the Pallas grid tail;
-    the kernels must refuse instead."""
-    from unite_tpu.ops.attention import _flash_fwd
+def test_flash_qblock_always_divides():
+    """A non-dividing block_q would silently truncate the Pallas grid tail;
+    _flash_qblock must return a (padded_len, block) pair whose block divides
+    the padded length exactly, for ANY requested block_q and length —
+    preferring an exact divisor of S (no padding) when one exists."""
+    from unite_tpu.ops.attention import _flash_qblock
 
-    q = jnp.zeros((1, 2, 1568, 64), jnp.bfloat16)
-    with pytest.raises(ValueError, match="must divide"):
-        _flash_fwd(q, q, q, 0.125, block_q=96)
+    for s in (513, 577, 640, 784, 1000, 1568, 1577, 4096):
+        for req in (96, 128, 224, 256, 1024):
+            s_pad, bq = _flash_qblock(s, req)
+            assert s_pad >= s and s_pad % bq == 0 and bq % 8 == 0, (s, req)
+    # the stage-2/784-token shapes must take the unpadded exact-divisor path
+    assert _flash_qblock(1568, 128) == (1568, 224)
+    assert _flash_qblock(784, 128) == (784, 112)
+    # no usable divisor (prime-ish) → padded to a 128 multiple
+    assert _flash_qblock(577, 128) == (640, 128)
 
 
 def test_bf16_attention_close():

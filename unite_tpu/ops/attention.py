@@ -42,6 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = int(os.environ.get("UNITE_FLASH_BQ", "128"))
 DEFAULT_BLOCK_K = int(os.environ.get("UNITE_FLASH_BK", "128"))
 NEG_INF = -1e30
+# The flash kernels fold the softmax scale into a base-2 exponent:
+# exp(s*scale - m*scale) == exp2(s*c - m*c) with c = scale*log2(e). This
+# drops the separate s*scale pass over the fp32 score tile and uses the
+# VPU's native exp2. The stored row stats are therefore BASE-2 logsumexp of
+# the SCALED scores (lse2 = m*c + log2(sum exp2((s-m)*c))); every consumer
+# in this file uses the same convention.
+INV_LN2 = 1.4426950408889634  # log2(e)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -91,32 +98,49 @@ def _flash_gb(s_pad: int, bq: int) -> int:
     baked into the jitted code, and an override bypasses the VMEM-fit
     heuristic (too-large values overflow scoped VMEM at compile time)."""
     env = int(os.environ.get("UNITE_FLASH_GB", "0"))
-    return env or max(1, min(4, (4 * 1024 * 1024) // (bq * s_pad * 4)))
+    return env or max(1, min(4, (6 * 1024 * 1024) // (bq * s_pad * 4)))
+
+
+def _flash_qblock(s: int, block_q: int):
+    """Query blocking for the flash kernels: prefer a multiple-of-8 divisor
+    of S (e.g. 1568 → 224, 784 → 112) so the query side needs NO padding at
+    all — no pad copies, no output slices, no garbage rows. The row-stats
+    (lse) array is stored SUBLANE-major [BH, S, 8], which only constrains
+    the q block to a multiple of 8, not 128. Falls back to padding S up to
+    a 128 multiple when no usable divisor exists (e.g. 577 → 640)."""
+    bq = _divisor_block(s, max(block_q, 224))
+    if bq >= 64:
+        return s, bq
+    s_pad = _round_up(s, max(block_q, 128))
+    # the padded length is a multiple of 128, so a dividing block ≥ 128
+    # always exists (a requested block_q that doesn't divide s_pad would
+    # silently truncate the grid tail)
+    return s_pad, _divisor_block(s_pad, max(block_q, 128))
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
-    # Block shapes: q [GB, BQ, D] (query-side zero-padded); k,v [GB, S, D]
-    # with S the LOGICAL length — blocks equal the array dims and Mosaic
-    # masks the physical tile padding in dots and reductions itself (the
-    # fused-qkv lesson: no jnp.pad HBM round trip, no -inf column pass);
-    # o [GB, BQ, D]; lse [GB, 8, BQ] — row stats broadcast over 8 sublanes
-    # to satisfy the TPU (8, 128) tile constraint.
-    # Same VPU-lean softmax as the fused kernels: exp writes bf16, the
+    # Block shapes: q [GB, BQ, D]; k,v [GB, S, D] with S the LOGICAL length
+    # — blocks equal the array dims and Mosaic masks the physical tile
+    # padding in dots and reductions itself (the fused-qkv lesson: no
+    # jnp.pad HBM round trip, no -inf column pass); o [GB, BQ, D];
+    # lse [GB, BQ, 8] — row stats sublane-major (queries on sublanes),
+    # broadcast over 8 lanes to fill a legal tile.
+    # Same VPU-lean softmax as the fused kernels: exp2 writes bf16, the
     # row-sum denominator rides the MXU, 1/l folds into the output.
     q = q_ref[...]  # [GB, BQ, D]
     k = k_ref[...]  # [GB, S, D]
     v = v_ref[...]
+    c = scale * INV_LN2
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [GB, BQ, S] fp32
+    )  # [GB, BQ, S] fp32, RAW (scale folded into the exp2 below)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m).astype(v.dtype)  # bf16 for the MXU dots
+    p = jnp.exp2((s - m) * c).astype(v.dtype)  # bf16 for the MXU dots
     l = _row_sums(p)  # [GB, BQ, 1] fp32
-    lse = (m + jnp.log(l))[:, :, 0]  # [GB, BQ]
-    lse_ref[...] = jnp.broadcast_to(
-        lse[:, None, :], (lse.shape[0], 8, lse.shape[1]))
+    lse = m * c + jnp.log2(l)  # [GB, BQ, 1] base-2 scaled lse
+    lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
     o = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -125,18 +149,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
 
 
 def _flash_fwd(q, k, v, scale, block_q):
-    # Query-side-only padding: q/out/lse pad S → S_padq (multiple of 128,
-    # needed for a legal lse lane block); k/v stay UNPADDED — their blocks
-    # equal the array dims, so no HBM pad copies and no in-kernel key
-    # masking. Padded query rows are zeros → finite outputs, sliced off.
+    # No padding in the common case (bq an exact divisor of S); otherwise
+    # query-side-only padding. k/v stay UNPADDED always. Padded query rows
+    # are zeros → finite outputs, sliced off by the callers.
     b, h, s, d = q.shape
-    s_padq = _round_up(s, max(block_q, 128))
-    bq = min(block_q, s_padq)
-    if s_padq % bq:
-        raise ValueError(
-            f"flash block_q={bq} must divide the padded sequence {s_padq} "
-            f"(non-dividing blocks silently drop the tail of the grid); "
-            f"use a multiple of 128")
+    s_padq, bq = _flash_qblock(s, block_q)
     bh = b * h
     gb = _flash_gb(_round_up(s, 128), bq)
     bh_pad = _round_up(bh, gb)
@@ -166,12 +183,12 @@ def _flash_fwd(q, k, v, scale, block_q):
         out_specs=[
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 8, bq), lambda i, j: (i, 0, j),
+            pl.BlockSpec((gb, bq, 8), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh_pad, s_padq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh_pad, 8, s_padq), jnp.float32),
+            jax.ShapeDtypeStruct((bh_pad, s_padq, 8), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh_pad * s_padq * s * d,
@@ -187,14 +204,20 @@ def _flash_fwd(q, k, v, scale, block_q):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
-    # Recomputes softmax stats in-kernel (the full key row is resident), so
-    # no lse/delta inputs are needed: delta = rowsum(do * o) on the block.
-    # q/o/do blocks [GB, BQ, D] (query-side padded); k,v [GB, S, D]
-    # UNPADDED (blocks equal array dims — Mosaic masks tile padding, no
-    # -inf pass). Dots take bf16 operands for full MXU rate; the DOT
-    # accumulates exactly in fp32, but computed fp32 intermediates (ds)
-    # round to bf16 first — covered by bench.py --check grad parity.
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, *,
+                   scale):
+    # Consumes the forward's saved base-2 row stats: p_norm = exp2(s*c -
+    # lse2) is already NORMALIZED, so there is no max reduce, no row-sum
+    # dot and no divide here — one exp2 pass over the score tile. delta =
+    # rowsum(do * o) still computes in-kernel ([GB, BQ, D] blocks are
+    # sublane-major over queries, matching the score tile).
+    # lse arrives sublane-major [GB, BQ, 8]: a rank-preserving lane slice
+    # broadcasts it straight against s.
+    # q/o/do blocks [GB, BQ, D]; k,v [GB, S, D] UNPADDED (blocks equal
+    # array dims — Mosaic masks tile padding, no -inf pass). Dots take
+    # bf16 operands for full MXU rate; the DOT accumulates exactly in
+    # fp32, but computed fp32 intermediates (ds) round to bf16 first —
+    # covered by bench.py --check grad parity.
     q = q_ref[...]   # [GB, BQ, D]
     k = k_ref[...]   # [GB, S, D]
     v = v_ref[...]
@@ -202,20 +225,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
     do = do_ref[...]
     do32 = do.astype(jnp.float32)
     delta = jnp.sum(do32 * o, axis=-1, keepdims=True)  # [GB, BQ, 1]
+    lse = lse_ref[:, :, 0:1]  # [GB, BQ, 1]
+    c = scale * INV_LN2
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m).astype(q.dtype)  # bf16; MXU row sums
-    inv_l = 1.0 / _row_sums(p)  # [GB, BQ, 1] fp32
+    )  # RAW scores
+    p = jnp.exp2(s * c - lse)  # [GB, BQ, S] fp32, normalized probs
 
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    # ds = p_norm·(dp − delta)·scale with p_norm = p·inv_l folded in
-    ds = (p.astype(jnp.float32) * (dp - delta)
-          * (inv_l * scale)).astype(q.dtype)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -225,21 +246,23 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale):
     # k,v blocks [GB, BK, D] (key-side padded only if BK doesn't divide S);
-    # q, do FULL UNPADDED [GB, S, D]; lse/delta [GB, 8, S] (sublane-
-    # broadcast row stats). No masking needed: zero-padded KEY rows only
-    # produce garbage dk/dv rows that are sliced off outside.
+    # q, do FULL UNPADDED [GB, S, D]; lse/delta [GB, 1, S] lane-major row
+    # stats (one cheap XLA relayout outside, queries on lanes to broadcast
+    # against the transposed score tile). No masking needed: zero-padded
+    # KEY rows only produce garbage dk/dv rows that are sliced off outside.
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
     do = do_ref[...]
-    lse = lse_ref[:, 0:1, :]       # [GB, 1, S] per-query row stats
-    delta = delta_ref[:, 0:1, :]   # [GB, 1, S] (rank-preserving slices)
+    lse = lse_ref[...]       # [GB, 1, S] per-query row stats
+    delta = delta_ref[...]   # [GB, 1, S]
 
-    # scores transposed: [GB, BK, S] = k @ q^T
+    # scores transposed: [GB, BK, S] = k @ q^T, RAW (scale folded into exp2
+    # against the base-2 scaled lse)
     st = jax.lax.dot_general(
         k, q, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
-    pt = jnp.exp(st - lse).astype(q.dtype)  # [GB, BK, S] = P^T, bf16
+    )
+    pt = jnp.exp2(st * (scale * INV_LN2) - lse).astype(q.dtype)  # P^T, bf16
 
     dv = jax.lax.dot_general(
         pt, do, (((2,), (1,)), ((0,), (0,))),
@@ -269,8 +292,9 @@ def _divisor_block(s: int, target: int) -> int:
 
 
 def _flash_bwd(res, g, scale, block_q, block_k):
-    # Residuals: q,k,v UNPADDED [BH, S, D]; out padded [BH, S_padq, D];
-    # lse [BH, 8, S_padq] (sublane-broadcast row stats).
+    # Residuals: q,k,v UNPADDED [BH, S, D]; out [BH, S_padq, D];
+    # lse [BH, S_padq, 8] (sublane-major row stats; S_padq == S in the
+    # common exact-divisor case, so everything below is pad/slice-free).
     q, k, v, out, lse, s = res
     bh, s_padq, d = out.shape
     do_p = g  # [BH, S_padq, D] (query-side padded by the vjp glue)
@@ -278,14 +302,10 @@ def _flash_bwd(res, g, scale, block_q, block_k):
     out_l = out[:, :s] if s_padq != s else out
     delta = jnp.sum(do.astype(jnp.float32) * out_l.astype(jnp.float32),
                     axis=-1)
-    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, s))
-    lse_l = lse[:, :, :s] if s_padq != s else lse
+    delta_lane = delta.reshape(bh, 1, s)
+    lse_lane = lse[:, :s, 0].reshape(bh, 1, s)
 
-    bq = min(block_q, s_padq)
-    if s_padq % bq:
-        raise ValueError(
-            f"flash block_q={bq} must divide the padded sequence {s_padq}; "
-            f"use a multiple of 128")
+    _, bq = _flash_qblock(s, block_q)
     # key block: a multiple-of-8 divisor of s keeps k/v unpadded; when none
     # exists, pad keys (padded key rows only yield garbage dk/dv rows that
     # are sliced off — no masking needed either way)
@@ -296,8 +316,9 @@ def _flash_bwd(res, g, scale, block_q, block_k):
         bpad = [(0, bh_pad - bh), (0, 0), (0, 0)]
         q, k, v, out, do_p, do = (
             jnp.pad(x, bpad) for x in (q, k, v, out, do_p, do))
-        lse_l = jnp.pad(lse_l, bpad)
-        delta = jnp.pad(delta, bpad)
+        lse = jnp.pad(lse, bpad)
+        lse_lane = jnp.pad(lse_lane, bpad)
+        delta_lane = jnp.pad(delta_lane, bpad)
     qp = jnp.pad(q, [(0, 0), (0, s_padq - s), (0, 0)]) if s_padq != s else q
     s_padk = s
     kb, vb = k, v
@@ -316,6 +337,7 @@ def _flash_bwd(res, g, scale, block_q, block_k):
             pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
@@ -325,7 +347,7 @@ def _flash_bwd(res, g, scale, block_q, block_k):
             bytes_accessed=4 * bh_pad * s * d * q.dtype.itemsize,
             transcendentals=bh_pad * s_padq * s,
         ),
-    )(qp, k, v, out, do_p)
+    )(qp, k, v, out, do_p, lse)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale),
@@ -335,8 +357,8 @@ def _flash_bwd(res, g, scale, block_q, block_k):
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 8, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 8, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((gb, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -351,7 +373,7 @@ def _flash_bwd(res, g, scale, block_q, block_k):
             bytes_accessed=4 * bh_pad * s * d * q.dtype.itemsize,
             transcendentals=bh_pad * s_padk * s,
         ),
-    )(q, kb, vb, do, lse_l, delta)
+    )(q, kb, vb, do, lse_lane, delta_lane)
     dk = dk[:bh, :s] if s_padk != s else dk[:bh]
     dv = dv[:bh, :s] if s_padk != s else dv[:bh]
     return dq[:bh], dk, dv
@@ -786,20 +808,22 @@ def use_fused_qkv(seq: int, use_pallas=None, fwd_only: bool = False,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_attention(q, k, v, scale, block_q, block_k):
-    out, _, _ = _flash_fwd(q, k, v, scale, block_q)
+    out, _, (s_padq, _) = _flash_fwd(q, k, v, scale, block_q)
     b, h, s, d = q.shape
-    s_padq = _round_up(s, max(block_q, 128))
-    return out.reshape(b, h, s_padq, d)[:, :, :s, :]
+    o = out.reshape(b, h, s_padq, d)
+    return o[:, :, :s, :] if s_padq != s else o
 
 
 def _flash_attention_fwd(q, k, v, scale, block_q, block_k):
     b, h, s, d = q.shape
     out, lse, (s_padq, _) = _flash_fwd(q, k, v, scale, block_q)
     # residuals stay UNPADDED [BH, S, D] (no pad copies saved to HBM);
-    # out/lse keep the fwd's query-side padding for the dq grid
+    # out/lse keep the fwd's query-side padding (none in the exact-divisor
+    # case) for the dq grid
     res = (q.reshape(b * h, s, d), k.reshape(b * h, s, d),
            v.reshape(b * h, s, d), out, lse, s)
-    return out.reshape(b, h, s_padq, d)[:, :, :s, :], (res, (b, h, s, d))
+    o = out.reshape(b, h, s_padq, d)
+    return (o[:, :, :s, :] if s_padq != s else o), (res, (b, h, s, d))
 
 
 def _flash_attention_bwd(scale, block_q, block_k, carry, g):
