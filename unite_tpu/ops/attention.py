@@ -645,12 +645,19 @@ def _fused_qkv_fwd(qkv, heads, scale):
     b, s, thd = qkv.shape
     d = thd // (3 * heads)
     hd = heads * d
+    if hd % 128 == 0 and _on_tpu() and (s > FUSED_QKV_FWD_MAX_SEQ
+                                        and _packed_flash_ok(s)):
+        # long sequences with an exact-divisor q block: packed blocked
+        # flash — no layout transposes in either direction
+        out, lse = _packed_flash_fwd(qkv, heads, scale)
+        return out, (qkv, out, lse)
     if s > FUSED_QKV_FWD_MAX_SEQ or hd % 128 != 0 or not _on_tpu():
         # graceful degradation for direct callers: blocked flash kernels.
         # hd must be a multiple of 128 — the per-head lane-sliced BlockSpecs
         # block the last dim in units of H·D lanes (Mosaic constraint).
         return _qkv_attention_reference(qkv, heads, scale,
-                                        use_pallas=_on_tpu()), (qkv,)
+                                        use_pallas=_on_tpu()), (qkv, None,
+                                                                None)
     # batch rows per program: amortize launch overhead; scanned on v5e
     # (tools/kernel_probe.py): teacher 197 wants gb=4 (1554us vs 1855 at
     # gb=1), student 314-320 is flat between gb=2 and 4 (558 vs 554us) but
@@ -686,7 +693,7 @@ def _fused_qkv_fwd(qkv, heads, scale):
             transcendentals=b_pad * heads * s_sub * s_lane,
         ),
     )(qkvp, qkvp, qkvp)
-    return out[:b] if b_pad != b else out, (qkv,)
+    return out[:b] if b_pad != b else out, (qkv, None, None)
 
 
 def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale):
@@ -746,10 +753,13 @@ def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale):
 
 
 def _fused_qkv_bwd(heads, scale, res, g):
-    (qkv,) = res
+    qkv, out, lse = res
     b, s, thd = qkv.shape
-    # long-seq bwd (pallas bwd is VMEM-bound), non-128-multiple head widths,
-    # or non-TPU platforms: unfused VJP
+    if lse is not None:
+        # packed blocked flash backward (the fwd saved its row stats)
+        return (_packed_flash_bwd(qkv, out, lse, g, heads, scale),)
+    # mid-length bwd (the full-sequence pallas bwd is VMEM-bound),
+    # non-128-multiple head widths, or non-TPU platforms: unfused VJP
     if s > FUSED_QKV_MAX_SEQ or (thd // 3) % 128 != 0 or not _on_tpu():
         _, vjp = jax.vjp(lambda t: _qkv_attention_reference(t, heads, scale),
                          qkv)
@@ -792,13 +802,265 @@ def _fused_qkv_bwd(heads, scale, res, g):
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed long-sequence kernels: the blocked flash kernels re-expressed in
+# the qkv-packed [B, S, 3·H·D] layout (lane-blocked views of one array,
+# per-head rank-preserving lane slices). Beyond FUSED_QKV_FWD_MAX_SEQ the
+# transpose-based path spends ~9ms/step (stage-2 profile) on pure layout
+# copies ([B,S,H,D] ↔ [B,H,S,D] for q/k/v/out, forward AND backward);
+# these kernels read the qkv Dense output and write the dqkv cotangent
+# directly, so no transpose ever materializes. Requires an exact-divisor
+# query block (s_pad == s, e.g. 1568/224, 784/112): padded KEY rows would
+# receive softmax mass in this layout (k/v views come from the same padded
+# array), so non-divisor lengths stay on the transpose path.
+# ---------------------------------------------------------------------------
+
+
+# The packed kernels hold the full-length k/v (or q/do) views double-
+# buffered plus the per-head score tiles; that legitimately exceeds the
+# conservative 16MB default scoped-vmem cap while fitting v5e's physical
+# VMEM comfortably.
+_PACKED_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _packed_flash_ok(seq: int) -> bool:
+    return _flash_qblock(seq, DEFAULT_BLOCK_Q)[0] == seq
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads, scale):
+    # q_ref [GB, BQ, HD]; k/v_ref [GB, S, HD] (lane-blocked views of the
+    # same qkv array); o [GB, BQ, HD]; lse [GB, heads, BQ, 8] sublane-major
+    # per-head row stats. Same softmax structure as _fwd_kernel.
+    xq = q_ref[...]
+    xk = k_ref[...]
+    xv = v_ref[...]
+    d = xq.shape[2] // heads
+    c = scale * INV_LN2
+    bdims = (((2,), (2,)), ((0,), (0,)))
+    for h in range(heads):
+        q = xq[:, :, h * d:(h + 1) * d]
+        k = xk[:, :, h * d:(h + 1) * d]
+        v = xv[:, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, bdims, preferred_element_type=jnp.float32)  # [GB, BQ, S]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2((s - m) * c).astype(v.dtype)
+        l = _row_sums(p)
+        lse_ref[:, h] = jnp.broadcast_to(m * c + jnp.log2(l),
+                                         lse_ref.shape[:1] + lse_ref.shape[2:])
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / l)
+        o_ref[:, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _packed_flash_fwd(qkv, heads, scale, block_q=DEFAULT_BLOCK_Q):
+    b, s, thd = qkv.shape
+    hd = thd // 3
+    _, bq = _flash_qblock(s, block_q)
+    gb = int(os.environ.get("UNITE_PFLASH_GB", "0")) or 1
+    b_pad = _round_up(b, gb)
+    x = jnp.pad(qkv, [(0, b_pad - b), (0, 0), (0, 0)]) if b_pad != b else qkv
+    out, lse = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, heads=heads, scale=scale),
+        grid=(b_pad // gb, s // bq),
+        in_specs=[
+            pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 2),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, heads, bq, 8), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, s, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b_pad, heads, s, 8), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * heads * s * s * (hd // heads),
+            bytes_accessed=b_pad * s * (thd + hd) * qkv.dtype.itemsize,
+            transcendentals=b_pad * heads * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_VMEM_LIMIT),
+    )(x, x, x)
+    if b_pad != b:
+        out, lse = out[:b], lse[:b]
+    return out, lse
+
+
+def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
+                      heads, scale):
+    # Same structure as _bwd_dq_kernel per head: normalized probs straight
+    # from the saved base-2 lse, delta recomputed from the o/do blocks.
+    xq = q_ref[...]      # [GB, BQ, HD]
+    xk = k_ref[...]      # [GB, S, HD]
+    xv = v_ref[...]
+    xdo = do_ref[...]    # [GB, BQ, HD]
+    xo = o_ref[...]
+    d = xq.shape[2] // heads
+    c = scale * INV_LN2
+    bdims = (((2,), (2,)), ((0,), (0,)))
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q, k, v = xq[:, :, sl], xk[:, :, sl], xv[:, :, sl]
+        do = xdo[:, :, sl]
+        o = xo[:, :, sl].astype(jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+        lse = lse_ref[:, h][:, :, 0:1]  # [GB, BQ, 1]
+        s = jax.lax.dot_general(q, k, bdims,
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp2(s * c - lse)  # normalized, fp32
+        dp = jax.lax.dot_general(do, v, bdims,
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+
+
+def _packed_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dk_ref, dv_ref, *, heads, scale):
+    # Same structure as _bwd_dkv_kernel per head; lse/delta arrive
+    # lane-major [GB, heads, 1, S]. (An in-kernel delta via a ones-dot was
+    # tried and made this kernel 0.18ms/layer SLOWER than the one XLA
+    # multiply-reduce pass it replaced — don't re-try.)
+    xq = q_ref[...]      # [GB, S, HD]
+    xk = k_ref[...]      # [GB, BK, HD]
+    xv = v_ref[...]
+    xdo = do_ref[...]    # [GB, S, HD]
+    d = xk.shape[2] // heads
+    c = scale * INV_LN2
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q, k, v = xq[:, :, sl], xk[:, :, sl], xv[:, :, sl]
+        do = xdo[:, :, sl]
+        lse = lse_ref[:, h]      # [GB, 1, S]
+        delta = delta_ref[:, h]  # [GB, 1, S]
+        st = jax.lax.dot_general(
+            k, q, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [GB, BK, S]
+        pt = jnp.exp2(st * c - lse).astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pt, do, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(
+            v, do, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dst = (pt.astype(jnp.float32) * (dpt - delta) * scale).astype(q.dtype)
+        dk = jax.lax.dot_general(
+            dst, q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _packed_flash_bwd(qkv, out, lse, g, heads, scale,
+                      block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    b, s, thd = qkv.shape
+    hd = thd // 3
+    d = hd // heads
+    _, bq = _flash_qblock(s, block_q)
+    bk = _divisor_block(s, max(block_k, 160)) or s
+    gb = int(os.environ.get("UNITE_PFLASH_GB", "0")) or 1
+    b_pad = _round_up(b, gb)
+    # per-head row stats, lane-major for the dkv kernel: delta [B, heads, S]
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, s, heads, d).sum(-1)
+    delta_lane = jnp.transpose(delta, (0, 2, 1))[:, :, None, :]
+    lse_lane = jnp.swapaxes(lse[..., 0:1], 2, 3)  # [B, heads, 1, S]
+    if b_pad != b:
+        pad3 = [(0, b_pad - b), (0, 0), (0, 0)]
+        qkv, out, g = (jnp.pad(t, pad3) for t in (qkv, out, g))
+        pad4 = [(0, b_pad - b), (0, 0), (0, 0), (0, 0)]
+        lse, delta_lane, lse_lane = (
+            jnp.pad(t, pad4) for t in (lse, delta_lane, lse_lane))
+
+    dq = pl.pallas_call(
+        functools.partial(_packed_dq_kernel, heads=heads, scale=scale),
+        grid=(b_pad // gb, s // bq),
+        in_specs=[
+            pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, heads, bq, 8), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b_pad * heads * s * s * d,
+            bytes_accessed=2 * b_pad * s * thd * qkv.dtype.itemsize,
+            transcendentals=b_pad * heads * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_VMEM_LIMIT),
+    )(qkv, qkv, qkv, g, out, lse)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_packed_dkv_kernel, heads=heads, scale=scale),
+        grid=(b_pad // gb, s // bk),
+        in_specs=[
+            pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, hd), lambda i, j: (i, j, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, hd), lambda i, j: (i, j, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, heads, 1, s), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, heads, 1, s), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, bk, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bk, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, s, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b_pad, s, hd), qkv.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b_pad * heads * s * s * d,
+            bytes_accessed=2 * b_pad * s * thd * qkv.dtype.itemsize,
+            transcendentals=b_pad * heads * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_VMEM_LIMIT),
+    )(qkv, qkv, qkv, g, lse_lane, delta_lane)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv[:b] if b_pad != b else dqkv
+
+
 def use_fused_qkv(seq: int, use_pallas=None, fwd_only: bool = False,
                   dim: Optional[int] = None) -> bool:
     if use_pallas is None:
         use_pallas = _on_tpu()
     cap = FUSED_QKV_FWD_MAX_SEQ if fwd_only else FUSED_QKV_MAX_SEQ
     dim_ok = dim is None or dim % 128 == 0  # lane-sliced BlockSpec constraint
-    return bool(use_pallas) and seq <= cap and dim_ok
+    seq_ok = seq <= cap or (seq > FUSED_QKV_FWD_MAX_SEQ
+                            and _packed_flash_ok(seq))
+    return bool(use_pallas) and seq_ok and dim_ok
 
 
 # ---------------------------------------------------------------------------
