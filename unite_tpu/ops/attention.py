@@ -413,22 +413,23 @@ def _grouped_group_bwd(s_pad: int) -> int:
 
 
 def _grouped_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
-    # VPU-lean softmax: the scale folds into the fp32 score tile, the 1/l
-    # normalization moves to the OUTPUT ([G,S,D]); dots take bf16 operands
-    # (4x the fp32-upcast MXU rate; the dot accumulates in fp32, but the
-    # fp32 exp output is rounded to bf16 before the PV dot).
+    # VPU-lean softmax: the scale folds into the base-2 exponent (one fma +
+    # exp2 pass instead of a separate s*scale pass), the 1/l normalization
+    # moves to the OUTPUT ([G,S,D]); dots take bf16 operands (4x the
+    # fp32-upcast MXU rate; the dot accumulates in fp32, but the fp32 exp2
+    # output is rounded to bf16 before the PV dot).
     q = q_ref[...]  # [G, S, D]
     k = k_ref[...]
     v = v_ref[...]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [G, S, S]
+    )  # [G, S, S] RAW
     s_pad = k.shape[1]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2((s - m) * (scale * INV_LN2))
     l = jnp.sum(p, axis=-1)[..., None]  # [G, S, 1]
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -447,13 +448,13 @@ def _grouped_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
+    )  # RAW (scale folds into the exp2)
     s_pad = k.shape[1]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)  # unnormalized probs [G, S, S]
+    e = jnp.exp2((s - m) * (scale * INV_LN2))  # unnormalized probs [G, S, S]
     inv_l = 1.0 / jnp.sum(e, axis=-1)[..., None]  # [G, S, 1]
 
     # dv = (e/l)^T @ do == e^T @ (do/l broadcast over query rows)
@@ -624,9 +625,9 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
         v = xv[:, :, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, bdims, preferred_element_type=jnp.float32
-        ) * scale  # [GB, S, S] fp32
+        )  # [GB, S, S] fp32 RAW (scale folds into the exp2)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m).astype(v.dtype)
+        p = jnp.exp2((s - m) * (scale * INV_LN2)).astype(v.dtype)
         inv_l = 1.0 / _row_sums(p)  # [GB, S, 1] fp32, summed on the MXU
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -715,10 +716,10 @@ def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale):
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # [GB, S(q), S(k)] fp32 (bf16 operands)
-        # same VPU-lean recompute as fwd: max-sub + exp to bf16, MXU sums
+        )  # [GB, S(q), S(k)] fp32 RAW (bf16 operands; scale in the exp2)
+        # same VPU-lean recompute as fwd: max-sub + exp2 to bf16, MXU sums
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m).astype(x.dtype)
+        p = jnp.exp2((s - m) * (scale * INV_LN2)).astype(x.dtype)
         inv_l = 1.0 / _row_sums(p)  # [GB, S(q), 1] fp32
 
         # dv = (p/l)^T @ do  ==  p^T @ (do·inv_l)
