@@ -4,6 +4,7 @@ from unite_tpu.data.build import (  # noqa: F401
     build_dataset,
     build_pretraining_dataset,
 )
+from unite_tpu.data.collate_mixup import FastCollateMixup  # noqa: F401
 from unite_tpu.data.datasets import (  # noqa: F401
     VideoClsDatasetSparse,
     VideoMAEPretrainDataset,

@@ -860,7 +860,11 @@ def _packed_flash_fwd(qkv, heads, scale, block_q=DEFAULT_BLOCK_Q):
     b, s, thd = qkv.shape
     hd = thd // 3
     _, bq = _flash_qblock(s, block_q)
-    gb = int(os.environ.get("UNITE_PFLASH_GB", "0")) or 1
+    # gb=2 fwd measured 2.10 vs 2.32 ms/layer at 1568 (gb=2 HURTS the bwd
+    # kernels — they stay at 1); softmax variants are a dead end here: the
+    # kernels sit near the K=64 MXU bound (bf16-arg exp2 and even dropping
+    # max-sub entirely measured <1% — the VPU is not the bottleneck).
+    gb = int(os.environ.get("UNITE_PFLASH_GB", "0")) or 2
     b_pad = _round_up(b, gb)
     x = jnp.pad(qkv, [(0, b_pad - b), (0, 0), (0, 0)]) if b_pad != b else qkv
     out, lse = pl.pallas_call(
