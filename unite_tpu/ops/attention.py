@@ -49,6 +49,11 @@ NEG_INF = -1e30
 # the SCALED scores (lse2 = m*c + log2(sum exp2((s-m)*c))); every consumer
 # in this file uses the same convention.
 INV_LN2 = 1.4426950408889634  # log2(e)
+# Pallas interpret mode: emulates every kernel in this file on CPU so the
+# pytest suite can cover kernel MATH without a TPU (Mosaic layout/VMEM
+# legality is still only checked by an on-chip run — bench.py --check).
+# Tests monkeypatch this module global; the env var covers ad-hoc runs.
+_INTERPRET = os.environ.get("UNITE_PALLAS_INTERPRET", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -171,6 +176,7 @@ def _flash_fwd(q, k, v, scale, block_q):
     grid = (bh_pad // gb, s_padq // bq)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
+        interpret=_INTERPRET,
         grid=grid,
         in_specs=[
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0),
@@ -330,6 +336,7 @@ def _flash_bwd(res, g, scale, block_q, block_k):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale),
+        interpret=_INTERPRET,
         grid=(bh_pad // gb, s_padq // bq),
         in_specs=[
             pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -351,6 +358,7 @@ def _flash_bwd(res, g, scale, block_q, block_k):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale),
+        interpret=_INTERPRET,
         grid=(bh_pad // gb, s_padk // bk),
         in_specs=[
             pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -508,6 +516,7 @@ def _grouped_attention_fwd(q, k, v, scale):
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_grouped_fwd_kernel, scale=scale, seq_len=s),
+        interpret=_INTERPRET,
         grid=(bh_pad // g,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -532,6 +541,7 @@ def _grouped_attention_bwd(scale, res, gout):
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_grouped_bwd_kernel, scale=scale, seq_len=s),
+        interpret=_INTERPRET,
         grid=(bh_pad // g,),
         in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
@@ -683,6 +693,7 @@ def _fused_qkv_fwd(qkv, heads, scale):
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fused_qkv_kernel, heads=heads, scale=scale),
+        interpret=_INTERPRET,
         grid=(b_pad // gb,),
         in_specs=[q_spec, k_spec, v_spec],
         out_specs=pl.BlockSpec((gb, s, hd), lambda i: (i, 0, 0),
@@ -781,6 +792,7 @@ def _fused_qkv_bwd(heads, scale, res, g):
         gp = jnp.pad(gp, bpad)
     dqkv = pl.pallas_call(
         functools.partial(_fused_qkv_bwd_kernel, heads=heads, scale=scale),
+        interpret=_INTERPRET,
         grid=(b_pad // gb,),
         in_specs=[
             pl.BlockSpec((gb, s, thd), lambda i: (i, 0, 0),
@@ -869,6 +881,7 @@ def _packed_flash_fwd(qkv, heads, scale, block_q=DEFAULT_BLOCK_Q):
     x = jnp.pad(qkv, [(0, b_pad - b), (0, 0), (0, 0)]) if b_pad != b else qkv
     out, lse = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, heads=heads, scale=scale),
+        interpret=_INTERPRET,
         grid=(b_pad // gb, s // bq),
         in_specs=[
             pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
@@ -991,6 +1004,7 @@ def _packed_flash_bwd(qkv, out, lse, g, heads, scale,
 
     dq = pl.pallas_call(
         functools.partial(_packed_dq_kernel, heads=heads, scale=scale),
+        interpret=_INTERPRET,
         grid=(b_pad // gb, s // bq),
         in_specs=[
             pl.BlockSpec((gb, bq, hd), lambda i, j: (i, j, 0),
@@ -1020,6 +1034,7 @@ def _packed_flash_bwd(qkv, out, lse, g, heads, scale,
 
     dk, dv = pl.pallas_call(
         functools.partial(_packed_dkv_kernel, heads=heads, scale=scale),
+        interpret=_INTERPRET,
         grid=(b_pad // gb, s // bk),
         in_specs=[
             pl.BlockSpec((gb, s, hd), lambda i, j: (i, 0, 0),
