@@ -100,6 +100,38 @@ def test_stage1_clip_loss_data_slicing():
         losses["mixed"], (losses["source"] + losses["target"]) / 2, rtol=1e-5
     )
 
+    # src_mask row weighting (the multihost-safe form the entry ships) must
+    # agree with the static slice — including a PERMUTED layout, which is
+    # what multihost global assembly produces and the slice cannot handle.
+    # Masks are injected so they travel with their rows (the PRNG-drawn
+    # mask noise is position-dependent).
+    nv = N_PATCH - int((N_PATCH // T) * 0.5) * T
+    idx_rng = np.random.default_rng(11)
+    vis_idx = np.stack([
+        np.sort(idx_rng.choice(N_PATCH, nv, replace=False)) for _ in range(4)
+    ]).astype(np.int32)
+    src_mask = np.array([1, 1, 0, 0], np.float32)
+    for mode in ("source", "target"):
+        step = jax.jit(make_pretrain_train_step(
+            student, teacher, num_patches=N_PATCH, frames=T, mask_ratio=0.5,
+            source_batch_size=2, clip_loss_data=mode, clip_input_resolution=S,
+        ))
+        state = TrainState.create(sp, tx)
+        _, m_slice = step(state, tp, {"videos": videos, "vis_idx": vis_idx},
+                          jax.random.PRNGKey(5))
+        _, m_mask = step(state, tp, {"videos": videos, "vis_idx": vis_idx,
+                                     "src_mask": src_mask},
+                         jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m_mask["loss"]),
+                                   float(m_slice["loss"]), rtol=1e-5)
+        perm = np.array([0, 2, 1, 3])
+        _, m_perm = step(state, tp, {"videos": videos[perm],
+                                     "vis_idx": vis_idx[perm],
+                                     "src_mask": src_mask[perm]},
+                         jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m_perm["loss"]),
+                                   float(m_slice["loss"]), rtol=1e-5)
+
 
 def test_resize_for_teacher():
     v = video(1)

@@ -86,8 +86,8 @@ def _stage2_args(tmp_path, output_dir, epochs):
     args.short_side_size = 32
     args.num_frames = 2
     args.tubelet_size = 1
-    args.batch_size = 8
-    args.batch_size_val = 8
+    args.batch_size = 1  # per-chip; x8 fake devices = host batch 8
+    args.batch_size_val = 1
     args.epochs = epochs
     args.warmup_epochs = 1
     args.num_workers = 2
@@ -160,7 +160,7 @@ def test_stage1_resume_bitwise(tmp_path):
         args.num_segments = 2
         args.tubelet_size = 1
         args.mask_ratio = 0.5
-        args.batch_size = 8
+        args.batch_size = 1  # per-chip; x8 fake devices = host batch 8
         args.epochs = epochs
         args.warmup_epochs = 1
         args.num_workers = 2

@@ -84,8 +84,8 @@ def _stage3_args(tmp_path, **overrides):
     args.num_frames = 2
     args.tubelet_size = 1
     args.mask_ratio = 0.5
-    args.batch_size = 8
-    args.batch_size_val = 8
+    args.batch_size = 1  # per-chip; x8 fake devices = host batch 8
+    args.batch_size_val = 1
     args.epochs = 1
     args.warmup_epochs = 0
     args.num_workers = 2

@@ -63,6 +63,15 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.seed = seed
         self.epoch = 0
+        self._skip_batches = 0
+
+    def skip_next_batches(self, n: int) -> None:
+        """Drop the first ``n`` batches of the NEXT iteration (index-level —
+        no data is decoded for skipped batches). Consumed once; used for
+        exact mid-epoch resume after preemption and for fast-forwarding
+        cycled streams (the per-epoch batch order is deterministic given
+        the sampler's epoch, so skipping == having already consumed)."""
+        self._skip_batches = int(n)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -94,6 +103,9 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self._skip_batches:
+            batches = batches[self._skip_batches:]
+            self._skip_batches = 0
         if not batches:
             return
 
@@ -114,10 +126,23 @@ class DataLoader:
                     next_submit += 1
 
 
-def cycle(loader: DataLoader) -> Iterator:
+def cycle(loader: DataLoader, skip_batches: int = 0) -> Iterator:
     """Infinite re-iteration (run_stage1.py:313-321 target-stream cycling).
-    Bumps the epoch on wrap so shuffles differ."""
+    Bumps the epoch on wrap so shuffles differ (the reference reuses the
+    same epoch-0 order every epoch — deliberate improvement).
+
+    ``skip_batches``: total batches already consumed by a previous run —
+    fast-forwards the stream (epoch wraps + index-level within-epoch skip,
+    no data decoded) so a resumed run sees exactly the batches an
+    uninterrupted run would. Entries pass ``steps_already_run`` here; the
+    reference sidesteps this by recreating its target iterator every epoch
+    with a never-advanced sampler epoch (run_stage1.py:313-321)."""
     epoch = loader.epoch
+    if skip_batches:
+        n = len(loader)
+        epoch += skip_batches // n
+        loader.set_epoch(epoch)
+        loader.skip_next_batches(skip_batches % n)
     while True:
         for batch in loader:
             yield batch

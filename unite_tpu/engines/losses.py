@@ -46,25 +46,38 @@ def soft_target_cross_entropy(logits, soft_targets):
     return jnp.mean(jnp.sum(-soft_targets * logp, axis=-1))
 
 
-def clip_alignment_loss(x_clip, targets, loss_type: str = "l2"):
+def clip_alignment_loss(x_clip, targets, loss_type: str = "l2",
+                        row_weights=None):
     """Stage-1 student→teacher alignment (run_stage1.py:403-438).
 
     x_clip, targets: [K, B, N_vis, C] (both L2-normalized when loss_type
     is 'l2'). 'l2' = mean over everything of (2 - 2·cos); others are plain
     elementwise regressions.
+
+    ``row_weights``: optional [B] 0/1 weights — the mean restricts to the
+    weighted rows (batch-layout-agnostic form of the reference's
+    ``clip_loss_data`` source/target slicing, run_stage1.py:417-427;
+    math-identical to slicing since every row has the same element count).
     """
     x = x_clip.astype(jnp.float32)
     t = targets.astype(jnp.float32)
     if loss_type == "l2":
-        return jnp.mean(2.0 - 2.0 * jnp.sum(x * t, axis=-1))
-    if loss_type == "mse":
-        return jnp.mean(jnp.square(x - t))
-    if loss_type == "l1":
-        return jnp.mean(jnp.abs(x - t))
-    if loss_type == "smooth_l1":
+        per = 2.0 - 2.0 * jnp.sum(x * t, axis=-1)  # [K, B, N_vis]
+    elif loss_type == "mse":
+        per = jnp.square(x - t)
+    elif loss_type == "l1":
+        per = jnp.abs(x - t)
+    elif loss_type == "smooth_l1":
         d = jnp.abs(x - t)
-        return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
-    raise NotImplementedError(loss_type)
+        per = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+    else:
+        raise NotImplementedError(loss_type)
+    if row_weights is None:
+        return jnp.mean(per)
+    w = row_weights.astype(jnp.float32)
+    axes = tuple(i for i in range(per.ndim) if i != 1)
+    row_mean = jnp.mean(per, axis=axes)  # [B]
+    return jnp.sum(row_mean * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def accuracy_topk(logits, labels, ks=(1, 5)):

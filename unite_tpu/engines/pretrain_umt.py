@@ -11,9 +11,11 @@ TPU-native notes:
   separate no_grad context needed, ``stop_gradient`` marks the teacher;
 * ``torch.multinomial(attn, N)`` without replacement ≡ Gumbel top-k
   (ops/masking.attention_multinomial_mask) — a single static top_k;
-* the dual-stream source+target batch is concatenated by the host loader
-  with a *static* source size B_s, so `clip_loss_data` slicing
-  (run_stage1.py:417-427) stays shape-static;
+* the dual-stream source+target batch is concatenated by the host loader;
+  `clip_loss_data` source/target restriction (run_stage1.py:417-427) uses a
+  per-row ``src_mask`` shipped in the batch when present (layout-agnostic —
+  required under multihost, where the assembled global batch interleaves
+  each process's [src; tgt] block), else a static B_s slice;
 * mask injection: pass ``vis_idx`` in the batch to bypass the sampler (for
   loss-curve verification against the reference given identical masks —
   BASELINE.md parity protocol).
@@ -121,12 +123,26 @@ def make_pretrain_train_step(
             )  # clip_only → [K, B, N_vis, C]
             t = targets_clip
             o = x_clip
+            if clip_loss_data == "mixed":
+                return clip_alignment_loss(o, t, clip_loss_type)
+            if clip_loss_data not in ("source", "target"):
+                raise NotImplementedError(clip_loss_data)
+            if "src_mask" in batch:
+                # layout-agnostic row weighting: under multihost assembly
+                # the global batch interleaves each process's [src; tgt]
+                # block, so a static slice would mislabel rows; the entry
+                # ships a per-row source flag that shards with the batch
+                w = batch["src_mask"].astype(jnp.float32)
+                if clip_loss_data == "target":
+                    w = 1.0 - w
+                return clip_alignment_loss(o, t, clip_loss_type,
+                                           row_weights=w)
+            # single-process layout is [source; target]: static slice
+            # (run_stage1.py:417-427)
             if clip_loss_data == "source":
                 t, o = t[:, :source_batch_size], o[:, :source_batch_size]
-            elif clip_loss_data == "target":
+            else:
                 t, o = t[:, source_batch_size:], o[:, source_batch_size:]
-            elif clip_loss_data != "mixed":
-                raise NotImplementedError(clip_loss_data)
             return clip_alignment_loss(o, t, clip_loss_type)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -92,6 +92,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--auto_resume", type=str2bool, default=False)
     p.add_argument("--resume", default="")
     p.add_argument("--save_ckpt_freq", type=int, default=1000)
+    p.add_argument("--stop_after_steps", type=int, default=0,
+                   help="fault injection: simulate SIGTERM preemption after "
+                        "N steps of this run (0 = off); a mid-epoch "
+                        "checkpoint is written and the run exits cleanly")
     p.add_argument("--model_key", default="model|module")
     p.add_argument("--student_init", default="")
     p.add_argument("--student_prefix", default="")

@@ -57,6 +57,18 @@ def reader_for(args):
     return default_reader()
 
 
+def per_host_batch(batch_size: int) -> int:
+    """Per-host loader batch for a PER-CHIP ``batch_size`` argument.
+
+    The reference's batch_size is per-GPU and its LR linear-scaling rule
+    multiplies by world size (run_stage1.py:796-800); ``lr_tables`` below
+    keeps that rule with world = jax.device_count(). Each JAX process feeds
+    ALL of its local chips, so its loader must yield
+    batch_size x local_device_count rows per step for the global batch to
+    be batch_size x device_count."""
+    return int(batch_size) * jax.local_device_count()
+
+
 def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
                 repetitions=1, seed=None):
     sampler = ShardedSampler(
@@ -65,7 +77,7 @@ def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
         drop_last=False, repetitions=repetitions,
     )
     return DataLoader(
-        dataset, batch_size=batch_size, sampler=sampler,
+        dataset, batch_size=per_host_batch(batch_size), sampler=sampler,
         num_workers=args.num_workers, drop_last=drop_last,
     )
 
@@ -91,6 +103,73 @@ def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
     return lr_tab, wd_tab, lr
 
 
+def resume_position(payload, default_start_epoch: int = 0):
+    """(start_epoch, epoch_step) from a restored checkpoint payload.
+
+    A mid-epoch checkpoint (written by the preemption path with
+    ``extra.epoch_step`` > 0) replays the SAME epoch from the step it
+    stopped at — the entry skips the consumed batches index-level, so the
+    remainder of the epoch is bitwise what an uninterrupted run produces.
+    An epoch-boundary checkpoint starts the next epoch (the reference's
+    only granularity, utils.py:739-776)."""
+    if payload is None:
+        return default_start_epoch, 0
+    epoch_step = int((payload.get("extra") or {}).get("epoch_step", 0) or 0)
+    if epoch_step > 0:
+        return int(payload["epoch"]), epoch_step
+    return int(payload["epoch"]) + 1, 0
+
+
+class PreemptionGuard:
+    """Preemption-safe early stop for the epoch loop.
+
+    Installs a SIGTERM handler (the signal GCE/TPU-pod maintenance sends
+    before reclaiming a VM); when it fires, ``train_one_epoch`` finishes the
+    step in flight, stops, and the entry writes a mid-epoch checkpoint
+    carrying ``epoch_step`` (batches consumed this epoch) so the next run
+    resumes EXACTLY where this one stopped — the per-epoch batch order is
+    deterministic, so skipping the consumed batches replays the remainder
+    bitwise. The reference has no preemption handling at all (SURVEY §5);
+    it can only lose the partial epoch.
+
+    ``stop_after_steps``: fault-injection knob (also the test hook) — behave
+    as if SIGTERM arrived after N steps of this process run.
+
+    Multihost: best-effort — real preemption delivers SIGTERM to every host
+    within the same grace window, and the checkpoint is written by process 0
+    after its last COMPLETED step; a host that stops later merely blocks in
+    its next collective until the VMs are reclaimed.
+    """
+
+    def __init__(self, stop_after_steps: int = 0, install_signals: bool = True):
+        import signal as _signal
+
+        self.triggered = False
+        self.steps_done = 0  # steps run by the last train_one_epoch call
+        self._steps_seen = 0
+        self._stop_after = int(stop_after_steps or 0)
+        if install_signals:
+            try:
+                _signal.signal(_signal.SIGTERM, self._on_signal)
+            except ValueError:  # not the main thread
+                pass
+
+    def _on_signal(self, signum, frame):
+        print(f"PreemptionGuard: caught signal {signum}; "
+              "will checkpoint after the current step and exit", flush=True)
+        self.triggered = True
+
+    def step(self) -> bool:
+        """Advance the per-run step count; True means stop now."""
+        self._steps_seen += 1
+        if self._stop_after and self._steps_seen >= self._stop_after:
+            if not self.triggered:
+                print(f"PreemptionGuard: stop_after_steps={self._stop_after} "
+                      "reached; simulating preemption", flush=True)
+            self.triggered = True
+        return self.triggered
+
+
 def train_one_epoch(
     state,
     step_fn: Callable,
@@ -105,6 +184,7 @@ def train_one_epoch(
     tb_logger=None,
     wandb_logger=None,
     array_sink: Optional[Dict] = None,
+    preempt_guard: Optional[PreemptionGuard] = None,
 ):
     """Host loop around the jitted step (engine train_one_epoch frame).
 
@@ -162,6 +242,8 @@ def train_one_epoch(
             jax.profiler.stop_trace()
             print(f"profiler trace written to {profile_dir}")
         step_i += 1
+        if preempt_guard is not None and preempt_guard.step():
+            break
     if step_i > 0:  # final sync of the epoch's last step
         host = _scalar_metrics(metrics)
         if not np.isfinite(host["loss"]):
@@ -169,6 +251,8 @@ def train_one_epoch(
                 f"Loss is {host['loss']}, stopping training")
         logger.update(**host)
         last_metrics = host
+    if preempt_guard is not None:
+        preempt_guard.steps_done = step_i
     if array_sink:
         # one sync at epoch end: pull each collected device array's LOCAL
         # shards (np.asarray on a multi-host-sharded value raises)
@@ -240,6 +324,7 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
     offline analysis — preds.npy / labels.npy (the reference's
     ``save_preds_path`` intent, run_stage3.py:778-784, which ships
     commented out) plus probs.npy."""
+    batch_size = per_host_batch(batch_size)  # pad to the loader's batch
     all_probs, all_labels = [], []
     loss_sum = n_total = 0.0
     for batch in loader:
@@ -303,6 +388,7 @@ def collect_features(state, eval_step, loader, mesh, batch_size: int,
     """Pooled encoder features + labels over a loader (for the kNN
     representation probe, utils/knn.py; requires an eval step that returns
     a ``feats`` entry). Stops after ``max_videos`` videos."""
+    batch_size = per_host_batch(batch_size)  # pad to the loader's batch
     feats, labels = [], []
     n = 0
     for batch in loader:
@@ -348,6 +434,7 @@ def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
                    output_dir: str):
     """Multi-view test: per-view probs → per-process file → merge
     (engine_for_finetuning.py:241-351)."""
+    batch_size = per_host_batch(batch_size)
     loader = DataLoader(
         dataset, batch_size=batch_size,
         sampler=ShardedSampler(len(dataset), jax.process_count(),

@@ -133,12 +133,11 @@ def main(args):
     b_s = args.batch_size
     b_t = args.batch_size if ds_target is not None else 0
     src_loader = common.make_loader(ds_source, args, b_s)
-    tgt_iter = None
+    tgt_loader = None
     if ds_target is not None:
         reps = repetitions_to_match(len(ds_target), len(ds_source))
         tgt_loader = common.make_loader(ds_target, args, b_t,
                                         repetitions=reps, seed=args.seed + 7)
-        tgt_iter = cycle(tgt_loader)
     niter_per_ep = len(src_loader)
 
     student = build_student(args)
@@ -165,14 +164,19 @@ def main(args):
     )
     state = TrainState.create(sp, tx)
 
-    start_epoch = args.start_epoch
+    start_epoch, skip0 = args.start_epoch, 0
     if args.auto_resume or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
-            # full resume: params + optimizer + step (utils.py:739-776)
+            # full resume: params + optimizer + step (utils.py:739-776);
+            # mid-epoch (preempted) checkpoints replay the rest of the epoch
             state = ck.restore_train_state(state, payload)
-            start_epoch = payload["epoch"] + 1
+            start_epoch, skip0 = common.resume_position(payload)
+    # fast-forward the cycled target stream past everything already consumed
+    # (one target batch per step) so resume replays an uninterrupted run
+    tgt_iter = (cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
+                if tgt_loader is not None else None)
 
     z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
                  if args.zero1 else None)
@@ -199,14 +203,25 @@ def main(args):
 
     def batches(epoch):
         src_loader.set_epoch(epoch)
+        if epoch == start_epoch and skip0:
+            src_loader.skip_next_batches(skip0)
         for item in src_loader:
             videos, mask, _ = item
+            src_mask = None
             if tgt_iter is not None:
                 videos_t, mask_t, _ = next(tgt_iter)
+                src_mask = np.concatenate([
+                    np.ones(len(videos), np.float32),
+                    np.zeros(len(videos_t), np.float32)])
                 videos = np.concatenate([videos, videos_t], 0)
                 if args.mask_type not in ("attention",):
                     mask = np.concatenate([mask, mask_t], 0)
             batch = {"videos": common.as_video_array(videos)}
+            if src_mask is not None:
+                # per-row source flag (shards with the batch): keeps the
+                # clip_loss_data restriction correct under multihost batch
+                # assembly, where a static slice would mislabel rows
+                batch["src_mask"] = src_mask
             if args.mask_type not in ("attention",):
                 bool_mask = np.asarray(mask).astype(bool).reshape(
                     videos.shape[0], -1)
@@ -217,6 +232,8 @@ def main(args):
     def wrapped_step(state, batch, rng):
         return step_fn(state, tp, batch, rng)
 
+    ckpt_io = ck.AsyncCheckpointer()  # epoch N+1 overlaps epoch N's write
+    guard = common.PreemptionGuard(stop_after_steps=args.stop_after_steps)
     for epoch in range(start_epoch, args.epochs):
         state, stats, _ = common.train_one_epoch(
             state, wrapped_step,
@@ -224,15 +241,31 @@ def main(args):
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
-            wandb_logger=wb,
+            wandb_logger=wb, preempt_guard=guard,
         )
+        done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
+        if guard.triggered and done < niter_per_ep:
+            # mid-epoch preemption: checkpoint exactly where we stopped
+            ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                     args=vars(args),
+                                     extra={"epoch_step": done},
+                                     tags=("latest",))
+            ckpt_io.wait()
+            print(f"Preempted at epoch {epoch} step {done}; "
+                  "checkpoint written, exiting")
+            return
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             tags.append(epoch)
-        ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
-                            args=vars(args), tags=tags)
+        ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                 args=vars(args), tags=tags)
         common.save_epoch_stats(
             args, epoch, {f"train_{k}": v for k, v in stats.items()})
+        if guard.triggered:  # preempted exactly at an epoch boundary
+            ckpt_io.wait()
+            print(f"Preempted after epoch {epoch}; checkpoint written, exiting")
+            return
+    ckpt_io.wait()
     common.finish(start)
 
 

@@ -166,12 +166,14 @@ def main(args):
     # resolve the resume payload BEFORE building the optimizer so the LP/FT
     # phase (and hence the optimizer-state tree) matches the resumed epoch
     payload = None
-    start_epoch = args.start_epoch
+    start_epoch, skip0 = args.start_epoch, 0
     if args.auto_resume or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
-            start_epoch = payload["epoch"] + 1
+            # mid-epoch (preempted) checkpoints replay the rest of the epoch;
+            # skip0 counts BATCHES (micro-steps under update_freq)
+            start_epoch, skip0 = common.resume_position(payload)
 
     tx = build_tx(lp_phase=start_epoch < args.lp_ft_epochs)
     state = TrainState.create(
@@ -216,12 +218,16 @@ def main(args):
 
     def batches(epoch):
         loader.set_epoch(epoch)
+        if epoch == start_epoch and skip0:
+            loader.skip_next_batches(skip0)
         for clips, labels, _, _ in loader:
             yield pmesh.shard_batch(pmesh.cast_videos_bf16(
                 {"videos": common.as_video_array(clips),
                  "labels": np.asarray(labels, np.int32)}), mesh)
 
     best_acc = -1.0
+    ckpt_io = ck.AsyncCheckpointer()  # epoch N+1 overlaps epoch N's write
+    guard = common.PreemptionGuard(stop_after_steps=args.stop_after_steps)
     for epoch in range(start_epoch, args.epochs):
         if args.reset_train_dataset and epoch > 0:
             # remake_train_dataloader (run_stage2.py:440-453): fresh dataset
@@ -239,7 +245,12 @@ def main(args):
                 "train", a2, anno_path=args.ann_file_train, reader=reader)
             loader = common.make_loader(ds_train, args, args.batch_size)
             print("Made new train dataloader.")
-        if args.lp_ft_epochs > 0 and epoch == args.lp_ft_epochs:
+        if (args.lp_ft_epochs > 0 and epoch == args.lp_ft_epochs
+                and not (epoch == start_epoch and skip0)):
+            # (when resuming mid-epoch AT the switch epoch, the switch
+            # already happened before preemption — build_tx(lp_phase=False)
+            # at startup matched the checkpoint's FT optimizer tree, and
+            # rebuilding here would discard the restored moments)
             # LP→FT switch: rebuild the optimizer with everything unfrozen
             # (fresh optimizer state for the newly-trainable params —
             # reference keeps torch state lazily; note a re-jit happens here)
@@ -263,8 +274,21 @@ def main(args):
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
-            wandb_logger=wb,
+            wandb_logger=wb, preempt_guard=guard,
         )
+        done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
+        if guard.triggered and done < len(loader):
+            # mid-epoch preemption: checkpoint exactly where we stopped
+            # (done counts batches; MultiSteps' mid-accumulation state is
+            # part of opt_state and restores with it)
+            if args.save_ckpt:
+                ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                         args=vars(args),
+                                         extra={"epoch_step": done},
+                                         tags=("latest",))
+            ckpt_io.wait()
+            print(f"Preempted at epoch {epoch} step {done}; exiting")
+            return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         if (not args.disable_eval_during_finetuning
                 and (epoch + 1) % args.eval_freq == 0):
@@ -274,16 +298,20 @@ def main(args):
             epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
             if args.save_ckpt and val_stats.get("acc1", -1) > best_acc:
                 best_acc = val_stats["acc1"]
-                ck.save_train_state(args.output_dir, epoch,
-                                    jax.device_get(state),
-                                    args=vars(args), tags=("best",))
+                ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                         args=vars(args), tags=("best",))
         if args.save_ckpt:
             tags = ["latest"]
             if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
                 tags.append(epoch)
-            ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
-                                args=vars(args), tags=tags)
+            ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                     args=vars(args), tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
+        if guard.triggered:  # preempted exactly at an epoch boundary
+            ckpt_io.wait()
+            print(f"Preempted after epoch {epoch}; checkpoint written, exiting")
+            return
+    ckpt_io.wait()  # checkpoint-best must be on disk before test_best reads it
 
     if args.test_best:
         payload = None

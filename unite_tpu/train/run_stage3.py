@@ -101,7 +101,6 @@ def main(args):
     reps = repetitions_to_match(len(ds_target), len(ds_source))
     tgt_loader = common.make_loader(ds_target, args, args.batch_size,
                                     repetitions=reps, seed=args.seed + 7)
-    tgt_iter = cycle(tgt_loader)
     val_loader = common.make_loader(ds_val, args, args.batch_size_val,
                                     shuffle=False, drop_last=False)
     niter_per_ep = len(src_loader)
@@ -143,14 +142,18 @@ def main(args):
     )
     state = TrainState.create(params, tx)
 
-    start_epoch = args.start_epoch
+    start_epoch, skip0 = args.start_epoch, 0
     if args.auto_resume or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
-            # full resume: params + optimizer + step (utils.py:739-776)
+            # full resume: params + optimizer + step (utils.py:739-776);
+            # mid-epoch (preempted) checkpoints replay the rest of the epoch
             state = ck.restore_train_state(state, payload)
-            start_epoch = payload["epoch"] + 1
+            start_epoch, skip0 = common.resume_position(payload)
+    # fast-forward the cycled target stream past everything already consumed
+    # (one target batch per step) so resume replays an uninterrupted run
+    tgt_iter = cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
 
     z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
                  if args.zero1 else None)
@@ -223,6 +226,8 @@ def main(args):
 
     def batches(epoch):
         src_loader.set_epoch(epoch)
+        if epoch == start_epoch and skip0:
+            src_loader.skip_next_batches(skip0)
         for clips_s, labels_s, _, _ in src_loader:
             clean_t, aug_t, labels_t, _names = next(tgt_iter)
             batch = {
@@ -246,6 +251,8 @@ def main(args):
         return step_fn(state, tp, batch, rng)
 
     best_acc = -1.0
+    ckpt_io = ck.AsyncCheckpointer()  # epoch N+1 overlaps epoch N's write
+    guard = common.PreemptionGuard(stop_after_steps=args.stop_after_steps)
     for epoch in range(start_epoch, args.epochs):
         arrays = {}
         state, stats, _ = common.train_one_epoch(
@@ -255,8 +262,20 @@ def main(args):
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
             wandb_logger=wb,
-            array_sink=arrays,
+            array_sink=arrays, preempt_guard=guard,
         )
+        done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
+        if guard.triggered and done < niter_per_ep:
+            # mid-epoch preemption: checkpoint exactly where we stopped
+            # (skip validation/diagnostics — the epoch is incomplete)
+            ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                     args=vars(args),
+                                     extra={"epoch_step": done},
+                                     tags=("latest",))
+            ckpt_io.wait()
+            print(f"Preempted at epoch {epoch} step {done}; "
+                  "checkpoint written, exiting")
+            return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         if "clip_preds_t" in arrays:
             # student-vs-CLIP agreement table (run_stage3.py:789-817)
@@ -288,14 +307,19 @@ def main(args):
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
         if val_stats.get("acc1", -1) > best_acc:
             best_acc = val_stats["acc1"]
-            ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
-                                args=vars(args), tags=("best",))
+            ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                     args=vars(args), tags=("best",))
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             tags.append(epoch)
-        ck.save_train_state(args.output_dir, epoch, jax.device_get(state),
-                            args=vars(args), tags=tags)
+        ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                 args=vars(args), tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
+        if guard.triggered:  # preempted exactly at an epoch boundary
+            ckpt_io.wait()
+            print(f"Preempted after epoch {epoch}; checkpoint written, exiting")
+            return
+    ckpt_io.wait()  # checkpoint-best must be on disk before test_best reads it
 
     if args.test_best:
         try:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -131,6 +132,69 @@ def save_train_state(output_dir: str, epoch: int, state, args=None,
         extra={**(extra or {}), "step": int(state.step)},
         tags=tags,
     )
+
+
+def _device_snapshot(tree):
+    """On-device copies of every jax.Array leaf (async dispatch, ~HBM-copy
+    cost). The snapshot is independent of the live training state, so the
+    train loop may immediately run a buffer-DONATING step on the original
+    while a background thread fetches the copy to host."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+
+
+class AsyncCheckpointer:
+    """Non-blocking full-state saves.
+
+    ``save_train_state`` snapshots the state on-device (cheap), then runs
+    the D2H fetch + msgpack serialize + atomic write in a daemon thread —
+    the train loop overlaps the next epoch with the write instead of
+    stalling on it (the reference blocks its loop inside torch.save,
+    src/utils.py:689-737; at multi-GB state sizes on TPU pods the transfer
+    is the dominant cost, and it needs no device time).
+
+    One save in flight: a new save (or ``wait()``) joins the previous one
+    first and RE-RAISES its failure — a checkpoint that silently failed to
+    land would defeat auto-resume (same fail-fast stance as the NaN guard).
+    Entries must call ``wait()`` before reading checkpoints back (resume /
+    test_best). The writer thread is NON-daemon on purpose: if the entry
+    dies on an exception (e.g. the NaN fail-fast) the interpreter still
+    joins the in-flight write at exit, so the newest epoch's checkpoint
+    lands exactly as the reference's synchronous torch.save would.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def save_train_state(self, output_dir: str, epoch: int, state, args=None,
+                         extra: Optional[Dict[str, Any]] = None,
+                         tags=("latest",)) -> None:
+        if not is_main_process():
+            return
+        self.wait()
+        snap = _device_snapshot(state)
+
+        def _work():
+            try:
+                save_train_state(output_dir, epoch, snap, args=args,
+                                 extra=extra, tags=tags)
+            except BaseException as e:  # surfaced by the next wait()
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=_work, name="unite-ckpt-writer", daemon=False)
+        self._thread.start()
 
 
 def restore_train_state(state, payload: Dict[str, Any]):
