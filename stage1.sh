@@ -19,6 +19,7 @@ python -m unite_tpu.train.run_stage1 \
   --warmup_epochs 10 \
   --batch_size 64 \
   --save_ckpt_freq 50 \
+  --checkpoints_enabled true \
   --num_workers 10 \
   --seed 0 \
   "$@"

@@ -21,6 +21,7 @@ python -m unite_tpu.train.run_stage3 \
   --warmup_epochs $((EPOCHS / 5)) \
   --batch_size 5 \
   --save_ckpt_freq 10 \
+  --checkpoints_enabled true \
   --num_workers 6 \
   --initial_validation true \
   --seed 0 \

@@ -60,6 +60,10 @@ class AdaptationEncoder(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Optional[bool] = None
     remat: bool = False
+    # remat only blocks idx < remat_num when >= 0 (reference
+    # 'use_checkpoint and idx < checkpoint_num', e.g.
+    # modeling_adaptation.py:158); -1 = all blocks
+    remat_num: int = -1
 
     @nn.compact
     def __call__(self, x, vis_idx=None, clip_only: bool = False,
@@ -113,10 +117,13 @@ class AdaptationEncoder(nn.Module):
         max_ret = max(return_index)
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         taps = []
-        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+        remat_cls = (nn.remat(Block, static_argnums=(2,))
+                     if self.remat else Block)
         for i in range(self.depth):
             if clip_only and i > max_ret:
                 break  # early exit (modeling_adaptation.py:165-166)
+            block_cls = (remat_cls if self.remat_num < 0
+                         or i < self.remat_num else Block)
             x = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
@@ -163,6 +170,10 @@ class AdaptationVisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Optional[bool] = None
     remat: bool = False
+    # remat only blocks idx < remat_num when >= 0 (reference
+    # 'use_checkpoint and idx < checkpoint_num', e.g.
+    # modeling_adaptation.py:158); -1 = all blocks
+    remat_num: int = -1
 
     @nn.compact
     def __call__(self, x, vis_idx=None, clip_only: bool = False,
@@ -181,6 +192,7 @@ class AdaptationVisionTransformer(nn.Module):
             return_index=tuple(self.clip_return_layers),
             use_cls_token=self.use_cls_token, norm_eps=self.norm_eps,
             dtype=self.dtype, use_pallas=self.use_pallas, remat=self.remat,
+            remat_num=self.remat_num,
             name="encoder",
         )(x, vis_idx, clip_only, deterministic)
 

@@ -62,6 +62,10 @@ class PretrainEncoder(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Optional[bool] = None
     remat: bool = False
+    # remat only blocks idx < remat_num when >= 0 (reference
+    # 'use_checkpoint and idx < checkpoint_num', e.g.
+    # modeling_adaptation.py:158); -1 = all blocks
+    remat_num: int = -1
 
     @nn.compact
     def __call__(self, x, vis_idx=None, deterministic: bool = True):
@@ -94,8 +98,11 @@ class PretrainEncoder(nn.Module):
         return_index = list(self.return_index)
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         taps = []
-        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+        remat_cls = (nn.remat(Block, static_argnums=(2,))
+                     if self.remat else Block)
         for i in range(self.depth):
+            block_cls = (remat_cls if self.remat_num < 0
+                         or i < self.remat_num else Block)
             x = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
@@ -140,6 +147,10 @@ class PretrainUMT(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Optional[bool] = None
     remat: bool = False
+    # remat only blocks idx < remat_num when >= 0 (reference
+    # 'use_checkpoint and idx < checkpoint_num', e.g.
+    # modeling_adaptation.py:158); -1 = all blocks
+    remat_num: int = -1
 
     @nn.compact
     def __call__(self, x, vis_idx=None, deterministic: bool = True):
@@ -160,6 +171,7 @@ class PretrainUMT(nn.Module):
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             return_index=return_index, norm_eps=self.norm_eps,
             dtype=self.dtype, use_pallas=self.use_pallas, remat=self.remat,
+            remat_num=self.remat_num,
             name="encoder",
         )(x, vis_idx, deterministic)
 

@@ -62,6 +62,10 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Optional[bool] = None
     remat: bool = False
+    # remat only blocks idx < remat_num when >= 0 (reference
+    # 'use_checkpoint and idx < checkpoint_num', e.g.
+    # modeling_adaptation.py:158); -1 = all blocks
+    remat_num: int = -1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -102,10 +106,11 @@ class VisionTransformer(nn.Module):
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
-        block_cls = Block
-        if self.remat:
-            block_cls = nn.remat(Block, static_argnums=(2,))
+        remat_cls = (nn.remat(Block, static_argnums=(2,))
+                     if self.remat else Block)
         for i in range(self.depth):
+            block_cls = (remat_cls if self.remat_num < 0
+                         or i < self.remat_num else Block)
             x = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,

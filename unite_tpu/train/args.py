@@ -49,7 +49,13 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--drop_path", type=float, default=0.1)
     p.add_argument("--use_learnable_pos_emb", type=str2bool, default=False)
     p.add_argument("--use_checkpoint", type=str2bool, default=False,
-                   help="rematerialize transformer blocks")
+                   help="rematerialize transformer blocks (jax.checkpoint; "
+                        "the reference's torch.utils.checkpoint)")
+    p.add_argument("--checkpoint_num", type=int, default=-1,
+                   help="remat only the first N blocks (reference "
+                        "modeling_adaptation.py:158 'idx < checkpoint_num'); "
+                        "-1 = all blocks. NOTE the reference DEFAULTS this "
+                        "to 0, which silently disables --use_checkpoint")
     p.add_argument("--nb_classes", type=int, default=12)
     # data
     p.add_argument("--data_set", default="Kinetics_sparse")
@@ -90,6 +96,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--layer_decay", type=float, default=1.0)
     # checkpointing
     p.add_argument("--auto_resume", type=str2bool, default=False)
+    p.add_argument("--no_auto_resume", action="store_false",
+                   dest="auto_resume", help="reference-style complement")
+    p.add_argument("--no_pin_mem", action="store_false", dest="pin_mem",
+                   help="reference-style complement")
     p.add_argument("--resume", default="")
     p.add_argument("--save_ckpt_freq", type=int, default=1000)
     p.add_argument("--stop_after_steps", type=int, default=0,
@@ -107,19 +117,24 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--zero1", type=str2bool, default=False,
                    help="shard optimizer moments over the data axis "
                         "(ZeRO-1 layout; GSPMD inserts the collectives)")
-    p.add_argument("--dispatch_loop_steps", type=int, default=1,
-                   help="train steps dispatched per host sync (latency hiding)")
+    # (steps between host syncs is log_freq: the train loop is async-
+    # dispatched and only reads scalars on log steps — common.py)
     # logging
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of epoch-0 steps 2-7")
     p.add_argument("--disable_wandb", type=str2bool, default=True)
     p.add_argument("--wandb_group", default=None)
+    p.add_argument("--wandb_entity", default=None,
+                   help="wandb entity (run_stage1.py:642)")
+    p.add_argument("--wandb_project", default=None,
+                   help="wandb project (run_stage1.py:643)")
     # accepted-for-compat CUDA-era knobs (no effect on TPU)
     for flag, default in [
         ("--dist_backend", "ici"), ("--dist_url", "env://"),
         ("--world_size", 1), ("--local_rank", -1), ("--gpu", 0),
         ("--use_decord", True), ("--enable_deepspeed", False),
         ("--imagenet_default_mean_and_std", True), ("--crop_pct", None),
+        ("--dist_on_itp", False),
     ]:
         kwargs = {"default": default}
         if isinstance(default, bool):
@@ -154,7 +169,33 @@ def stage1_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_return_attn", type=str2bool, default=True)
     p.add_argument("--clip_decoder_init", default="")
     p.add_argument("--freeze_clip_decoders", type=str2bool, default=False)
+    p.add_argument("--no_freeze_clip_decoders", action="store_false",
+                   dest="freeze_clip_decoders",
+                   help="reference-style complement")
     p.add_argument("--use_cls_token", type=str2bool, default=False)
+    p.add_argument("--use_mean_pooling", action="store_false",
+                   dest="use_cls_token",
+                   help="complement of use_cls_token (run_stage1.py:85)")
+    p.add_argument("--train_repetitions", type=int, default=1,
+                   help="source-stream sampler repetitions "
+                        "(run_stage1.py:170,666; stage 3 default 0 = "
+                        "auto-match the target stream, run_stage3.py:192)")
+    p.add_argument("--umt_step", type=int, default=1,
+                   help="dense-mode temporal stride (new_step) of the "
+                        "pretrain dataset (run_stage1.py:183, mae.py:130); "
+                        "no effect in sparse mode (num_segments != 1), "
+                        "where the reference's skip_length=1 override "
+                        "makes any umt_step > 1 yield empty clips")
+    p.add_argument("--ann_file_train_knn", default=None,
+                   help="accepted for config compat; dead in the reference "
+                        "(run_stage1.py:173 — parsed, never read)")
+    p.add_argument("--checkpoints_enabled", type=str2bool, default=True,
+                   help="gate ALL checkpoint writes (run_stage1.py:880; "
+                        "NOTE the reference YAMLs default this to false and "
+                        "only stage1.sh re-enables it)")
+    p.add_argument("--checkpoints_disabled", action="store_false",
+                   dest="checkpoints_enabled",
+                   help="reference-style complement")
     p.add_argument("--decoder_depth", type=int, default=4)
     p.add_argument("--clip_decoder_type", default="SA_Decoder")
     p.add_argument("--normlize_target", type=str2bool, default=True)
@@ -164,11 +205,33 @@ def stage1_parser() -> argparse.ArgumentParser:
 def stage2_parser() -> argparse.ArgumentParser:
     p = common_parser("UNITE-TPU stage 2: supervised fine-tuning")
     p.set_defaults(model="vit_base_patch16_224", epochs=50, lr=2.5e-5,
-                   warmup_epochs=5, layer_decay=0.65)
+                   warmup_epochs=5, layer_decay=0.65, auto_resume=True)
     p.add_argument("--finetune", default="", help="init checkpoint")
     p.add_argument("--model_prefix", default="")
     p.add_argument("--delete_head", type=str2bool, default=True)
+    p.add_argument("--no_delete_head", action="store_false",
+                   dest="delete_head", help="reference-style complement")
     p.add_argument("--use_mean_pooling", type=str2bool, default=True)
+    p.add_argument("--use_cls", action="store_false", dest="use_mean_pooling",
+                   help="complement of use_mean_pooling (run_stage2.py:180)")
+    p.add_argument("--lr_schedule", default="cosine",
+                   choices=["constant", "cosine", "step"],
+                   help="LR schedule family (run_stage2.py:107,651-667)")
+    p.add_argument("--step_fraction", type=float, default=0.1,
+                   help="multiplicative decay per step-schedule milestone")
+    p.add_argument("--lr_step_epochs", type=int, nargs="+", default=None,
+                   help="epochs at which the step schedule decays")
+    p.add_argument("--auto_reload", type=str2bool, default=True,
+                   help="auto-resume from output_dir's latest checkpoint — "
+                        "the flag that actually gates stage-2 resume in the "
+                        "reference (run_stage2.py:702); auto_resume is "
+                        "accepted for config compat")
+    p.add_argument("--no_auto_reload", action="store_false",
+                   dest="auto_reload", help="reference-style complement")
+    p.add_argument("--train_repetitions", type=int, default=1,
+                   help="train-sampler repetitions (run_stage2.py:193,505)")
+    p.add_argument("--distributed", type=str2bool, default=False,
+                   help="accepted for config compat (run_stage2.py:256)")
     p.add_argument("--init_scale", type=float, default=0.001)
     p.add_argument("--head_type", default="linear", choices=["linear", "mlp"])
     p.add_argument("--head_hidden_dim", type=int, default=256)
@@ -209,11 +272,16 @@ def stage2_parser() -> argparse.ArgumentParser:
                    help="recreate the train dataset every epoch (re-draws "
                         "the train_fraction subset; ref run_stage2.py:"
                         "440-453,754)")
+    p.add_argument("--no_reset_train_dataset", action="store_false",
+                   dest="reset_train_dataset",
+                   help="reference-style complement")
     p.add_argument("--eval_data_path", default=None)
     p.add_argument("--dist_eval", type=str2bool, default=True)
     p.add_argument("--disable_eval_during_finetuning", type=str2bool,
                    default=False)
     p.add_argument("--save_ckpt", type=str2bool, default=True)
+    p.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt",
+                   help="reference-style complement")
     return p
 
 
@@ -221,7 +289,7 @@ def stage3_parser() -> argparse.ArgumentParser:
     p = stage1_parser()
     p.description = "UNITE-TPU stage 3: collaborative self-training"
     p.set_defaults(epochs=20, clip_return_layers=[6], warmup_epochs=0,
-                   return_aug_for_val=True)
+                   return_aug_for_val=True, train_repetitions=0)
     p.add_argument("--selection_strategy", default="clip_matchORconf")
     p.add_argument("--clip_threshold", type=float, default=0.1)
     p.add_argument("--conf_weighted_loss", type=str2bool, default=True)
@@ -229,6 +297,37 @@ def stage3_parser() -> argparse.ArgumentParser:
     p.add_argument("--masking_type", default="clip_attention")
     p.add_argument("--class_loss_src_ratio_pl", type=float, default=1.0)
     p.add_argument("--class_loss_tgt_ratio", type=float, default=1.0)
+    p.add_argument("--class_loss_src_ratio", type=float, default=1.0e-12,
+                   help="accepted for config compat (the shipped reference "
+                        "config sets 1.0e-12 to dodge the :353 '<= 0 -> "
+                        "src_classifier = None' gate, which would crash its "
+                        "own loop at :477 — latent defect). Irrelevant "
+                        "either way: the reference never registers the "
+                        "classifier with any optimizer (:1264), so the "
+                        "head is ALWAYS frozen — matched here via the "
+                        "trainable mask")
+    p.add_argument("--eval", type=str2bool, default=False,
+                   help="final multi-view test only, no training — "
+                        "implements the intent of the reference's "
+                        "commented-out block (run_stage3.py:1280-1293); "
+                        "loads the classifier per :1212-1219 when "
+                        "src_classifier_init is empty")
+    # accepted-for-compat stage-3 research knobs that are dead in the
+    # reference (parsed but never read, or read only by an assert/print):
+    p.add_argument("--add_cons_constraint", type=str2bool, default=False,
+                   help="dead in the reference (run_stage3.py:263; its only "
+                        "use site :562 is commented out)")
+    p.add_argument("--pseudolabel_threshold", type=float, default=0.0,
+                   help="dead in the reference beyond an assert+print "
+                        "(run_stage3.py:1225-1229); > 0 requires "
+                        "unmasked_classification, enforced here too")
+    p.add_argument("--unmasked_classification", type=str2bool, default=False,
+                   help="dead in the reference (run_stage3.py:134; only "
+                        "read by the :1228 assert)")
+    p.add_argument("--target_only_classification", type=str2bool,
+                   default=False,
+                   help="dead in the reference (run_stage3.py:139; parsed, "
+                        "never read)")
     p.add_argument("--full_oracle", type=str2bool, default=False)
     p.add_argument("--return_aug_for_val", type=str2bool, default=True)
     p.add_argument("--src_classifier_type", default="linear")

@@ -26,7 +26,8 @@ from unite_tpu.data.video_reader import SyntheticVideoReader, default_reader
 from unite_tpu.engines.finetune import merge, write_preds_file
 from unite_tpu.parallel import mesh as pmesh
 from unite_tpu.utils.metrics import MetricLogger, compute_ece
-from unite_tpu.utils.schedules import cosine_scheduler, scaled_lr
+from unite_tpu.utils.schedules import (cosine_scheduler, scaled_lr,
+                                       step_scheduler)
 
 
 def setup_run(args):
@@ -90,11 +91,30 @@ def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
     lr = scaled_lr(args.lr, total_batch, num_sample)
     min_lr = scaled_lr(args.min_lr, total_batch, num_sample)
     warmup_lr = scaled_lr(args.warmup_lr, total_batch, num_sample)
-    lr_tab = cosine_scheduler(
-        lr, min_lr, args.epochs, niter_per_ep,
-        warmup_epochs=args.warmup_epochs, start_warmup_value=warmup_lr,
-        warmup_steps=args.warmup_steps,
-    )
+    family = getattr(args, "lr_schedule", "cosine")
+    if family == "cosine":
+        lr_tab = cosine_scheduler(
+            lr, min_lr, args.epochs, niter_per_ep,
+            warmup_epochs=args.warmup_epochs, start_warmup_value=warmup_lr,
+            warmup_steps=args.warmup_steps,
+        )
+    elif family in ("constant", "step"):
+        # run_stage2.py:656-667: constant = step schedule with no
+        # milestones; 'step' decays by step_fraction at lr_step_epochs.
+        # The reference passes its SCALAR step_fraction where
+        # step_scheduler indexes step_fraction[i] — a TypeError in its own
+        # 'step' branch; a scalar is broadcast per milestone here.
+        steps = getattr(args, "lr_step_epochs", None) if family == "step" \
+            else None
+        if family == "step" and steps is None:
+            raise ValueError("lr_schedule=step requires --lr_step_epochs")
+        lr_tab = step_scheduler(
+            lr, getattr(args, "step_fraction", 0.1), args.epochs, niter_per_ep,
+            warmup_epochs=args.warmup_epochs, start_warmup_value=warmup_lr,
+            warmup_steps=args.warmup_steps, steps=steps,
+        )
+    else:
+        raise NotImplementedError(f"lr_schedule {family}")
     wd_end = args.weight_decay_end
     if wd_end is None:
         wd_end = args.weight_decay

@@ -50,6 +50,7 @@ def build_student(args):
         clip_return_layers=tuple(args.clip_return_layers),
         dtype=jnp.bfloat16,
         remat=args.use_checkpoint,
+        remat_num=getattr(args, "checkpoint_num", -1),
     )
 
 
@@ -129,10 +130,18 @@ def main(args):
         ds_target = build_pretraining_dataset(
             args, anno_path=args.ann_file_train_target, reader=reader)
 
-    # length-match streams via repetitions (run_stage1.py:711-752)
+    # length-match streams via repetitions (run_stage1.py:711-752): the
+    # SMALLER stream is repeated — the target by ceil(src/tgt) when it is
+    # smaller, otherwise the SOURCE by ceil(tgt/src) (the reference
+    # re-creates its source sampler for this, :721-736, growing the epoch);
+    # --train_repetitions seeds the source repetitions (:666)
     b_s = args.batch_size
     b_t = args.batch_size if ds_target is not None else 0
-    src_loader = common.make_loader(ds_source, args, b_s)
+    src_reps = max(1, getattr(args, "train_repetitions", 1))
+    if ds_target is not None and len(ds_target) > len(ds_source):
+        src_reps = repetitions_to_match(len(ds_source), len(ds_target))
+    src_loader = common.make_loader(ds_source, args, b_s,
+                                    repetitions=src_reps)
     tgt_loader = None
     if ds_target is not None:
         reps = repetitions_to_match(len(ds_target), len(ds_source))
@@ -243,22 +252,27 @@ def main(args):
             profile_dir=args.profile_dir or None, tb_logger=tb,
             wandb_logger=wb, preempt_guard=guard,
         )
+        # checkpoints_enabled gates ALL writes (run_stage1.py:880; the
+        # reference YAML ships false and stage1.sh re-enables it)
+        saving = args.output_dir and args.checkpoints_enabled
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
         if guard.triggered and done < niter_per_ep:
             # mid-epoch preemption: checkpoint exactly where we stopped
-            ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                     args=vars(args),
-                                     extra={"epoch_step": done},
-                                     tags=("latest",))
-            ckpt_io.wait()
+            if saving:
+                ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                         args=vars(args),
+                                         extra={"epoch_step": done},
+                                         tags=("latest",))
+                ckpt_io.wait()
             print(f"Preempted at epoch {epoch} step {done}; "
                   "checkpoint written, exiting")
             return
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             tags.append(epoch)
-        ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                 args=vars(args), tags=tags)
+        if saving:
+            ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                     args=vars(args), tags=tags)
         common.save_epoch_stats(
             args, epoch, {f"train_{k}": v for k, v in stats.items()})
         if guard.triggered:  # preempted exactly at an epoch boundary

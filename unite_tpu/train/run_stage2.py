@@ -52,6 +52,7 @@ def build_model(args):
         classifier_hidden_dim=args.head_hidden_dim,
         dtype=jnp.bfloat16,
         remat=args.use_checkpoint,
+        remat_num=getattr(args, "checkpoint_num", -1),
     )
 
 
@@ -132,7 +133,9 @@ def main(args):
                               anno_path=args.ann_file_val, reader=reader)
     ds_test, _ = build_dataset("test", args, anno_path=args.ann_file_test,
                                reader=reader)
-    loader = common.make_loader(ds_train, args, args.batch_size)
+    loader = common.make_loader(
+        ds_train, args, args.batch_size,
+        repetitions=max(1, getattr(args, "train_repetitions", 1)))
     val_loader = common.make_loader(
         ds_val, args, args.batch_size_val, shuffle=False, drop_last=False)
     niter_per_ep = max(1, len(loader) // args.update_freq)
@@ -167,7 +170,11 @@ def main(args):
     # phase (and hence the optimizer-state tree) matches the resumed epoch
     payload = None
     start_epoch, skip0 = args.start_epoch, 0
-    if args.auto_resume or args.resume:
+    # stage-2 auto-resume is gated on auto_reload in the reference
+    # (run_stage2.py:702, default ON); auto_resume is accepted for compat.
+    # --eval never auto-reloads: the reference's eval branch exits BEFORE
+    # its auto_load (:685-702), evaluating exactly the --finetune weights
+    if (getattr(args, "auto_reload", False) and not args.eval) or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
@@ -243,7 +250,9 @@ def main(args):
             a2.seed = args.seed + 100003 * epoch
             ds_train, _ = build_dataset(
                 "train", a2, anno_path=args.ann_file_train, reader=reader)
-            loader = common.make_loader(ds_train, args, args.batch_size)
+            loader = common.make_loader(
+                ds_train, args, args.batch_size,
+                repetitions=max(1, getattr(args, "train_repetitions", 1)))
             print("Made new train dataloader.")
         if (args.lp_ft_epochs > 0 and epoch == args.lp_ft_epochs
                 and not (epoch == start_epoch and skip0)):

@@ -57,8 +57,18 @@ def build_classifier(args):
 
 def load_classifier_head(args, head_params):
     """Load head weights from a stage-2 checkpoint (run_stage3.py:1196-1223).
-    Accepts our msgpack checkpoints or torch .pth."""
+    Accepts our msgpack checkpoints or torch .pth. In --eval mode with no
+    explicit init, the classifier is found next to student_init
+    (``src_classifier*`` glob, run_stage3.py:1213-1219)."""
     path = args.src_classifier_init
+    if not path and getattr(args, "eval", False) and args.student_init:
+        import glob
+
+        cands = sorted(glob.glob(os.path.join(
+            os.path.dirname(args.student_init), "src_classifier*")))
+        if cands:
+            path = cands[0]
+            print(f"Loading source classifier head from {path}")
     if not path:
         return head_params
     if path.endswith(ck.CKPT_EXT):
@@ -97,7 +107,16 @@ def main(args):
     ds_test, _ = build_dataset("test", args, anno_path=args.ann_file_test,
                                reader=reader)
 
-    src_loader = common.make_loader(ds_source, args, args.batch_size)
+    # stream length-matching (run_stage3.py:1096-1146): the smaller target
+    # is repeated by ceil(src/tgt); a larger-or-equal target repeats the
+    # SOURCE instead — by --train_repetitions when > 0, else auto
+    # ceil(tgt/src) (:1106-1109)
+    src_reps = 1
+    if len(ds_target) >= len(ds_source):
+        src_reps = (getattr(args, "train_repetitions", 0)
+                    or repetitions_to_match(len(ds_source), len(ds_target)))
+    src_loader = common.make_loader(ds_source, args, args.batch_size,
+                                    repetitions=src_reps)
     reps = repetitions_to_match(len(ds_target), len(ds_source))
     tgt_loader = common.make_loader(ds_target, args, args.batch_size,
                                     repetitions=reps, seed=args.seed + 7)
@@ -143,7 +162,9 @@ def main(args):
     state = TrainState.create(params, tx)
 
     start_epoch, skip0 = args.start_epoch, 0
-    if args.auto_resume or args.resume:
+    # --eval never auto-resumes (the reference's eval exit :1280 precedes
+    # its auto_resume :1310): it evaluates exactly the student_init weights
+    if (args.auto_resume and not args.eval) or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
                    else ck.auto_load_model(args.output_dir))
         if payload is not None:
@@ -185,6 +206,28 @@ def main(args):
         state = pmesh.shard_state_zero1(state, mesh)
     else:
         state = pmesh.replicate(state, mesh)
+
+    if args.eval:
+        # evaluation-only: final multi-view test + merge, then exit —
+        # implements the intent of the reference's commented-out eval block
+        # (run_stage3.py:1280-1293); the classifier came from student_init's
+        # directory via load_classifier_head (:1212-1219)
+        test_stats = common.run_final_test(
+            state, eval_fn, ds_test, args, mesh, args.batch_size_val,
+            args.output_dir)
+        common.save_epoch_stats(args, args.epochs, test_stats)
+        common.finish(start)
+        return
+
+    if args.pseudolabel_threshold > 0:
+        # preconditions the reference enforces (run_stage3.py:1225-1229);
+        # the knob is otherwise dead there and here
+        assert args.ann_file_train_target, \
+            "pseudolabel_threshold requires a target stream"
+        assert args.unmasked_classification, \
+            "pseudolabel_threshold requires --unmasked_classification"
+        print(f"Performing pseudolabeling with threshold: "
+              f"{args.pseudolabel_threshold}")
 
     # CLIP zero-shot teacher (utils.py:44-82 setup_clip/clip_infer): the
     # clip_* selection strategies are load-bearing on real text features —
@@ -264,15 +307,21 @@ def main(args):
             wandb_logger=wb,
             array_sink=arrays, preempt_guard=guard,
         )
+        # checkpoints_enabled gates ALL writes (run_stage3.py:1359; NOTE the
+        # reference YAML ships false and its stage3.sh never re-enables it —
+        # the shipped reference stage 3 saves nothing; our stage3.sh enables
+        # it so test_best has a checkpoint to read)
+        saving = args.output_dir and args.checkpoints_enabled
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
         if guard.triggered and done < niter_per_ep:
             # mid-epoch preemption: checkpoint exactly where we stopped
             # (skip validation/diagnostics — the epoch is incomplete)
-            ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                     args=vars(args),
-                                     extra={"epoch_step": done},
-                                     tags=("latest",))
-            ckpt_io.wait()
+            if saving:
+                ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                         args=vars(args),
+                                         extra={"epoch_step": done},
+                                         tags=("latest",))
+                ckpt_io.wait()
             print(f"Preempted at epoch {epoch} step {done}; "
                   "checkpoint written, exiting")
             return
@@ -307,13 +356,15 @@ def main(args):
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
         if val_stats.get("acc1", -1) > best_acc:
             best_acc = val_stats["acc1"]
-            ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                     args=vars(args), tags=("best",))
+            if saving:
+                ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                         args=vars(args), tags=("best",))
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             tags.append(epoch)
-        ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                 args=vars(args), tags=tags)
+        if saving:
+            ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                     args=vars(args), tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()

@@ -68,7 +68,8 @@ class WandbLogger:
                 raise ImportError("wandb stub in sys.modules")
             self._wandb = wandb
             wandb.init(
-                project=getattr(args, "wandb_project", "unite_tpu"),
+                entity=getattr(args, "wandb_entity", None),
+                project=getattr(args, "wandb_project", None) or "unite_tpu",
                 group=getattr(args, "wandb_group", None),
                 config=vars(args), dir=args.output_dir,
             )

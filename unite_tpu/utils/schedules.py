@@ -61,10 +61,16 @@ def step_scheduler(
 ) -> np.ndarray:
     """Warmup then constant, with optional multiplicative step drops.
 
-    Matches /root/reference/src/utils.py:665-686: when ``steps`` is given the
-    schedule is built over the *full* length and each step multiplies the
-    tail from ``steps[i]*niter_per_ep`` onward by ``step_fraction[i]`` —
-    warmup is then concatenated in front (reference semantics preserved).
+    Matches /root/reference/src/utils.py:665-686: each milestone epoch in
+    ``steps`` multiplies the tail from ``steps[i]*niter_per_ep`` onward by
+    ``step_fraction[i]`` (milestones are absolute training epochs). Two
+    latent reference defects fixed here, not replicated: (a) its steps
+    branch builds a FULL-length table and still concatenates warmup in
+    front, so 'step' + warmup trips its own length assert (utils.py:679-685);
+    (b) run_stage2.py:663-667 passes the scalar ``args.step_fraction`` where
+    this indexes ``step_fraction[i]`` — a scalar is accepted and broadcast.
+    Where the reference works (steps without warmup, or constant), the
+    values are identical.
     """
     warmup_iters = warmup_epochs * niter_per_ep
     if warmup_steps > 0:
@@ -73,12 +79,13 @@ def step_scheduler(
     if warmup_epochs > 0:
         warmup_schedule = np.linspace(start_warmup_value, base_value, warmup_iters)
 
-    if steps is None:
-        schedule = np.ones(epochs * niter_per_ep - warmup_iters) * base_value
-    else:
-        schedule = np.ones(epochs * niter_per_ep) * base_value
+    schedule = np.ones(epochs * niter_per_ep - warmup_iters) * base_value
+    if steps is not None:
+        if not hasattr(step_fraction, "__len__"):
+            step_fraction = [step_fraction] * len(steps)
         for i in range(len(steps)):
-            schedule[steps[i] * niter_per_ep :] *= step_fraction[i]
+            schedule[max(0, steps[i] * niter_per_ep - warmup_iters):] \
+                *= step_fraction[i]
 
     schedule = np.concatenate((warmup_schedule, schedule))
     assert len(schedule) == epochs * niter_per_ep
