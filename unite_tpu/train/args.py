@@ -94,8 +94,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--weight_decay_end", type=float, default=None)
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--layer_decay", type=float, default=1.0)
-    # checkpointing
-    p.add_argument("--auto_resume", type=str2bool, default=False)
+    # checkpointing (parser default True as in the reference run_stageN
+    # parsers :set_defaults(auto_resume=True); the stage-1/3 YAMLs override
+    # to false, stage-2's to true — key-for-key with the reference configs)
+    p.add_argument("--auto_resume", type=str2bool, default=True)
     p.add_argument("--no_auto_resume", action="store_false",
                    dest="auto_resume", help="reference-style complement")
     p.add_argument("--no_pin_mem", action="store_false", dest="pin_mem",
