@@ -48,6 +48,13 @@ def test_stage2_sigterm_writes_resumable_checkpoint(tmp_path):
     env["CHILD_TMP"] = str(tmp_path)
     env["PYTHONUNBUFFERED"] = "1"
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    # drop conftest's 8-fake-device force: this test needs 1 device so
+    # per_host_batch(8)=8 and the 64-sample dataset gives 8 steps/epoch —
+    # otherwise the host batch is 64, every epoch is ONE step, and the
+    # mid-epoch path this test exists to cover can never trigger
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
     proc = subprocess.Popen(
         [sys.executable, "-c", _CHILD], env=env, cwd="/root/repo",
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -79,8 +86,9 @@ def test_stage2_sigterm_writes_resumable_checkpoint(tmp_path):
     payload = ck.auto_load_model(str(tmp_path / "out"))
     assert payload is not None
     start_epoch, skip = resume_position(payload)
-    # preempted long before epoch 50: resume points inside the run
+    # preempted long before epoch 50: resume points inside the run, and —
+    # since the signal lands within the first 8-step epochs — mid-epoch,
+    # exercising the epoch_step checkpoint path
     assert start_epoch < 50
-    assert skip >= 0
-    if "epoch_step" in (payload.get("extra") or {}):
-        assert payload["extra"]["epoch_step"] == skip > 0
+    assert "Preempted at epoch" in out, out[-3000:]  # mid-epoch variant
+    assert payload["extra"]["epoch_step"] == skip > 0

@@ -234,3 +234,75 @@ def test_stage1_repeats_source_when_target_larger(tmp_path):
 
     payload = ck.auto_load_model(args.output_dir)
     assert payload["extra"]["step"] == 6, payload["extra"]
+
+
+def test_stage3_head_loads_from_student_init(tmp_path):
+    """The reference ALWAYS takes the stage-3 classifier head from
+    student_init (run_stage3.py:1203-1211) — the stage-2 checkpoint carries
+    head.*; src_classifier_init is an explicit override; shape mismatches
+    are skipped like its non-strict load."""
+    import os
+    import torch
+
+    from unite_tpu.train.run_stage3 import load_classifier_head
+    from unite_tpu.utils import checkpoint as ck
+
+    fresh = {"kernel": np.zeros((32, 3), np.float32),
+             "bias": np.zeros(3, np.float32)}
+
+    # (a) framework stage-2 msgpack: head under model.head
+    want = np.arange(96, dtype=np.float32).reshape(32, 3)
+    ck.save_checkpoint(str(tmp_path / "s2"), 0,
+                       {"head": {"kernel": want, "bias": np.ones(3)}},
+                       tags=("latest",))
+
+    class A:
+        student_init = str(tmp_path / "s2" / "checkpoint-latest.msgpack")
+        src_classifier_init = ""
+        model_key = "model|module"
+        eval = False
+
+    got = load_classifier_head(A, fresh)
+    np.testing.assert_array_equal(got["kernel"], want)
+
+    # (b) torch .pth stage-2 checkpoint (reference format)
+    pth = tmp_path / "s2.pth"
+    torch.save({"model": {"head.weight": torch.tensor(want.T),
+                          "head.bias": torch.zeros(3)}}, pth)
+    A.student_init = str(pth)
+    got = load_classifier_head(A, fresh)
+    np.testing.assert_array_equal(got["kernel"], want)
+
+    # (c) stage-3 combined msgpack under --eval: head under model.classifier
+    ck.save_checkpoint(str(tmp_path / "s3"), 1,
+                       {"model": {"encoder": {}},
+                        "classifier": {"kernel": want + 1,
+                                       "bias": np.zeros(3)}},
+                       tags=("latest",))
+    A.student_init = str(tmp_path / "s3" / "checkpoint-latest.msgpack")
+    A.eval = True
+    got = load_classifier_head(A, fresh)
+    np.testing.assert_array_equal(got["kernel"], want + 1)
+
+    # (d) shape mismatch (e.g. K710 head) is skipped, init kept
+    ck.save_checkpoint(str(tmp_path / "big"), 0,
+                       {"head": {"kernel": np.zeros((32, 710), np.float32),
+                                 "bias": np.zeros(710)}}, tags=("latest",))
+    A.student_init = str(tmp_path / "big" / "checkpoint-latest.msgpack")
+    A.eval = False
+    got = load_classifier_head(A, fresh)
+    np.testing.assert_array_equal(got["kernel"], fresh["kernel"])
+
+    # (e) reference-style src_classifier_latest.pth next to student_init
+    # wins under --eval (run_stage3.py:1213-1219)
+    clsf = tmp_path / "s2dir"
+    os.makedirs(clsf, exist_ok=True)
+    torch.save({"weight": torch.tensor(want.T * 2), "bias": torch.zeros(3)},
+               clsf / "src_classifier_latest.pth")
+    torch.save({"model": {"head.weight": torch.tensor(want.T),
+                          "head.bias": torch.zeros(3)}},
+               clsf / "student.pth")
+    A.student_init = str(clsf / "student.pth")
+    A.eval = True
+    got = load_classifier_head(A, fresh)
+    np.testing.assert_array_equal(got["kernel"], want * 2)

@@ -16,9 +16,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from unite_tpu.utils.torch_export import export_checkpoint  # noqa: E402
 

@@ -17,6 +17,20 @@ import argparse
 from unite_tpu.config import str2bool
 
 
+def _allow_bare_booleans(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """Accept the reference's bare store_true spellings (``--flag``)
+    alongside ``--flag true/false``: every str2bool option takes an
+    optional value with const=True. The reference defines these as bare
+    ``action='store_true'`` flags (e.g. ``--checkpoints_enabled``,
+    run_stage1.py:59, passed bare by its stage1.sh:27) — without this,
+    reusing a reference launcher line would be an argparse error."""
+    for a in p._actions:
+        if a.type is str2bool:
+            a.nargs = "?"
+            a.const = True
+    return p
+
+
 def common_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(desc, add_help=True)
     # config / dataset indirection
@@ -201,7 +215,7 @@ def stage1_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder_depth", type=int, default=4)
     p.add_argument("--clip_decoder_type", default="SA_Decoder")
     p.add_argument("--normlize_target", type=str2bool, default=True)
-    return p
+    return _allow_bare_booleans(p)
 
 
 def stage2_parser() -> argparse.ArgumentParser:
@@ -284,7 +298,7 @@ def stage2_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_ckpt", type=str2bool, default=True)
     p.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt",
                    help="reference-style complement")
-    return p
+    return _allow_bare_booleans(p)
 
 
 def stage3_parser() -> argparse.ArgumentParser:
@@ -365,4 +379,4 @@ def stage3_parser() -> argparse.ArgumentParser:
                         "classify target-val videos")
     p.add_argument("--knn_k", type=int, default=20)
     p.add_argument("--knn_max_videos", type=int, default=512)
-    return p
+    return _allow_bare_booleans(p)

@@ -190,6 +190,31 @@ class PreemptionGuard:
         return self.triggered
 
 
+def preempted_mid_epoch(guard, ckpt_io, args, state, epoch: int, done: int,
+                        niter_per_ep: int, saving: bool) -> bool:
+    """Shared epoch-end preemption handling for the three entries.
+
+    True = the run was preempted MID-epoch and must exit now; when
+    ``saving``, a checkpoint carrying ``epoch_step=done`` was written (and
+    waited on) so the next run replays the rest of the epoch bitwise. An
+    epoch-boundary preemption returns False — the caller runs its normal
+    end-of-epoch saves, then checks ``guard.triggered`` itself."""
+    if not (guard.triggered and done < niter_per_ep):
+        return False
+    if saving:
+        ckpt_io.save_train_state(args.output_dir, epoch, state,
+                                 args=vars(args),
+                                 extra={"epoch_step": done},
+                                 tags=("latest",))
+        ckpt_io.wait()
+        print(f"Preempted at epoch {epoch} step {done}; "
+              "checkpoint written, exiting")
+    else:
+        print(f"Preempted at epoch {epoch} step {done}; "
+              "checkpointing disabled, exiting")
+    return True
+
+
 def train_one_epoch(
     state,
     step_fn: Callable,

@@ -138,7 +138,10 @@ def main(args):
     b_s = args.batch_size
     b_t = args.batch_size if ds_target is not None else 0
     src_reps = max(1, getattr(args, "train_repetitions", 1))
-    if ds_target is not None and len(ds_target) > len(ds_source):
+    if ds_target is not None and len(ds_target) >= len(ds_source):
+        # >= : at equal lengths the reference takes its else-branch and
+        # REBUILDS the source sampler with computed reps (=1), discarding
+        # --train_repetitions (run_stage1.py:718-736)
         src_reps = repetitions_to_match(len(ds_source), len(ds_target))
     src_loader = common.make_loader(ds_source, args, b_s,
                                     repetitions=src_reps)
@@ -256,16 +259,8 @@ def main(args):
         # reference YAML ships false and stage1.sh re-enables it)
         saving = args.output_dir and args.checkpoints_enabled
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
-        if guard.triggered and done < niter_per_ep:
-            # mid-epoch preemption: checkpoint exactly where we stopped
-            if saving:
-                ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                         args=vars(args),
-                                         extra={"epoch_step": done},
-                                         tags=("latest",))
-                ckpt_io.wait()
-            print(f"Preempted at epoch {epoch} step {done}; "
-                  "checkpoint written, exiting")
+        if common.preempted_mid_epoch(guard, ckpt_io, args, state, epoch,
+                                      done, niter_per_ep, saving):
             return
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
@@ -277,7 +272,7 @@ def main(args):
             args, epoch, {f"train_{k}": v for k, v in stats.items()})
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()
-            print(f"Preempted after epoch {epoch}; checkpoint written, exiting")
+            print(f"Preempted after epoch {epoch}; exiting")
             return
     ckpt_io.wait()
     common.finish(start)

@@ -286,17 +286,10 @@ def main(args):
             wandb_logger=wb, preempt_guard=guard,
         )
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
-        if guard.triggered and done < len(loader):
-            # mid-epoch preemption: checkpoint exactly where we stopped
-            # (done counts batches; MultiSteps' mid-accumulation state is
-            # part of opt_state and restores with it)
-            if args.save_ckpt:
-                ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                         args=vars(args),
-                                         extra={"epoch_step": done},
-                                         tags=("latest",))
-            ckpt_io.wait()
-            print(f"Preempted at epoch {epoch} step {done}; exiting")
+        # done counts batches; MultiSteps' mid-accumulation state is part
+        # of opt_state and restores with it
+        if common.preempted_mid_epoch(guard, ckpt_io, args, state, epoch,
+                                      done, len(loader), args.save_ckpt):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         if (not args.disable_eval_during_finetuning
@@ -318,7 +311,7 @@ def main(args):
         common.save_epoch_stats(args, epoch, epoch_stats)
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()
-            print(f"Preempted after epoch {epoch}; checkpoint written, exiting")
+            print(f"Preempted after epoch {epoch}; exiting")
             return
     ckpt_io.wait()  # checkpoint-best must be on disk before test_best reads it
 

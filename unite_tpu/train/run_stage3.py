@@ -55,34 +55,65 @@ def build_classifier(args):
                     dtype=jnp.float32)
 
 
-def load_classifier_head(args, head_params):
-    """Load head weights from a stage-2 checkpoint (run_stage3.py:1196-1223).
-    Accepts our msgpack checkpoints or torch .pth. In --eval mode with no
-    explicit init, the classifier is found next to student_init
-    (``src_classifier*`` glob, run_stage3.py:1213-1219)."""
-    path = args.src_classifier_init
-    if not path and getattr(args, "eval", False) and args.student_init:
-        import glob
+def _head_from_msgpack(path):
+    payload = ck.load_checkpoint(path)
+    model = payload["model"]
+    if "classifier" in model and "model" in model:  # stage-3 combined tree
+        c = model["classifier"]
+        return {"kernel": np.asarray(c["kernel"]),
+                "bias": np.asarray(c["bias"])}
+    head = model.get("head", None)
+    if head is not None:
+        return {"kernel": np.asarray(head["kernel"]),
+                "bias": np.asarray(head["bias"])}
+    return None
 
-        cands = sorted(glob.glob(os.path.join(
-            os.path.dirname(args.student_init), "src_classifier*")))
-        if cands:
-            path = cands[0]
-            print(f"Loading source classifier head from {path}")
-    if not path:
-        return head_params
-    if path.endswith(ck.CKPT_EXT):
-        payload = ck.load_checkpoint(path)
-        model = payload["model"]
-        head = model.get("head", None)
-        if head is not None:
-            return {"kernel": np.asarray(head["kernel"]),
-                    "bias": np.asarray(head["bias"])}
-        return head_params
-    state = ti.load_torch_state(path, args.model_key)
-    if "head.weight" in state:
+
+def _head_from_torch(path, model_key):
+    state = ti.load_torch_state(path, model_key)
+    if "head.weight" in state:  # stage-2 ViT checkpoint
         return {"kernel": state["head.weight"].numpy().T.astype(np.float32),
                 "bias": state["head.bias"].numpy().astype(np.float32)}
+    if "weight" in state:  # bare Linear (reference src_classifier_*.pth)
+        return {"kernel": state["weight"].numpy().T.astype(np.float32),
+                "bias": state["bias"].numpy().astype(np.float32)}
+    return None
+
+
+def load_classifier_head(args, head_params):
+    """Load the source-classifier head (run_stage3.py:1196-1223).
+
+    The reference ALWAYS takes the head from ``student_init`` — the stage-2
+    checkpoint carries ``head.*`` (:1203-1211) — and in --eval additionally
+    overrides it with the ``src_classifier*`` file next to student_init
+    (:1213-1219). Priority here: the eval glob, then the explicit
+    ``--src_classifier_init`` (our extension), then ``student_init``
+    itself. Accepts torch .pth (stage-2 ViT or bare-Linear classifier
+    files) and our msgpack checkpoints, including the stage-3 combined
+    tree whose head lives under ``model.classifier``. A candidate whose
+    head shape mismatches (e.g. a K710-headed init) is skipped with a
+    message, like the reference's non-strict load_state_dict."""
+    candidates = []
+    if getattr(args, "eval", False) and args.student_init:
+        import glob
+
+        candidates += sorted(glob.glob(os.path.join(
+            os.path.dirname(args.student_init), "src_classifier*")))[:1]
+    if args.src_classifier_init:
+        candidates.append(args.src_classifier_init)
+    if args.student_init:
+        candidates.append(args.student_init)
+    for path in candidates:
+        got = (_head_from_msgpack(path) if path.endswith(ck.CKPT_EXT)
+               else _head_from_torch(path, args.model_key))
+        if got is None:
+            continue
+        if got["kernel"].shape != head_params["kernel"].shape:
+            print(f"Skipping classifier head from {path}: shape "
+                  f"{got['kernel'].shape} != {head_params['kernel'].shape}")
+            continue
+        print(f"Loading source classifier head from {path}")
+        return got
     return head_params
 
 
@@ -313,17 +344,9 @@ def main(args):
         # it so test_best has a checkpoint to read)
         saving = args.output_dir and args.checkpoints_enabled
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
-        if guard.triggered and done < niter_per_ep:
-            # mid-epoch preemption: checkpoint exactly where we stopped
-            # (skip validation/diagnostics — the epoch is incomplete)
-            if saving:
-                ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                         args=vars(args),
-                                         extra={"epoch_step": done},
-                                         tags=("latest",))
-                ckpt_io.wait()
-            print(f"Preempted at epoch {epoch} step {done}; "
-                  "checkpoint written, exiting")
+        # mid-epoch preemption skips validation/diagnostics (epoch incomplete)
+        if common.preempted_mid_epoch(guard, ckpt_io, args, state, epoch,
+                                      done, niter_per_ep, saving):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         if "clip_preds_t" in arrays:
@@ -368,7 +391,7 @@ def main(args):
         common.save_epoch_stats(args, epoch, epoch_stats)
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()
-            print(f"Preempted after epoch {epoch}; checkpoint written, exiting")
+            print(f"Preempted after epoch {epoch}; exiting")
             return
     ckpt_io.wait()  # checkpoint-best must be on disk before test_best reads it
 

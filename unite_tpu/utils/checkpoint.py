@@ -149,9 +149,9 @@ class AsyncCheckpointer:
     """Non-blocking full-state saves.
 
     ``save_train_state`` snapshots the state on-device (cheap), then runs
-    the D2H fetch + msgpack serialize + atomic write in a daemon thread —
-    the train loop overlaps the next epoch with the write instead of
-    stalling on it (the reference blocks its loop inside torch.save,
+    the D2H fetch + msgpack serialize + atomic write in a background
+    thread — the train loop overlaps the next epoch with the write instead
+    of stalling on it (the reference blocks its loop inside torch.save,
     src/utils.py:689-737; at multi-GB state sizes on TPU pods the transfer
     is the dominant cost, and it needs no device time).
 
