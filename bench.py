@@ -351,6 +351,8 @@ def main():
     workers = 8
     if "--workers" in argv:
         i = argv.index("--workers")
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+            sys.exit("usage: bench.py --loader --workers N")
         workers = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]

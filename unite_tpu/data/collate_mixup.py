@@ -212,9 +212,9 @@ class FastCollateMixup:
                     out[i] = np.rint(fi * lam + fj * (1.0 - lam))
                     out[j] = np.rint(fj * lam + fi * (1.0 - lam))
         out = [np.asarray(c, np.uint8) for c in out]
-        # middle row of an odd batch is untouched and keeps lam=1
-        mid = [np.ones(1, np.float32)] if b % 2 else []
-        lam_batch = np.concatenate([lam_batch, *mid, lam_batch[::-1]])
+        # even batch guaranteed by __call__'s assert (timm's FastCollate
+        # also requires it; the jnp Mixup in ops/mixup.py handles odd)
+        lam_batch = np.concatenate([lam_batch, lam_batch[::-1]])
         return out, lam_batch[:, None]
 
     def _mix_batch(self, clips: List[np.ndarray]):

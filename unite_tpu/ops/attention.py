@@ -988,7 +988,9 @@ def _packed_flash_bwd(qkv, out, lse, g, heads, scale,
     d = hd // heads
     _, bq = _flash_qblock(s, block_q)
     bk = _divisor_block(s, max(block_k, 160)) or s
-    gb = int(os.environ.get("UNITE_PFLASH_GB", "0")) or 1
+    # separate knob from the forward's UNITE_PFLASH_GB: the optima CONFLICT
+    # (fwd wins at gb=2, both bwd kernels regress above 1)
+    gb = int(os.environ.get("UNITE_PFLASH_BWD_GB", "0")) or 1
     b_pad = _round_up(b, gb)
     # per-head row stats, lane-major for the dkv kernel: delta [B, heads, S]
     delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(

@@ -451,7 +451,17 @@ def collect_features(state, eval_step, loader, mesh, batch_size: int,
             break
     if not feats:
         return np.zeros((0, 1), np.float32), np.zeros((0,), np.int64)
-    return np.concatenate(feats), np.concatenate(labels)
+    f, l = np.concatenate(feats), np.concatenate(labels)
+    if jax.process_count() > 1:
+        # every process holds a 1/N loader shard: gather so the kNN bank
+        # and the reported probe accuracy are global and identical on all
+        # hosts (same fix as run_validation's loss aggregation; equal
+        # per-host lengths guaranteed by the padded sampler + max_videos)
+        from jax.experimental import multihost_utils
+
+        f = multihost_utils.process_allgather(f).reshape(-1, f.shape[-1])
+        l = multihost_utils.process_allgather(l).reshape(-1)
+    return f, l
 
 
 def run_knn_probe(state, eval_step, train_loader, val_loader, mesh,

@@ -66,14 +66,17 @@ class WandbLogger:
 
             if not hasattr(wandb, "__version__"):
                 raise ImportError("wandb stub in sys.modules")
-            self._wandb = wandb
             wandb.init(
                 entity=getattr(args, "wandb_entity", None),
                 project=getattr(args, "wandb_project", None) or "unite_tpu",
                 group=getattr(args, "wandb_group", None),
                 config=vars(args), dir=args.output_dir,
             )
+            # only after init succeeds: a package present but unable to
+            # init (no API key / zero-egress) must fall to the mirror
+            self._wandb = wandb
         except Exception:
+            self._wandb = None
             path = os.path.join(args.output_dir, "wandb.jsonl")
             self._fh = open(path, "a", encoding="utf-8")
             print(f"wandb unavailable; mirroring wandb.log to {path}")
