@@ -1,5 +1,7 @@
 """CLI/config-resolution tests for the three stage entry points."""
 
+import os
+
 import numpy as np
 import pytest
 import yaml
@@ -205,3 +207,34 @@ def test_msgpack_stage_chaining(tmp_path):
     merged2 = load_student(B, student_params)
     np.testing.assert_allclose(
         np.asarray(merged2["encoder"]["blocks_0"]["norm1"]["scale"]), 0.0)
+
+
+def test_classify_tool_smoke(tmp_path):
+    """tools/classify.py: single-video inference through the production
+    path (reader -> TSN sampling -> val transform -> jitted forward)."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from unite_tpu.utils import checkpoint as ck
+    from unite_tpu.utils.registry import create_model
+
+    m = create_model("vit_base_patch16_224", num_classes=12, img_size=32,
+                     all_frames=2, tubelet_size=1)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    ck.save_checkpoint(str(tmp_path), 0, jax.tree.map(np.asarray, p),
+                       tags=("latest",))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/classify.py",
+         str(tmp_path / "checkpoint-latest.msgpack"), "fake.mp4",
+         "--synthetic", "--cpu", "--num-frames", "2",
+         "--input-size", "32", "--short-side-size", "32"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 5  # top-5 rows
+    assert "walking" in out.stdout  # 12-class Daily-DA name table
