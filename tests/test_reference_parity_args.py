@@ -306,3 +306,19 @@ def test_stage3_head_loads_from_student_init(tmp_path):
     A.eval = True
     got = load_classifier_head(A, fresh)
     np.testing.assert_array_equal(got["kernel"], want * 2)
+
+
+def test_bare_boolean_cli_wins_over_yaml(tmp_path):
+    """A bare reference-style flag (--checkpoints_enabled) must override a
+    YAML false through parse_with_config's CLI-wins re-parse — the exact
+    combination the reference ships (YAML checkpoints_enabled: false +
+    stage1.sh:27 passing the bare flag)."""
+    from unite_tpu.config import parse_with_config
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("checkpoints_enabled: false\nuse_checkpoint: false\n")
+    args = parse_with_config(
+        stage1_parser(),
+        ["--config", str(cfg), "--checkpoints_enabled"])
+    assert args.checkpoints_enabled is True   # bare CLI beats YAML false
+    assert args.use_checkpoint is False       # YAML still applies elsewhere
