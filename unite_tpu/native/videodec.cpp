@@ -277,3 +277,121 @@ int vd_get_batch(void* h, const int64_t* idx, int n, uint8_t* out) {
 void vd_close(void* h) { delete (Decoder*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG frame decode (raw-frame datasets, ssv2.py img_%05d.jpg folders).
+// libavcodec MJPEG decoder + swscale to RGB24 — replaces the cv2/PIL
+// per-frame reads on the SSRawFrameClsDataset hot path.
+//
+//   int jd_dims(const char* path, int* w, int* h);       // header probe
+//   int jd_decode(const char* path, uint8_t* out, int w, int h);
+//     out: [h, w, 3] RGB24; errors if the file's dims differ.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct JpegCtx {
+  AVCodecContext* codec = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  SwsContext* sws = nullptr;  // memoized on (w, h, fmt)
+  int sws_w = 0, sws_h = 0, sws_fmt = -1;
+  ~JpegCtx() {
+    if (sws) sws_freeContext(sws);
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (codec) avcodec_free_context(&codec);
+  }
+  int open() {
+    const AVCodec* c = avcodec_find_decoder(AV_CODEC_ID_MJPEG);
+    if (!c) return -1;
+    codec = avcodec_alloc_context3(c);
+    if (!codec || avcodec_open2(codec, c, nullptr) < 0) return -1;
+    pkt = av_packet_alloc();
+    frame = av_frame_alloc();
+    return (pkt && frame) ? 0 : -1;
+  }
+  // decode one whole JPEG file into this->frame
+  int decode_file(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -2;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (sz <= 0) { fclose(f); return -2; }
+    if (av_new_packet(pkt, (int)sz) < 0) { fclose(f); return -1; }
+    size_t rd = fread(pkt->data, 1, (size_t)sz, f);
+    fclose(f);
+    if (rd != (size_t)sz) { av_packet_unref(pkt); return -2; }
+    int r = avcodec_send_packet(codec, pkt);
+    av_packet_unref(pkt);
+    if (r < 0) return -3;
+    r = avcodec_receive_frame(codec, frame);
+    return r < 0 ? -3 : 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// handle API: reuse one codec context (and sws context) across a batch —
+// per-file avcodec_open2 costs more than the decode itself at 240p
+void* jd_new() {
+  JpegCtx* c = new JpegCtx();
+  if (c->open() != 0) {
+    delete c;
+    return nullptr;
+  }
+  return c;
+}
+
+void jd_free(void* h) { delete (JpegCtx*)h; }
+
+int jd_dims(const char* path, int* w, int* h) {
+  JpegCtx c;
+  if (c.open() != 0) return -1;
+  int r = c.decode_file(path);
+  if (r != 0) return r;
+  *w = c.frame->width;
+  *h = c.frame->height;
+  return 0;
+}
+
+int jd_decode_with(void* hctx, const char* path, uint8_t* out, int w, int h) {
+  JpegCtx& c = *(JpegCtx*)hctx;
+  int r = c.decode_file(path);
+  if (r != 0) return r;
+  if (c.frame->width != w || c.frame->height != h) return -4;
+  // map deprecated j-formats to their range-neutral twins (the explicit
+  // srcRange=1 below carries the full-range information instead)
+  AVPixelFormat fmt = (AVPixelFormat)c.frame->format;
+  switch (fmt) {
+    case AV_PIX_FMT_YUVJ420P: fmt = AV_PIX_FMT_YUV420P; break;
+    case AV_PIX_FMT_YUVJ422P: fmt = AV_PIX_FMT_YUV422P; break;
+    case AV_PIX_FMT_YUVJ444P: fmt = AV_PIX_FMT_YUV444P; break;
+    case AV_PIX_FMT_YUVJ440P: fmt = AV_PIX_FMT_YUV440P; break;
+    default: break;
+  }
+  if (!c.sws || c.sws_w != w || c.sws_h != h || c.sws_fmt != (int)fmt) {
+    if (c.sws) sws_freeContext(c.sws);
+    c.sws = sws_getContext(
+        w, h, fmt, w, h, AV_PIX_FMT_RGB24,
+        SWS_BILINEAR | SWS_FULL_CHR_H_INT | SWS_ACCURATE_RND,
+        nullptr, nullptr, nullptr);
+    if (!c.sws) return -1;
+    // JPEG is FULL-range YUV; newer libav reports yuv420p+color_range=JPEG
+    // instead of yuvj420p, and sws then assumes limited range (observed
+    // +-128 errors in saturated regions). Force full-range input.
+    const int* tbl = sws_getCoefficients(SWS_CS_ITU601);
+    sws_setColorspaceDetails(c.sws, tbl, /*srcRange=*/1, tbl, /*dstRange=*/1,
+                             0, 1 << 16, 1 << 16);
+    c.sws_w = w; c.sws_h = h; c.sws_fmt = (int)fmt;
+  }
+  uint8_t* dst[1] = {out};
+  int dst_stride[1] = {3 * w};
+  sws_scale(c.sws, c.frame->data, c.frame->linesize, 0, h, dst, dst_stride);
+  return 0;
+}
+
+}  // extern "C"
