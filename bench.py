@@ -30,6 +30,31 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _require_devices(timeout_s: float = 180.0):
+    """Fail fast (one JSON error line) when the TPU tunnel is down instead
+    of hanging forever in backend init — observed multi-hour outages where
+    even jax.devices() never returns."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(json.dumps({
+            "metric": "error",
+            "value": 0,
+            "unit": "tpu_unreachable",
+            "vs_baseline": 0,
+            "detail": f"jax.devices() did not return within {timeout_s}s "
+                      "(axon tunnel down?)"}))
+        import os
+
+        os._exit(2)
+    return got[0]
+
+
 def flops_per_clip(frames=8, img=224, patch=16, mask_ratio=0.8,
                    depth=12, dim=768, k_decoders=6, clip_dim=512):
     """Analytic FLOPs for one clip of the stage-1 step (matmul terms only)."""
@@ -442,6 +467,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _require_devices()
     if "--check" in sys.argv:
         sys.exit(check_kernels())
     elif "--stage2" in sys.argv:
