@@ -233,7 +233,7 @@ def test_classify_tool_smoke(tmp_path):
          str(tmp_path / "checkpoint-latest.msgpack"), "fake.mp4",
          "--synthetic", "--cpu", "--num-frames", "2",
          "--input-size", "32", "--short-side-size", "32"],
-        capture_output=True, text=True, timeout=300, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 5  # top-5 rows

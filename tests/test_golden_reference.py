@@ -11,6 +11,7 @@ modeling_adaptation.py:216-334 (adaptation student), clip.py:106-188
 (CLIP teacher), run_stage1.py:356-438 (masking + alignment loss).
 """
 
+import os
 import sys
 import types
 
@@ -415,3 +416,63 @@ def test_reference_stage1_loss_and_grad_parity(tmp_path):
         np.testing.assert_allclose(
             ours_w, ref_sd[key].detach().numpy(), atol=5e-5, rtol=1e-3,
             err_msg=key)
+
+
+# --- full-scale (real geometry) parity ---------------------------------------
+
+
+@pytest.mark.skipif(os.environ.get("UNITE_FULL_SCALE") != "1",
+                    reason="~2 min on one CPU core; set UNITE_FULL_SCALE=1")
+def test_reference_vit_b16_full_scale_forward_parity(tmp_path):
+    """Forward parity at the REAL production geometry: ViT-B/16, 8 frames,
+    224², tubelet 1 → 1568 tokens, ~86M params (modeling_finetune.py:386-397,
+    configs/stage2_config.yaml). The tiny-geometry tests above retire the
+    importer/math logic; this one additionally exercises the full-size
+    sinusoid pos-embed table, 12-head attention, and fp32 accumulation depth
+    at scale — the exact tensor shapes the released checkpoints carry."""
+    mf, _, _ = _ref_modules()
+    torch.manual_seed(0)
+    ref = mf.VisionTransformer(
+        img_size=224, patch_size=16, num_classes=12, embed_dim=768, depth=12,
+        num_heads=12, mlp_ratio=4, qkv_bias=True, all_frames=8,
+        tubelet_size=1, use_mean_pooling=True, init_scale=1.0,
+    ).eval()
+    pth = tmp_path / "ref_vit_b16.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    from unite_tpu.models.vit import VisionTransformer
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+
+    ours = VisionTransformer(
+        img_size=224, patch_size=16, num_classes=12, embed_dim=768, depth=12,
+        num_heads=12, mlp_ratio=4, qkv_bias=True, all_frames=8,
+        tubelet_size=1, use_mean_pooling=True, norm_eps=1e-5,
+    )
+
+    class A:
+        finetune = str(pth)
+        model_key = "model|module"
+        nb_classes = 12
+        delete_head = False
+        input_size = 224
+        patch_size = 16
+        num_frames = 8
+        tubelet_size = 1
+        use_mean_pooling = True
+
+    video = np.random.default_rng(0).normal(
+        size=(1, 8, 224, 224, 3)).astype(np.float32)
+    params = jax.eval_shape(
+        lambda: ours.init(jax.random.PRNGKey(0), jnp.asarray(video))
+    )  # shapes only; real values come from the checkpoint
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                          params)["params"]
+    params = load_finetune_ckpt(A, ours, params)
+
+    with torch.no_grad():
+        ref_logits = ref(_to_torch_video(video)).numpy()
+    our_logits = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(video)))
+    # fp32 end to end on both sides (our fp32 path keeps exact-erf GELU);
+    # tolerance covers 12 layers of fp32 reduction-order drift at K=768
+    np.testing.assert_allclose(our_logits, ref_logits, atol=5e-4, rtol=1e-3)
