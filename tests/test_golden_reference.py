@@ -476,3 +476,130 @@ def test_reference_vit_b16_full_scale_forward_parity(tmp_path):
     # fp32 end to end on both sides (our fp32 path keeps exact-erf GELU);
     # tolerance covers 12 layers of fp32 reduction-order drift at K=768
     np.testing.assert_allclose(our_logits, ref_logits, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(os.environ.get("UNITE_FULL_SCALE") != "1",
+                    reason="~10 min on one CPU core; set UNITE_FULL_SCALE=1")
+def test_reference_stage1_full_scale_loss_and_grad_parity(tmp_path):
+    """Stage-1 masked pipeline at the REAL production geometry: ViT-B/16
+    adaptation student (clip_return_layers 6-11, 512-dim decoders,
+    configs/stage1_config.yaml) + CLIP-B/16 teacher (clip.py:240-248),
+    8×224² frames, mask_ratio 0.8 → 40 visible/frame (320 tokens). Same
+    injected-mask protocol as the tiny-geometry test above; pins loss AND
+    one-SGD-step weight parity at checkpoint-scale shapes."""
+    _, ma, mc = _ref_modules()
+    S, T = 224, 8
+    n_patch_frame = (S // 16) ** 2          # 196
+    n_patch = n_patch_frame * T             # 1568
+    mask_ratio = 0.8
+    nv_frame = n_patch_frame - int(n_patch_frame * mask_ratio)  # 40
+    nv = nv_frame * T                       # 320
+    ret = list(range(6, 12))
+
+    torch.manual_seed(4)
+    ref_student = ma.AdaptationVisionTransformer(
+        img_size=S, patch_size=16, encoder_embed_dim=768, encoder_depth=12,
+        encoder_num_heads=12, mlp_ratio=4, qkv_bias=True, init_values=0.0,
+        num_frames=T, tubelet_size=1, clip_decoder_embed_dim=768,
+        clip_output_dim=512, clip_return_layers=ret,
+    ).train()
+    ref_teacher = _tiny_ref_teacher(mc, S, width=768, layers=12, heads=12,
+                                    out=512, return_index=ret)
+
+    pth = tmp_path / "ref_student_b16.pth"
+    torch.save({"model": ref_student.encoder.state_dict()}, pth)
+    dec_pth = tmp_path / "ref_decoders_b16.pth"
+    torch.save({"model": ref_student.state_dict()}, dec_pth)
+
+    from unite_tpu.models.adaptation import AdaptationVisionTransformer
+    from unite_tpu.models.clip import CLIPVisionTransformer
+    from unite_tpu.train.run_stage1 import load_student
+
+    student = AdaptationVisionTransformer(
+        img_size=S, patch_size=16, encoder_embed_dim=768, encoder_depth=12,
+        encoder_num_heads=12, mlp_ratio=4, qkv_bias=True, init_values=None,
+        num_frames=T, tubelet_size=1, clip_decoder_embed_dim=768,
+        clip_output_dim=512, clip_return_layers=tuple(ret), norm_eps=1e-5,
+    )
+    teacher = CLIPVisionTransformer(
+        input_resolution=S, patch_size=16, width=768, layers=12, heads=12,
+        output_dim=512, return_attn=True, return_index=tuple(ret),
+    )
+
+    video = np.random.default_rng(4).normal(size=(1, T, S, S, 3)).astype(
+        np.float32)
+    vj = jnp.asarray(video)
+
+    class A:
+        student_init = str(pth)
+        model_key = "model|module"
+        clip_decoder_init = str(dec_pth)
+        input_size = S
+        patch_size = 16
+        num_frames = T
+        tubelet_size = 1
+        use_cls_token = False
+
+    sp = student.init(jax.random.PRNGKey(0), vj,
+                      jnp.zeros((1, nv), jnp.int32), True)["params"]
+    sp = load_student(A, sp)
+    tp = _import_ref_teacher_params(ref_teacher, teacher, S, vj)
+
+    rng = np.random.default_rng(5)
+    mask = np.ones((1, n_patch), bool)
+    for t in range(T):
+        vis = rng.choice(n_patch_frame, nv_frame, replace=False)
+        mask[0, t * n_patch_frame + vis] = False
+    vis_idx = np.stack([np.nonzero(~m)[0] for m in mask]).astype(np.int32)
+
+    # ---- reference pipeline (run_stage1.py:356-438)
+    vt = _to_torch_video(video)
+    mask_t = torch.tensor(mask)
+    with torch.no_grad():
+        norm_clip, _attn = ref_teacher(vt)
+        Kdim, B, _, C = norm_clip.shape
+        m = mask_t.unsqueeze(0).repeat(Kdim, 1, 1)
+        targets = norm_clip[~m].reshape(Kdim, B, -1, C)
+    out_clip = ref_student(vt, mask_t, clip_only=True)
+    ref_loss = (2 - 2 * (out_clip * targets).sum(dim=-1)).mean()
+    ref_loss.backward()
+    opt = torch.optim.SGD(ref_student.parameters(), lr=0.1)
+    opt.step()
+
+    # ---- our jitted step with the injected mask, plain SGD
+    from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.train_state import TrainState
+
+    tx, _ = create_optimizer("sgd", lr=0.1, params=sp, momentum=0.0,
+                             weight_decay=0.0)
+    state = TrainState.create(sp, tx)
+    step = jax.jit(make_pretrain_train_step(
+        student, teacher, num_patches=n_patch, frames=T,
+        mask_ratio=mask_ratio, source_batch_size=0, clip_loss_data="mixed",
+        clip_input_resolution=S,
+    ))
+    batch = {"videos": vj, "vis_idx": jnp.asarray(vis_idx)}
+    state, metrics = step(state, tp, batch, jax.random.PRNGKey(0))
+
+    # fp32 both sides; 12 layers + 6 decoder taps of reduction-order drift
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_loss.detach()),
+                               atol=1e-4, rtol=1e-3)
+
+    ref_sd = ref_student.state_dict()
+    pe = np.asarray(
+        state.params["encoder"]["patch_embed"]["proj"]["kernel"])
+    pe = pe.reshape(1, 16, 16, 3, -1).transpose(4, 3, 0, 1, 2)
+    checks = [
+        ("encoder.patch_embed.proj.weight", pe),
+        ("encoder.blocks.11.mlp.fc2.weight",
+         np.asarray(state.params["encoder"]["blocks_11"]["mlp"]["fc2"]
+                    ["kernel"]).T),
+        ("clip_decoder.5.head.weight",
+         np.asarray(state.params["clip_decoder_5"]["head"]["kernel"]).T),
+    ]
+    for key, ours_w in checks:
+        np.testing.assert_allclose(
+            ours_w, ref_sd[key].detach().numpy(), atol=2e-4, rtol=1e-2,
+            err_msg=key)
