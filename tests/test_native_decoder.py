@@ -116,3 +116,18 @@ def test_jpeg_native_missing_frame_raises(jpeg_folder):
     native = RawFrameReader(use_native=True)
     with pytest.raises(RuntimeError, match="missing frame"):
         native.get_batch(jpeg_folder, [40])
+
+
+def test_jpeg_probe_emit_matches_decode(jpeg_folder):
+    """The probe/emit split (frame 0 decoded once with the shared handle,
+    videodec.cpp jd_probe_with/jd_emit_with) must be bitwise-identical to
+    the jd_decode_with path it replaces — a repeated index 0 late in the
+    batch goes through jd_decode_with on the same file."""
+    from unite_tpu.data.datasets_extra import RawFrameReader
+
+    native = RawFrameReader(use_native=True)
+    assert native._lib is not None
+    assert native._probe_emit, "lib built without jd_probe_with"
+    out = native.get_batch(jpeg_folder, [0, 1, 2, 0])
+    assert out.shape == (4, 48, 64, 3)
+    assert np.array_equal(out[0], out[3])  # emit vs decode_with, same file

@@ -88,6 +88,19 @@ class RawFrameReader(VideoReaderBase):
                     ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
                     ctypes.c_int, ctypes.c_int]
                 lib.jd_free.argtypes = [ctypes.c_void_p]
+                # probe/emit split (newer builds): frame 0 decodes ONCE with
+                # the shared handle instead of jd_dims' throwaway full decode
+                self._probe_emit = hasattr(lib, "jd_probe_with")
+                if self._probe_emit:
+                    lib.jd_probe_with.restype = ctypes.c_int
+                    lib.jd_probe_with.argtypes = [
+                        ctypes.c_void_p, ctypes.c_char_p,
+                        ctypes.POINTER(ctypes.c_int),
+                        ctypes.POINTER(ctypes.c_int)]
+                    lib.jd_emit_with.restype = ctypes.c_int
+                    lib.jd_emit_with.argtypes = [
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_int, ctypes.c_int]
                 self._lib = lib
 
     def num_frames(self, path: str) -> int:
@@ -104,6 +117,13 @@ class RawFrameReader(VideoReaderBase):
             out = self._native_batch(paths)
             if out is not None:
                 return out
+            if not self._have_cv2:
+                # the cv2 fallback below cannot run; surface the native
+                # decode failure (bad/missing frame, mid-folder dim change)
+                # instead of a bare ImportError
+                raise RuntimeError(
+                    f"native JPEG decode failed for a frame in {path} "
+                    "and cv2 is unavailable for fallback")
         import cv2
 
         frames = []
@@ -118,10 +138,6 @@ class RawFrameReader(VideoReaderBase):
         import ctypes
 
         w, h = ctypes.c_int(), ctypes.c_int()
-        if self._lib.jd_dims(paths[0].encode(), ctypes.byref(w),
-                             ctypes.byref(h)) != 0:
-            return None  # unreadable/odd file: let cv2 report it
-        out = np.empty((len(paths), h.value, w.value, 3), np.uint8)
         # one decoder handle per batch: codec + sws context reuse (a
         # per-file avcodec_open2 costs more than the decode at 240p);
         # per-call handles keep the loader's thread pool safe
@@ -129,7 +145,28 @@ class RawFrameReader(VideoReaderBase):
         if not ctx:
             return None
         try:
-            for i, fp in enumerate(paths):
+            if self._probe_emit:
+                # frame 0 decodes ONCE: probe dims with the shared handle,
+                # then emit the frame it holds (old path: a throwaway
+                # jd_dims full decode + a second jd_decode_with decode)
+                if self._lib.jd_probe_with(ctx, paths[0].encode(),
+                                           ctypes.byref(w),
+                                           ctypes.byref(h)) != 0:
+                    return None  # unreadable/odd file: let cv2 report it
+                out = np.empty((len(paths), h.value, w.value, 3), np.uint8)
+                if self._lib.jd_emit_with(
+                        ctx, out[0].ctypes.data_as(ctypes.c_void_p),
+                        w.value, h.value) != 0:
+                    return None
+                start = 1
+            else:
+                if self._lib.jd_dims(paths[0].encode(), ctypes.byref(w),
+                                     ctypes.byref(h)) != 0:
+                    return None
+                out = np.empty((len(paths), h.value, w.value, 3), np.uint8)
+                start = 0
+            for i in range(start, len(paths)):
+                fp = paths[i]
                 r = self._lib.jd_decode_with(
                     ctx, fp.encode(),
                     out[i].ctypes.data_as(ctypes.c_void_p),

@@ -358,11 +358,37 @@ int jd_dims(const char* path, int* w, int* h) {
   return 0;
 }
 
+// probe/emit split: decode the file once with the SHARED handle and report
+// its dims; the decoded frame stays in the handle for jd_emit_with. Replaces
+// the jd_dims(first frame) + jd_decode_with(first frame) double decode that
+// cost a fresh avcodec_open2 + full IDCT per batch.
+int jd_probe_with(void* hctx, const char* path, int* w, int* h) {
+  JpegCtx& c = *(JpegCtx*)hctx;
+  int r = c.decode_file(path);
+  if (r != 0) return r;
+  *w = c.frame->width;
+  *h = c.frame->height;
+  return 0;
+}
+
+static int jd_emit_frame(JpegCtx& c, uint8_t* out, int w, int h);
+
+// convert the frame held by the last jd_probe_with on this handle to RGB24
+int jd_emit_with(void* hctx, uint8_t* out, int w, int h) {
+  JpegCtx& c = *(JpegCtx*)hctx;
+  if (!c.frame || c.frame->width != w || c.frame->height != h) return -4;
+  return jd_emit_frame(c, out, w, h);
+}
+
 int jd_decode_with(void* hctx, const char* path, uint8_t* out, int w, int h) {
   JpegCtx& c = *(JpegCtx*)hctx;
   int r = c.decode_file(path);
   if (r != 0) return r;
   if (c.frame->width != w || c.frame->height != h) return -4;
+  return jd_emit_frame(c, out, w, h);
+}
+
+static int jd_emit_frame(JpegCtx& c, uint8_t* out, int w, int h) {
   // map deprecated j-formats to their range-neutral twins (the explicit
   // srcRange=1 below carries the full-range information instead)
   AVPixelFormat fmt = (AVPixelFormat)c.frame->format;

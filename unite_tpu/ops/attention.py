@@ -116,11 +116,17 @@ def _flash_qblock(s: int, block_q: int):
     bq = _divisor_block(s, max(block_q, 224))
     if bq >= 64:
         return s, bq
-    s_pad = _round_up(s, max(block_q, 128))
-    # the padded length is a multiple of 128, so a dividing block ≥ 128
-    # always exists (a requested block_q that doesn't divide s_pad would
-    # silently truncate the grid tail)
-    return s_pad, _divisor_block(s_pad, max(block_q, 128))
+    m = max(block_q, 128)
+    s_pad = _round_up(s, m)
+    bq = _divisor_block(s_pad, m)
+    if bq == 0:
+        # a non-multiple-of-8 block_q override (e.g. UNITE_FLASH_BQ=130 →
+        # s_pad=650) can leave s_pad with no legal divisor; re-pad with the
+        # block rounded up to a 128 multiple instead of a zero-size grid
+        m = _round_up(m, 128)
+        s_pad = _round_up(s, m)
+        bq = _divisor_block(s_pad, m)
+    return s_pad, bq
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):

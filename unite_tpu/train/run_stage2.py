@@ -171,12 +171,16 @@ def main(args):
     payload = None
     start_epoch, skip0 = args.start_epoch, 0
     # stage-2 auto-resume is gated on auto_reload in the reference
-    # (run_stage2.py:702, default ON); auto_resume is accepted for compat.
+    # (run_stage2.py:702, default ON); inside auto_load_model, auto_resume
+    # gates ONLY the numbered-checkpoint glob (utils.py:749) — latest/best
+    # resume regardless of it.
     # --eval never auto-reloads: the reference's eval branch exits BEFORE
     # its auto_load (:685-702), evaluating exactly the --finetune weights
     if (getattr(args, "auto_reload", False) and not args.eval) or args.resume:
         payload = (ck.load_checkpoint(args.resume) if args.resume
-                   else ck.auto_load_model(args.output_dir))
+                   else ck.auto_load_model(
+                       args.output_dir,
+                       include_numbered=getattr(args, "auto_resume", True)))
         if payload is not None:
             # mid-epoch (preempted) checkpoints replay the rest of the epoch;
             # skip0 counts BATCHES (micro-steps under update_freq)

@@ -84,12 +84,20 @@ def save_checkpoint(
         _atomic_write(_path(output_dir, tag), blob)
 
 
-def find_resume_checkpoint(output_dir: str) -> Optional[str]:
-    """latest > best > highest-numbered (reference utils.py:739-776 order)."""
+def find_resume_checkpoint(output_dir: str,
+                           include_numbered: bool = True) -> Optional[str]:
+    """latest > best > highest-numbered (reference utils.py:739-776 order).
+
+    ``include_numbered``: the reference gates ONLY the numbered-checkpoint
+    glob on ``args.auto_resume`` (utils.py:749) — latest/best resume
+    unconditionally. Stage-2 passes ``include_numbered=args.auto_resume``
+    to reproduce that exact split."""
     for tag in ("latest", "best"):
         p = _path(output_dir, tag)
         if os.path.exists(p):
             return p
+    if not include_numbered:
+        return None
     best_epoch, best_path = -1, None
     for p in glob.glob(_path(output_dir, "*")):
         m = re.search(rf"{CKPT_PREFIX}-(\d+){re.escape(CKPT_EXT)}$", p)
@@ -103,9 +111,9 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
-def auto_load_model(output_dir: str):
+def auto_load_model(output_dir: str, include_numbered: bool = True):
     """Returns the restored payload dict or None if nothing to resume."""
-    path = find_resume_checkpoint(output_dir)
+    path = find_resume_checkpoint(output_dir, include_numbered)
     if path is None:
         return None
     print(f"Auto resume checkpoint: {path}")
