@@ -366,6 +366,27 @@ def bench_stage3(B=5, frames=8, img=224):
     }))
 
 
+def bench_loader_host(B, workers, frames=8, img=224, iters=20):
+    """Host pipeline ALONE (synthetic decode → group transforms → uint8
+    collate), no H2D and no train step: isolates the host-side rate from
+    the development rig's 33 MB/s tunnel, which bounds ``--loader`` at
+    ~27 clips/s (1.2 MB/clip). Run via ``bench.py --loader-host``."""
+    gen = make_loader_batches(B, frames, img, iters, num_workers=workers)
+    next(gen)  # warm the pool + caches
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        next(gen)
+    dt = time.perf_counter() - t0
+    clips = B * iters / dt
+    sol = peak_bf16_flops() / flops_per_clip()
+    print(json.dumps({
+        "metric": "stage1_loader_host_only_clips_per_sec",
+        "value": round(clips, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips / sol, 4),
+    }))
+
+
 def main():
     from unite_tpu import create_model
     from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
@@ -467,6 +488,17 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--loader-host" in sys.argv:
+        # pure host measurement: no TPU needed, do not probe the tunnel
+        argv = sys.argv[1:]
+        w = 8
+        if "--workers" in argv:
+            i = argv.index("--workers")
+            w = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2:]
+        pos = [a for a in argv if not a.startswith("--")]
+        bench_loader_host(int(pos[0]) if pos else 64, w)
+        sys.exit(0)
     _require_devices()
     if "--check" in sys.argv:
         sys.exit(check_kernels())
