@@ -470,3 +470,169 @@ def test_stage3_engine_selection_and_loss_parity(tmp_path):
                                ref_rec[finite_r], atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours["correct_recall"])[~finite_r],
                                0.0, atol=1e-6)
+
+
+# --- eval protocol: validation + final_test + merge --------------------------
+
+
+def test_stage2_eval_protocol_parity(tmp_path, monkeypatch):
+    """Executes the reference's OWN eval code — validation_one_epoch
+    (engine_for_finetuning.py:175-237), final_test (:241-299) and merge
+    (:302-351) — against run_validation / run_final_test / merge on
+    identical weights and identical multi-view batches, closing the eval
+    half of the pipeline-parity chain (the train halves are above).
+
+    Non-mathematical harness patches, reference side only: dist stubbed to
+    world-size-1 no-ops (validation_one_epoch calls dist.barrier/all_gather
+    UNCONDITIONALLY — single-process mode is unsupported as shipped, SURVEY
+    §4); np.float = float (merge pins numpy<1.24, SURVEY §2.1); the 64-proc
+    merge Pool replaced by serial map (identical semantics)."""
+    eff = rh.import_ref("src.engines.engine_for_finetuning")
+    mf, _, _ = _ref_modules()
+    rh.install_shims()
+
+    NC, DEPTH = 7, 2
+    torch.manual_seed(9)
+    ref = mf.VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=DEPTH,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, init_scale=1.0,
+    ).eval()
+    pth = tmp_path / "ref_vit_eval.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    from unite_tpu.models.vit import VisionTransformer
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+
+    ours = VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=DEPTH,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, norm_eps=1e-5,
+    )
+
+    class A:
+        finetune = str(pth)
+        model_key = "model|module"
+        nb_classes = NC
+        delete_head = False
+        input_size = S
+        patch_size = 16
+        num_frames = T
+        tubelet_size = 1
+        use_mean_pooling = True
+        num_workers = 1
+
+    params = ours.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, T, S, S, 3), jnp.float32))["params"]
+    params = load_finetune_ckpt(A, ours, params)
+
+    # identical multi-view data: 6 videos x (2 chunks x 3 crops)
+    rng = np.random.default_rng(11)
+    NVID, NCHUNK, NCROP = 6, 2, 3
+    labels_per_vid = rng.integers(0, NC, NVID)
+    views = [
+        (f"vid{v}",
+         rh.bf16_representable(
+             rng.normal(size=(T, S, S, 3)).astype(np.float32) * 0.5),
+         int(labels_per_vid[v]), ck, cp)
+        for v in range(NVID) for ck in range(NCHUNK) for cp in range(NCROP)
+    ]
+
+    class _Dist:  # world-size-1 collectives (reference side)
+        @staticmethod
+        def barrier():
+            pass
+
+        @staticmethod
+        def all_gather(out, t):
+            out[0].copy_(t)
+
+    monkeypatch.setattr(eff, "dist", _Dist)
+
+    from unite_tpu.engines.finetune import make_eval_step
+    from unite_tpu.engines.finetune import merge as our_merge
+    from unite_tpu.parallel.mesh import make_mesh
+    from unite_tpu.train import common
+
+    state = types.SimpleNamespace(params=params, ema_params=None)
+    eval_step = make_eval_step(ours)
+    mesh = make_mesh()
+
+    # ---- validation: single-view subset (chunk 0, crop 0), batches of 3 --
+    val_items = [x for x in views if x[3] == 0 and x[4] == 0]
+    ref_loader = [
+        (_to_torch_video(np.stack([x[1] for x in val_items[i:i + 3]])),
+         torch.tensor([x[2] for x in val_items[i:i + 3]], dtype=torch.long))
+        for i in range(0, len(val_items), 3)
+    ]
+    ref_stats, ref_ece = eff.validation_one_epoch(
+        ref_loader, ref, torch.device("cpu"),
+        save_preds_path=str(tmp_path / "ref_preds"))
+
+    our_loader = [
+        (np.stack([x[1] for x in val_items[i:i + 3]]),
+         np.asarray([x[2] for x in val_items[i:i + 3]]))
+        for i in range(0, len(val_items), 3)
+    ]
+    our_stats = common.run_validation(
+        state, eval_step, our_loader, mesh, batch_size=1,
+        save_preds_path=str(tmp_path / "our_preds"))
+
+    np.testing.assert_allclose(our_stats["acc1"], ref_stats["acc1"],
+                               atol=1e-9)
+    np.testing.assert_allclose(our_stats["acc5"], ref_stats["acc5"],
+                               atol=1e-9)
+    np.testing.assert_allclose(our_stats["loss"], ref_stats["loss"],
+                               atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(our_stats["ece"], ref_ece, atol=5e-4)
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "our_preds" / "preds.npy"),
+        np.load(tmp_path / "ref_preds" / "preds.npy"))
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "our_preds" / "labels.npy"),
+        np.load(tmp_path / "ref_preds" / "labels.npy"))
+
+    # ---- final_test + merge: all 36 views, batches of 6 ------------------
+    ref_dir = tmp_path / "ref_test"
+    ref_dir.mkdir()
+    (ref_dir / "0.txt").touch()  # dodge os.mknod on exotic filesystems
+    ref_test_loader = [
+        (_to_torch_video(np.stack([x[1] for x in views[i:i + 6]])),
+         torch.tensor([x[2] for x in views[i:i + 6]], dtype=torch.long),
+         [x[0] for x in views[i:i + 6]],
+         torch.tensor([x[3] for x in views[i:i + 6]]),
+         torch.tensor([x[4] for x in views[i:i + 6]]))
+        for i in range(0, len(views), 6)
+    ]
+    eff.final_test(ref_test_loader, ref, torch.device("cpu"),
+                   str(ref_dir / "0.txt"))
+
+    class _FakePool:  # serial stand-in for merge's Pool(64)
+        def __init__(self, n):
+            pass
+
+        def map(self, fn, xs):
+            return list(map(fn, xs))
+
+    import multiprocessing
+
+    monkeypatch.setattr(multiprocessing, "Pool", _FakePool)
+    monkeypatch.setattr(np, "float", float, raising=False)
+    ref_top1, ref_top5 = eff.merge(str(ref_dir), 1)
+
+    class _ViewDataset:
+        def __len__(self):
+            return len(views)
+
+        def __getitem__(self, i):
+            vid, clip, label, ck, cp = views[i]
+            return clip, label, vid, ck, cp
+
+    our_dir = tmp_path / "our_test"
+    our_dir.mkdir()
+    common.run_final_test(state, eval_step, _ViewDataset(), A, mesh,
+                          batch_size=1, output_dir=str(our_dir))
+    our_top1, our_top5 = our_merge(str(our_dir), 1)
+
+    np.testing.assert_allclose(our_top1, ref_top1, atol=1e-9)
+    np.testing.assert_allclose(our_top5, ref_top5, atol=1e-9)
