@@ -55,23 +55,33 @@ def _require_devices(timeout_s: float = 180.0):
     return got[0]
 
 
+def _block_flops(n, d):
+    # qkv + proj + mlp(4x) matmuls: 2*n*d*(3d) + 2*n*d*d + 2*2*n*d*4d
+    mm = 2 * n * d * (3 * d) + 2 * n * d * d + 2 * (2 * n * d * 4 * d)
+    attn = 2 * 2 * n * n * d  # QK^T + PV
+    return mm + attn
+
+
 def flops_per_clip(frames=8, img=224, patch=16, mask_ratio=0.8,
-                   depth=12, dim=768, k_decoders=6, clip_dim=512):
-    """Analytic FLOPs for one clip of the stage-1 step (matmul terms only)."""
-    hw = (img // patch) ** 2          # 197-1 per frame for teacher, 196
+                   depth=12, dim=768, k_decoders=6, clip_dim=512,
+                   t_patch=None, t_dim=None, t_depth=None, t_img=None):
+    """Analytic FLOPs for one clip of the stage-1 step (matmul terms only).
+
+    ``t_patch/t_dim/t_depth/t_img`` override the teacher geometry when it
+    differs from the student's (clip_l14: patch 14, width 1024, 24 layers,
+    196 input so the grids match)."""
+    t_patch = t_patch or patch
+    t_dim = t_dim or dim
+    t_depth = t_depth or depth
+    t_img = t_img or img
+    hw = (img // patch) ** 2          # student patches per frame
     n_full = frames * hw              # 1568 student patches (tubelet 1)
     n_vis = n_full - int(n_full * mask_ratio)  # 314
-    t_seq = hw + 1                    # teacher per-frame tokens (CLS)
+    t_seq = (t_img // t_patch) ** 2 + 1  # teacher per-frame tokens (CLS)
 
-    def block_flops(n, d):
-        # qkv + proj + mlp(4x) matmuls: 2*n*d*(3d) + 2*n*d*d + 2*2*n*d*4d
-        mm = 2 * n * d * (3 * d) + 2 * n * d * d + 2 * (2 * n * d * 4 * d)
-        attn = 2 * 2 * n * n * d  # QK^T + PV
-        return mm + attn
-
-    teacher = frames * depth * block_flops(t_seq, dim)          # fwd only
-    teacher += frames * 2 * t_seq * dim * clip_dim              # proj
-    student_fwd = depth * block_flops(n_vis, dim)
+    teacher = frames * t_depth * _block_flops(t_seq, t_dim)     # fwd only
+    teacher += frames * 2 * t_seq * t_dim * clip_dim            # proj
+    student_fwd = depth * _block_flops(n_vis, dim)
     student_fwd += 2 * n_vis * (patch * patch * 3) * dim        # patch embed
     student_fwd += k_decoders * 2 * n_vis * dim * clip_dim      # decoders
     # bwd ~ 2x fwd for the student (params get grads), teacher fwd-only
@@ -107,7 +117,8 @@ def check_kernels():
     # 197: teacher b16 per-frame; 314: masked student; 577: l14_336 teacher
     # per-frame (24^2+1, clip.py:276-295); 784: 16f tubelet-2 student
     # (modeling_finetune.py:161); 1568: full stage-2 sequence
-    for seq in (197, 314, 577, 784, 1568):
+    # 257: l14 teacher per-frame at 224 res ((224/14)^2+1, clip.py:259-274)
+    for seq in (197, 257, 314, 577, 784, 1568):
         q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (2, 12, seq, 64),
                                      jnp.bfloat16) for i in range(3))
         g = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.bfloat16)
@@ -291,6 +302,48 @@ def bench_stage2(B=8, frames=8, img=224):
     }))
 
 
+def bench_infer(B=16, frames=8, img=224):
+    """Serving path: the jitted eval step (full-sequence ViT-B forward +
+    softmax, engines/finetune.py make_eval_step — the same step final_test
+    and validation run per view). ``python bench.py --infer [B]``. SOL from
+    the forward-only FLOPs (no 3x backward factor)."""
+    from unite_tpu import create_model
+    from unite_tpu.engines.finetune import make_eval_step
+    from unite_tpu.train.train_state import TrainState
+
+    import optax
+
+    model = create_model(
+        "vit_base_patch16_224", num_classes=12, all_frames=frames,
+        tubelet_size=1, dtype=jnp.bfloat16, use_mean_pooling=True,
+    )
+    videos = jax.device_put(jnp.zeros((B, frames, img, img, 3), jnp.bfloat16))
+    labels = jax.device_put(jnp.zeros((B,), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), videos)["params"]
+    state = TrainState.create(params, optax.identity())
+    step = jax.jit(make_eval_step(model))
+    batch = {"videos": videos, "labels": labels}
+    out = step(state, batch)
+    float(out["loss"])  # compile fence
+    out = step(state, batch)
+    float(out["loss"])  # warm fence
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(state, batch)
+    float(out["loss"])
+    dt = time.perf_counter() - t0
+    n_tok = frames * (img // 16) ** 2
+    fpc = 12 * _block_flops(n_tok, 768) + 2 * n_tok * (16 * 16 * 3) * 768
+    sol = peak_bf16_flops() / fpc
+    views = B * iters / dt
+    print(json.dumps({
+        "metric": "infer_views_per_sec_per_chip",
+        "value": round(views, 2), "unit": "views/s/chip",
+        "vs_baseline": round(views / sol, 4),
+    }))
+
+
 def bench_stage3(B=5, frames=8, img=224):
     """Stage-3 self-training step (source CE + target full/masked student
     passes + teacher attention + committee selection + pseudo-label CE):
@@ -362,6 +415,83 @@ def bench_stage3(B=5, frames=8, img=224):
     print(json.dumps({
         "metric": "stage3_pairs_per_sec_per_chip",
         "value": round(clips, 2), "unit": "pairs/s/chip",
+        "vs_baseline": round(clips / sol, 4),
+    }))
+
+
+def bench_large(B=16, frames=8, img=224):
+    """Stage-1 step at ViT-L geometry: ``adaptation_umt_large_patch16_224``
+    student (1024x24, heads 16; reference modeling_adaptation.py:360-378)
+    + frozen ``clip_l14`` teacher (patch 14 -> 257 tokens/frame, proj->768,
+    clip.py:259-274), K=6 return layers (the last 6 of 24, the large analog
+    of the shipped base config's [6..11]).  Run via ``bench.py --large [B]``;
+    reports clips/s against the ViT-L roofline."""
+    from unite_tpu import create_model
+    from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.train_state import TrainState
+
+    mask_ratio = 0.8
+    n_patch = frames * (img // 16) ** 2
+    n_vis = n_patch - int(n_patch * mask_ratio)
+    ret = (18, 19, 20, 21, 22, 23)
+    student = create_model(
+        "adaptation_umt_large_patch16_224", num_frames=frames,
+        tubelet_size=1, clip_return_layers=ret,
+        clip_decoder_embed_dim=1024, clip_output_dim=768,
+        dtype=jnp.bfloat16,
+    )
+    # L/14 teacher runs at 196 input so its 14x14 patch grid matches the
+    # /16 student's 196 patches (reference run_stage1.py:363-369 resize;
+    # the same clip_input_resolution knob exists on our entry)
+    teacher = create_model(
+        "clip_l14", input_resolution=196, return_attn=True,
+        return_index=ret, dtype=jnp.bfloat16,
+    )
+    # random videos, not zeros: all-zero frames give the teacher a uniform
+    # token distribution whose l2-normalize can hit a zero vector at
+    # random init (NaN loss); values don't affect timing either way
+    videos = jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(3), (B, frames, img, img, 3), jnp.bfloat16) * 0.5)
+    tp = teacher.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, frames, 196, 196, 3), jnp.bfloat16))["params"]
+    sp = student.init(
+        jax.random.PRNGKey(1), videos[:1], jnp.zeros((1, n_vis), jnp.int32),
+        True)["params"]
+    tx, _ = create_optimizer("adamw", lr=1.5e-4, params=sp, weight_decay=0.05)
+    state = TrainState.create(sp, tx)
+    step = jax.jit(
+        make_pretrain_train_step(
+            student, teacher, num_patches=n_patch, frames=frames,
+            mask_ratio=mask_ratio, source_batch_size=0,
+            clip_loss_data="target", clip_grad=None,
+            clip_input_resolution=196,
+        ),
+        donate_argnums=(0,),
+    )
+    rng = jax.random.PRNGKey(2)
+    batch = {"videos": videos}
+    state, m = step(state, tp, batch, rng)
+    loss0 = float(m["loss"])  # compile fence
+    assert np.isfinite(loss0), loss0
+    state, m = step(state, tp, batch, rng)
+    float(m["loss"])  # warm fence
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, tp, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    clips = B * iters / dt
+    # teacher runs at 196 res: (196/14)^2 + 1 = 197 tokens/frame
+    sol = peak_bf16_flops() / flops_per_clip(
+        depth=24, dim=1024, clip_dim=768, t_patch=14, t_dim=1024, t_depth=24,
+        t_img=196)
+    print(json.dumps({
+        "metric": "stage1_vitL_clips_per_sec_per_chip",
+        "value": round(clips, 2),
+        "unit": "clips/s/chip",
         "vs_baseline": round(clips / sol, 4),
     }))
 
@@ -508,5 +638,11 @@ if __name__ == "__main__":
     elif "--stage3" in sys.argv:
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         bench_stage3(int(pos[0]) if pos else 5)
+    elif "--large" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        bench_large(int(pos[0]) if pos else 16)
+    elif "--infer" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        bench_infer(int(pos[0]) if pos else 16)
     else:
         main()

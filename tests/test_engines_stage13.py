@@ -252,3 +252,31 @@ def test_stage1_mask_injection_reproducible():
                     jax.random.PRNGKey(rng_seed))
         losses.append(float(m["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_stage1_teacher_grid_mismatch_raises():
+    """A teacher whose patch grid differs from the student's (e.g. clip_l14
+    at 224 input: 256/frame vs the /16 student's 196) must fail at trace
+    time with a clear error, not NaN — the reference resolves the mismatch
+    by resizing the teacher input (run_stage1.py:363-369)."""
+    student = tiny_student()
+    # patch 8 at the same 32-res input -> 16 patches/frame vs student's 4
+    teacher = CLIPVisionTransformer(
+        input_resolution=S, patch_size=8, width=32, layers=2, heads=2,
+        output_dim=24, return_attn=True, return_index=(0, 1),
+    )
+    videos = jnp.zeros((2, T, S, S, 3), jnp.float32)
+    tp = teacher.init(jax.random.PRNGKey(0), videos[:1])["params"]
+    nv = N_PATCH // 2
+    sp = student.init(
+        jax.random.PRNGKey(1), videos[:1], jnp.zeros((1, nv), jnp.int32), True
+    )["params"]
+    tx, _ = create_optimizer("adamw", lr=1e-2, params=sp, weight_decay=0.0)
+    state = TrainState.create(sp, tx)
+    step = jax.jit(make_pretrain_train_step(
+        student, teacher, num_patches=N_PATCH, frames=T, mask_ratio=0.5,
+        source_batch_size=0, clip_loss_data="target",
+        clip_input_resolution=S,
+    ))
+    with pytest.raises(ValueError, match="patch grid"):
+        step(state, tp, {"videos": videos}, jax.random.PRNGKey(2))

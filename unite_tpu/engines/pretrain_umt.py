@@ -92,6 +92,16 @@ def make_pretrain_train_step(
         )
         z_raw = jax.lax.stop_gradient(z_raw)  # [K, B, T*HW, width]
         attn = jax.lax.stop_gradient(attn)  # [B*T, HW]
+        if attn.shape[-1] != patches_per_frame:
+            # e.g. clip_l14 at the default 224 input has a 256-patch grid
+            # vs the 16-patch student's 196; the reference resolves this by
+            # resizing the teacher input (run_stage1.py:363-369 — L/14
+            # teachers run at clip_input_resolution 196)
+            raise ValueError(
+                f"teacher patch grid ({attn.shape[-1]}/frame) != student "
+                f"grid ({patches_per_frame}/frame); set "
+                f"clip_input_resolution so teacher_res/teacher_patch == "
+                f"student_res/student_patch (196 for L/14 teachers)")
 
         if "vis_idx" in batch:
             # injection hook: tube/random data-side masks, or externally

@@ -681,10 +681,14 @@ def _fused_qkv_fwd(qkv, heads, scale):
     # gb=4 overflows the 16MB scoped VMEM once the double-buffered qkv
     # views are counted — the 1MB score-tile heuristic lands on 4 and 2.
     # (a 1.5MB budget — student gb=3 — overflows scoped VMEM in-step; the
-    # 1MB budget's gb=2/4 split is the measured optimum)
+    # 1MB budget's gb=2/4 split is the measured optimum). The budget was
+    # calibrated at ViT-B width (thd=2304); the double-buffered [GB, S, 3HD]
+    # views grow linearly with the model width, so scale it down for wider
+    # models (ViT-L thd=3072 overflowed scoped VMEM at the B-width gb).
     s_sub, s_lane = _round_up(s, 8), _round_up(s, 128)
+    budget = (1024 * 1024 * 2304) // thd
     gb = int(os.environ.get("UNITE_FUSED_GB", "0")) or max(
-        1, min(4, (1024 * 1024) // (s_sub * s_lane * 4)))
+        1, min(4, budget // (s_sub * s_lane * 4)))
     b_pad = _round_up(b, gb)
     qkvp = (jnp.pad(qkv, [(0, b_pad - b), (0, 0), (0, 0)])
             if b_pad != b else qkv)
@@ -785,10 +789,13 @@ def _fused_qkv_bwd(heads, scale, res, g):
     # gb=2 measured fastest end-to-end at the 320-token student shape
     # (248.6 vs 246.0 clips/s) and still fits VMEM with the bwd's ~3 live
     # [GB, S', S'] fp32 tiles + double-buffered [GB, S, 3HD] views;
-    # gb=3 overflows the 16MB scoped budget — cap at 2.
+    # gb=3 overflows the 16MB scoped budget — cap at 2. As in the forward,
+    # the 1MB score budget holds at ViT-B width (thd=2304) and scales down
+    # for wider models (ViT-L's [2, 320, 3072] views overflowed by 5.2MB).
     s_sub, s_lane = _round_up(s, 8), _round_up(s, 128)
+    budget = (1024 * 1024 * 2304) // thd
     gb = int(os.environ.get("UNITE_FUSED_BWD_GB", "0")) or max(
-        1, min(2, (1024 * 1024) // (s_sub * s_lane * 4)))
+        1, min(2, budget // (s_sub * s_lane * 4)))
     b_pad = _round_up(b, gb)
     qkvp = qkv
     gp = g
