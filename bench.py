@@ -419,7 +419,7 @@ def bench_stage3(B=5, frames=8, img=224):
     }))
 
 
-def bench_large(B=16, frames=8, img=224):
+def bench_large(B=24, frames=8, img=224):
     """Stage-1 step at ViT-L geometry: ``adaptation_umt_large_patch16_224``
     student (1024x24, heads 16; reference modeling_adaptation.py:360-378)
     + frozen ``clip_l14`` teacher (patch 14 -> 257 tokens/frame, proj->768,
@@ -639,8 +639,10 @@ if __name__ == "__main__":
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         bench_stage3(int(pos[0]) if pos else 5)
     elif "--large" in sys.argv:
+        # B=24 is the measured v5e sweet spot (16: 69.1, 24: 84.5, 32: 68.7
+        # clips/s — repeatable, not tunnel noise)
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_large(int(pos[0]) if pos else 16)
+        bench_large(int(pos[0]) if pos else 24)
     elif "--infer" in sys.argv:
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         bench_infer(int(pos[0]) if pos else 16)

@@ -796,6 +796,11 @@ def _fused_qkv_bwd(heads, scale, res, g):
     budget = (1024 * 1024 * 2304) // thd
     gb = int(os.environ.get("UNITE_FUSED_BWD_GB", "0")) or max(
         1, min(2, budget // (s_sub * s_lane * 4)))
+    if not os.environ.get("UNITE_FUSED_BWD_GB") and b > 64 and gb > 1:
+        # empirical: gb=2 fits scoped VMEM at b<=64 but overflows at b=80
+        # (21.4M vs the 16M cap — Mosaic's buffering depth grows with the
+        # grid count); gb=1 compiles and costs ~1% end-to-end there
+        gb = 1
     b_pad = _round_up(b, gb)
     qkvp = qkv
     gp = g
