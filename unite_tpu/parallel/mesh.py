@@ -31,6 +31,13 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
     return Mesh(arr, tuple(axis_names))
 
 
+def model_axis_size(mesh: Optional[Mesh], axis: str = "model") -> int:
+    """Tensor-parallel ways of a mesh (1 for the default 1-D data mesh)."""
+    if mesh is None or axis not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[axis])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading-dim sharding for batches."""
     return NamedSharding(mesh, P(axis))
@@ -173,6 +180,98 @@ def shard_state_zero1(state, mesh: Mesh, axis: str = "data"):
     """device_put the train state with the ZeRO-1 layout."""
     layout = zero1_sharding_tree(state, mesh, axis)
     return jax.device_put(state, layout)
+
+
+# Megatron-style tensor-parallel param layout for the transformer stack:
+# column-parallel input projections (qkv, mlp fc1 — output dim sharded) and
+# row-parallel output projections (attn proj, mlp fc2 — input dim sharded).
+# GSPMD derives the activation shardings and inserts the one all-reduce per
+# block half (after proj / after fc2) that the pattern requires; biases and
+# everything else (LN, pos-emb, patch-embed, heads, decoders) replicate.
+# The rules key on the trailing param-path names, which `models/layers.py`
+# pins one-to-one to the reference's torch names (blocks_i/attn/qkv/kernel).
+_TP_COLUMN = {("attn", "qkv", "kernel"), ("mlp", "fc1", "kernel")}
+_TP_ROW = {("attn", "proj", "kernel"), ("mlp", "fc2", "kernel")}
+
+
+def _path_names(path) -> list:
+    names = []
+    for k in path:
+        if isinstance(k, jax.tree_util.DictKey):
+            names.append(str(k.key))
+        elif isinstance(k, jax.tree_util.GetAttrKey):
+            names.append(k.name)
+        elif isinstance(k, jax.tree_util.FlattenedIndexKey):
+            names.append(str(k.key))
+    return names
+
+
+def tensor_parallel_sharding_tree(state, mesh: Mesh, axis: str = "model",
+                                  zero1_axis: Optional[str] = None):
+    """Sharding layout for tensor parallelism over the ``axis`` mesh axis.
+
+    Params, EMA and optimizer moments of the four per-block projection
+    kernels shard per `_TP_COLUMN`/`_TP_ROW`; everything else replicates
+    (or, for optimizer moments with ``zero1_axis``, falls back to the
+    ZeRO-1 rule so --tp and --zero1 compose). Dims not divisible by the
+    axis size silently replicate — correctness never depends on the
+    annotation, only memory/compute placement does.
+
+    The reference has no model parallelism at all (SURVEY §2.3: DDP only);
+    this is a beyond-parity option for wide students (ViT-L/H video). Note
+    the models must run with ``use_pallas=False`` under tp>1: Pallas calls
+    have no GSPMD partitioning rule, so XLA would all-gather their operands
+    per block; the einsum attention partitions cleanly over heads instead.
+    """
+    tp = int(mesh.shape[axis])
+
+    def tp_spec(path, x, fallback):
+        names = tuple(_path_names(path)[-3:])
+        shape = np.shape(x)
+        if len(shape) == 2:
+            if names in _TP_COLUMN and shape[1] % tp == 0:
+                return NamedSharding(mesh, P(None, axis))
+            if names in _TP_ROW and shape[0] % tp == 0:
+                return NamedSharding(mesh, P(axis, None))
+        return fallback(x)
+
+    def rep(_):
+        return NamedSharding(mesh, P())
+
+    z1 = rep
+    if zero1_axis is not None:
+        n = mesh.shape[zero1_axis]
+
+        def z1(x):  # noqa: F811 — ZeRO-1 fallback for unmatched moments
+            shape = np.shape(x)
+            for dim, size in enumerate(shape):
+                if size % n == 0 and size >= n:
+                    spec = [None] * len(shape)
+                    spec[dim] = zero1_axis
+                    return NamedSharding(mesh, P(*spec))
+            return NamedSharding(mesh, P())
+
+    tmap = jax.tree_util.tree_map_with_path
+    return state.replace(
+        step=rep(state.step),
+        params=tmap(lambda p, x: tp_spec(p, x, rep), state.params),
+        opt_state=tmap(lambda p, x: tp_spec(p, x, z1), state.opt_state),
+        ema_params=(tmap(lambda p, x: tp_spec(p, x, rep), state.ema_params)
+                    if state.ema_params is not None else None),
+    )
+
+
+def state_layout(state, mesh: Mesh, tp: int = 1, zero1: bool = False):
+    """The entries' one-stop layout: None (fully replicated), the ZeRO-1
+    tree, or the tensor-parallel tree (with ZeRO-1 moments when both are
+    requested). Pass the result to ``data_parallel_jit(state_shardings=...)``
+    and ``jax.device_put(state, ...)``."""
+    if tp > 1:
+        return tensor_parallel_sharding_tree(
+            state, mesh, zero1_axis="data" if zero1 else None)
+    if zero1:
+        return zero1_sharding_tree(state, mesh)
+    return None
 
 
 def process_count() -> int:

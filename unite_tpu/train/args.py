@@ -133,6 +133,12 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--zero1", type=str2bool, default=False,
                    help="shard optimizer moments over the data axis "
                         "(ZeRO-1 layout; GSPMD inserts the collectives)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways: shard the per-block qkv/proj/"
+                        "mlp kernels over a 'model' mesh axis (Megatron "
+                        "column/row split; batch_size becomes per-REPLICA). "
+                        "Beyond-parity option for wide students; must divide "
+                        "the local device count and ideally num_heads")
     # (steps between host syncs is log_freq: the train loop is async-
     # dispatched and only reads scalars on log steps — common.py)
     # logging

@@ -46,7 +46,18 @@ def setup_run(args):
     if pmesh.is_main_process():
         prepare_output_dir(args.output_dir, args.overwrite)
         dump_config(args, args.output_dir)
-    mesh = pmesh.make_mesh()
+    tp = tp_ways(args)
+    if tp > 1:
+        # 2-D (data, model) mesh; 'model' is the minor axis so each TP group
+        # is a contiguous device block (same host, collectives ride ICI)
+        if jax.device_count() % tp or jax.local_device_count() % tp:
+            raise ValueError(
+                f"--tp {tp} must divide the local device count "
+                f"({jax.local_device_count()}) on every host")
+        mesh = pmesh.make_mesh(("data", "model"),
+                               shape=(jax.device_count() // tp, tp))
+    else:
+        mesh = pmesh.make_mesh()
     print(f"devices: {jax.device_count()} ({jax.local_device_count()} local), "
           f"mesh: {mesh}")
     return mesh
@@ -58,7 +69,12 @@ def reader_for(args):
     return default_reader()
 
 
-def per_host_batch(batch_size: int) -> int:
+def tp_ways(args) -> int:
+    """Tensor-parallel ways requested by --tp (1 = pure data parallel)."""
+    return int(getattr(args, "tp", 1) or 1)
+
+
+def per_host_batch(batch_size: int, tp: int = 1) -> int:
     """Per-host loader batch for a PER-CHIP ``batch_size`` argument.
 
     The reference's batch_size is per-GPU and its LR linear-scaling rule
@@ -66,8 +82,12 @@ def per_host_batch(batch_size: int) -> int:
     keeps that rule with world = jax.device_count(). Each JAX process feeds
     ALL of its local chips, so its loader must yield
     batch_size x local_device_count rows per step for the global batch to
-    be batch_size x device_count."""
-    return int(batch_size) * jax.local_device_count()
+    be batch_size x device_count.
+
+    Under tensor parallelism (``tp`` > 1) a data-parallel replica spans tp
+    chips, so batch_size becomes per-REPLICA and the per-host batch divides
+    by tp (setup_run enforces tp | local_device_count)."""
+    return int(batch_size) * jax.local_device_count() // max(1, tp)
 
 
 def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
@@ -78,7 +98,9 @@ def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
         drop_last=False, repetitions=repetitions,
     )
     return DataLoader(
-        dataset, batch_size=per_host_batch(batch_size), sampler=sampler,
+        dataset,
+        batch_size=per_host_batch(batch_size, tp_ways(args)),
+        sampler=sampler,
         num_workers=args.num_workers, drop_last=drop_last,
     )
 
@@ -87,7 +109,8 @@ def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
     """Per-step LR/WD tables with the linear scaling rule
     (run_stage1.py:796-800, utils.py:646-663)."""
     total_batch = args.batch_size * jax.device_count() \
-        // max(1, jax.process_count()) * jax.process_count()
+        // max(1, jax.process_count()) * jax.process_count() \
+        // tp_ways(args)
     lr = scaled_lr(args.lr, total_batch, num_sample)
     min_lr = scaled_lr(args.min_lr, total_batch, num_sample)
     warmup_lr = scaled_lr(args.warmup_lr, total_batch, num_sample)
@@ -369,7 +392,7 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
     offline analysis — preds.npy / labels.npy (the reference's
     ``save_preds_path`` intent, run_stage3.py:778-784, which ships
     commented out) plus probs.npy."""
-    batch_size = per_host_batch(batch_size)  # pad to the loader's batch
+    batch_size = per_host_batch(batch_size, pmesh.model_axis_size(mesh))  # pad to the loader's batch
     all_probs, all_labels = [], []
     loss_sum = n_total = 0.0
     for batch in loader:
@@ -433,7 +456,7 @@ def collect_features(state, eval_step, loader, mesh, batch_size: int,
     """Pooled encoder features + labels over a loader (for the kNN
     representation probe, utils/knn.py; requires an eval step that returns
     a ``feats`` entry). Stops after ``max_videos`` videos."""
-    batch_size = per_host_batch(batch_size)  # pad to the loader's batch
+    batch_size = per_host_batch(batch_size, pmesh.model_axis_size(mesh))  # pad to the loader's batch
     feats, labels = [], []
     n = 0
     for batch in loader:
@@ -489,7 +512,7 @@ def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
                    output_dir: str):
     """Multi-view test: per-view probs → per-process file → merge
     (engine_for_finetuning.py:241-351)."""
-    batch_size = per_host_batch(batch_size)
+    batch_size = per_host_batch(batch_size, pmesh.model_axis_size(mesh))
     loader = DataLoader(
         dataset, batch_size=batch_size,
         sampler=ShardedSampler(len(dataset), jax.process_count(),

@@ -51,6 +51,9 @@ def build_student(args):
         dtype=jnp.bfloat16,
         remat=args.use_checkpoint,
         remat_num=getattr(args, "checkpoint_num", -1),
+        # Pallas calls have no GSPMD partitioning rule; under --tp the
+        # einsum attention partitions over heads instead (parallel/mesh.py)
+        use_pallas=False if common.tp_ways(args) > 1 else None,
     )
 
 
@@ -63,6 +66,7 @@ def build_teacher(args):
         return_attn=args.clip_return_attn,
         return_index=tuple(args.clip_return_layers),
         dtype=jnp.bfloat16,
+        use_pallas=False if common.tp_ways(args) > 1 else None,
     )
 
 
@@ -190,8 +194,8 @@ def main(args):
     tgt_iter = (cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
                 if tgt_loader is not None else None)
 
-    z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
-                 if args.zero1 else None)
+    layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
+                                zero1=args.zero1)
     step_fn = pmesh.data_parallel_jit(
         make_pretrain_train_step(
             student, teacher, num_patches=n_patch, frames=args.num_frames
@@ -204,12 +208,12 @@ def main(args):
             clip_input_resolution=args.clip_input_resolution,
         ),
         mesh, state_argnums=(0,), batch_argnums=(2,), donate_state=True,
-        state_shardings=z1_layout,
+        state_shardings=layout,
     )
     # teacher params replicated, passed per call (arg 1) — never donated
     tp = pmesh.replicate(tp, mesh)
-    if args.zero1:
-        state = pmesh.shard_state_zero1(state, mesh)
+    if layout is not None:
+        state = jax.device_put(state, layout)
     else:
         state = pmesh.replicate(state, mesh)
 

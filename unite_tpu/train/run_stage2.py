@@ -53,6 +53,9 @@ def build_model(args):
         dtype=jnp.bfloat16,
         remat=args.use_checkpoint,
         remat_num=getattr(args, "checkpoint_num", -1),
+        # Pallas calls have no GSPMD partitioning rule; under --tp the
+        # einsum attention partitions over heads instead (parallel/mesh.py)
+        use_pallas=False if common.tp_ways(args) > 1 else None,
     )
 
 
@@ -202,18 +205,18 @@ def main(args):
             num_classes=args.nb_classes,
         )
 
-    z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
-                 if args.zero1 else None)
+    layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
+                                zero1=args.zero1)
     step_fn = pmesh.data_parallel_jit(
         make_finetune_train_step(
             model, mixup=mixup_fn, label_smoothing=args.smoothing,
             clip_grad=args.clip_grad,
             ema_decay=args.model_ema_decay if args.model_ema else None,
-        ), mesh, state_shardings=z1_layout,
+        ), mesh, state_shardings=layout,
     )
     eval_fn = jax.jit(make_eval_step(model))
-    if args.zero1:
-        state = pmesh.shard_state_zero1(state, mesh)
+    if layout is not None:
+        state = jax.device_put(state, layout)
     else:
         state = pmesh.replicate(state, mesh)
 

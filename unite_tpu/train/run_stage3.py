@@ -207,8 +207,8 @@ def main(args):
     # (one target batch per step) so resume replays an uninterrupted run
     tgt_iter = cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
 
-    z1_layout = (pmesh.zero1_sharding_tree(state, mesh)
-                 if args.zero1 else None)
+    layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
+                                zero1=args.zero1)
     step_fn = pmesh.data_parallel_jit(
         make_selftrain_step(
             student, classifier, teacher, num_patches=n_patch,
@@ -228,13 +228,13 @@ def main(args):
             nb_classes=args.nb_classes,
         ),
         mesh, state_argnums=(0,), batch_argnums=(2,),
-        state_shardings=z1_layout,
+        state_shardings=layout,
     )
     eval_fn = jax.jit(make_selftrain_eval_step(
         student, classifier, args.use_cls_token))
     tp = pmesh.replicate(tp, mesh)
-    if args.zero1:
-        state = pmesh.shard_state_zero1(state, mesh)
+    if layout is not None:
+        state = jax.device_put(state, layout)
     else:
         state = pmesh.replicate(state, mesh)
 
