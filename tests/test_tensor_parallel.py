@@ -246,3 +246,69 @@ def test_stage2_entry_tp2_on_8_fake_devices(tmp_path):
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "TP_ENTRY_OK" in out.stdout
+
+
+def test_stage3_tp_trajectory_matches_data_parallel():
+    """Stage-3 (the most complex step: teacher attention, committee masks,
+    selection dispatch, {model, classifier} param tree) under a 4x2 mesh —
+    trailing-path TP rules must match the nested 'model' subtree and leave
+    the classifier replicated."""
+    import flax.linen as nn
+
+    from unite_tpu.engines.selftrain import make_selftrain_step
+
+    T, S, PCH, NC = 4, 32, 16, 5
+    n_patch = T * (S // PCH) ** 2
+    student = AdaptationVisionTransformer(
+        img_size=S, patch_size=PCH, encoder_embed_dim=32, encoder_depth=2,
+        encoder_num_heads=2, num_frames=T, tubelet_size=1,
+        clip_decoder_embed_dim=32, clip_output_dim=24,
+        clip_return_layers=(1,))
+    teacher = CLIPVisionTransformer(
+        input_resolution=S, patch_size=PCH, width=32, layers=2, heads=2,
+        output_dim=24, return_attn=True, return_index=(1,))
+    classifier = nn.Dense(NC, param_dtype=jnp.float32, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    videos_s = rng.standard_normal((8, T, S, S, 3)).astype(np.float32)
+    videos_t = rng.standard_normal((8, T, S, S, 3)).astype(np.float32)
+    labels = rng.integers(0, NC, 8).astype(np.int32)
+    clip_sim = rng.dirichlet(np.full(NC, 0.5), size=(8,)).astype(np.float32)
+
+    tparams = teacher.init(jax.random.PRNGKey(0),
+                           jnp.asarray(videos_s[:1]))["params"]
+    nv = n_patch - int((n_patch // T) * 0.5) * T
+    sparams = student.init(
+        jax.random.PRNGKey(1), jnp.asarray(videos_s[:1]),
+        jnp.zeros((1, nv), jnp.int32), True)["params"]
+    hparams = classifier.init(jax.random.PRNGKey(2),
+                              jnp.zeros((1, 32), jnp.float32))["params"]
+    params = {"model": sparams, "classifier": hparams}
+    tx, _ = create_optimizer("adamw", lr=1e-2, params=params,
+                             weight_decay=0.0)
+    state0 = TrainState.create(params, tx)
+    build = make_selftrain_step(
+        student, classifier, teacher, num_patches=n_patch, frames=T,
+        mask_ratio=0.5, selection_strategy="clip_matchORconf", nb_classes=NC,
+        clip_input_resolution=S, use_cls_token=False)
+    batch = {"videos_s": videos_s, "labels_s": labels,
+             "videos_t": videos_t, "labels_t": labels, "clip_sim": clip_sim}
+
+    mesh_dp = make_mesh()
+    mesh_tp = make_mesh(("data", "model"), shape=(4, 2))
+    layout = tensor_parallel_sharding_tree(state0, mesh_tp)
+    # nested student subtree matched; classifier replicated
+    assert layout.params["model"]["encoder"]["blocks_0"]["attn"]["qkv"][
+        "kernel"].spec == P(None, "model")
+    assert layout.params["classifier"]["kernel"].spec == P()
+
+    s_dp, l_dp = _run_steps(state0, mesh_dp, build, [batch] * 2,
+                            extra=(tparams,))
+    s_tp, l_tp = _run_steps(state0, mesh_tp, build, [batch] * 2,
+                            layout=layout, extra=(tparams,))
+    np.testing.assert_allclose(l_dp, l_tp, rtol=2e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s_dp.params)[0],
+            jax.tree_util.tree_flatten_with_path(s_tp.params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4, err_msg=str(pa))
