@@ -204,7 +204,18 @@ def check_kernels():
     return 0 if ok else 1
 
 
-def make_loader_batches(B, frames, img, iters, num_workers=8):
+def _parse_workers(argv, default=8):
+    """Consume ``--workers N`` from argv (shared by --loader/--loader-host);
+    returns (remaining_argv, workers) or exits with a usage line."""
+    if "--workers" not in argv:
+        return argv, default
+    i = argv.index("--workers")
+    if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+        sys.exit("usage: bench.py [--loader|--loader-host] --workers N")
+    return argv[:i] + argv[i + 2:], int(argv[i + 1])
+
+
+def make_loader_batches(B, frames, img, num_workers=8):
     """Loader-fed input path: synthetic decode → group-crop stack → uint8
     clips through DataLoader + device_prefetch (VERDICT r1 item 6).
     ``--workers N`` controls the loader thread pool for scaling sweeps."""
@@ -501,14 +512,18 @@ def bench_loader_host(B, workers, frames=8, img=224, iters=20):
     collate), no H2D and no train step: isolates the host-side rate from
     the development rig's 33 MB/s tunnel, which bounds ``--loader`` at
     ~27 clips/s (1.2 MB/clip). Run via ``bench.py --loader-host``."""
-    gen = make_loader_batches(B, frames, img, iters, num_workers=workers)
+    gen = make_loader_batches(B, frames, img, num_workers=workers)
     next(gen)  # warm the pool + caches
     t0 = time.perf_counter()
     for _ in range(iters):
         next(gen)
     dt = time.perf_counter() - t0
     clips = B * iters / dt
-    sol = peak_bf16_flops() / flops_per_clip()
+    # host-only mode must NEVER touch jax.devices() (the main() paths call
+    # _require_devices first; this one is the tunnel-down diagnostic, and a
+    # peak_bf16_flops() probe would hang with the tunnel). Use the v5e
+    # nominal roofline this repo's vs_baseline is defined against.
+    sol = 197e12 / flops_per_clip()
     print(json.dumps({
         "metric": "stage1_loader_host_only_clips_per_sec",
         "value": round(clips, 2),
@@ -523,14 +538,7 @@ def main():
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState
 
-    argv = sys.argv[1:]
-    workers = 8
-    if "--workers" in argv:
-        i = argv.index("--workers")
-        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
-            sys.exit("usage: bench.py --loader --workers N")
-        workers = int(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
+    argv, workers = _parse_workers(sys.argv[1:])
     args = [a for a in argv if not a.startswith("--")]
     # B=64 matches the reference's per-GPU batch (stage1.sh:23) and is the
     # fastest point of the measured scan (24: 217, 32: 219, 48: 229, 64: 234
@@ -576,7 +584,7 @@ def main():
 
         mesh = make_mesh()
         batches = device_prefetch(
-            make_loader_batches(B, frames, img, iters + 4,
+            make_loader_batches(B, frames, img,
                                 num_workers=workers),
             lambda b: shard_batch(b, mesh), depth=2,
         )
@@ -620,12 +628,7 @@ def main():
 if __name__ == "__main__":
     if "--loader-host" in sys.argv:
         # pure host measurement: no TPU needed, do not probe the tunnel
-        argv = sys.argv[1:]
-        w = 8
-        if "--workers" in argv:
-            i = argv.index("--workers")
-            w = int(argv[i + 1])
-            argv = argv[:i] + argv[i + 2:]
+        argv, w = _parse_workers(sys.argv[1:])
         pos = [a for a in argv if not a.startswith("--")]
         bench_loader_host(int(pos[0]) if pos else 64, w)
         sys.exit(0)

@@ -46,12 +46,12 @@ def build_pretraining_dataset(args, anno_path: Optional[str] = None,
     )
     # sparse mode when num_segments != 1 (mae.py:142-146): one frame per
     # segment; dense mode: one window of num_frames * step frames strided by
-    # step. The stride is --umt_step (reference build.py:93 new_step=
-    # args.umt_step; sampling_rate accepted as a legacy fallback). Sparse
-    # mode pins new_step=1: the reference's skip_length=1 override makes
-    # any umt_step > 1 yield empty clips there (mae.py:131,142-146).
-    step = max(1, (getattr(args, "umt_step", 0)
-                   or getattr(args, "sampling_rate", 1) or 1))
+    # step. The stride is --umt_step, unconditionally (reference build.py:93
+    # new_step=args.umt_step; sampling_rate feeds only the finetune
+    # datasets, build.py:138,207,239). Sparse mode pins new_step=1: the
+    # reference's skip_length=1 override makes any umt_step > 1 yield empty
+    # clips there (mae.py:131,142-146).
+    step = max(1, getattr(args, "umt_step", 1) or 1)
     if args.num_segments != 1:
         num_segments, skip_length, new_step = args.num_segments, 1, 1
     else:

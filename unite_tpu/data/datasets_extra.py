@@ -113,17 +113,32 @@ class RawFrameReader(VideoReaderBase):
 
     def get_batch(self, path: str, indices) -> np.ndarray:
         paths = [self._frame_path(path, i) for i in indices]
+        if self._force_native and self._lib is None:
+            # the caller demanded the native backend (e.g. to pin its
+            # numerics); a silent cv2 substitute would return different
+            # pixels (≲8/255 chroma-edge variance, see class docstring)
+            raise RuntimeError(
+                "use_native=True but the native decoder library is "
+                "unavailable or lacks the jd_* JPEG entry points "
+                "(build it with unite_tpu/native/build.sh)")
+        if self._force_native and paths and not paths[0].endswith(".jpg"):
+            raise RuntimeError(
+                "use_native=True supports JPEG frames only "
+                f"(got {os.path.basename(paths[0])})")
         if self._lib is not None and paths and paths[0].endswith(".jpg"):
             out = self._native_batch(paths)
             if out is not None:
                 return out
-            if not self._have_cv2:
-                # the cv2 fallback below cannot run; surface the native
-                # decode failure (bad/missing frame, mid-folder dim change)
-                # instead of a bare ImportError
+            if self._force_native or not self._have_cv2:
+                # forced-native mode never falls back (backend numerics were
+                # requested explicitly); without cv2 there is no fallback —
+                # either way surface the native decode failure (bad/missing
+                # frame, mid-folder dim change) instead of a silent
+                # substitute or a bare ImportError
                 raise RuntimeError(
-                    f"native JPEG decode failed for a frame in {path} "
-                    "and cv2 is unavailable for fallback")
+                    f"native JPEG decode failed for a frame in {path}"
+                    + ("" if self._have_cv2 else
+                       " and cv2 is unavailable for fallback"))
         import cv2
 
         frames = []
@@ -152,6 +167,8 @@ class RawFrameReader(VideoReaderBase):
                 if self._lib.jd_probe_with(ctx, paths[0].encode(),
                                            ctypes.byref(w),
                                            ctypes.byref(h)) != 0:
+                    if not os.path.exists(paths[0]):
+                        raise RuntimeError(f"missing frame {paths[0]}")
                     return None  # unreadable/odd file: let cv2 report it
                 out = np.empty((len(paths), h.value, w.value, 3), np.uint8)
                 if self._lib.jd_emit_with(
@@ -162,6 +179,8 @@ class RawFrameReader(VideoReaderBase):
             else:
                 if self._lib.jd_dims(paths[0].encode(), ctypes.byref(w),
                                      ctypes.byref(h)) != 0:
+                    if not os.path.exists(paths[0]):
+                        raise RuntimeError(f"missing frame {paths[0]}")
                     return None
                 out = np.empty((len(paths), h.value, w.value, 3), np.uint8)
                 start = 0

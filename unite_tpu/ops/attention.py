@@ -112,8 +112,15 @@ def _flash_qblock(s: int, block_q: int):
     all — no pad copies, no output slices, no garbage rows. The row-stats
     (lse) array is stored SUBLANE-major [BH, S, 8], which only constrains
     the q block to a multiple of 8, not 128. Falls back to padding S up to
-    a 128 multiple when no usable divisor exists (e.g. 577 → 640)."""
-    bq = _divisor_block(s, max(block_q, 224))
+    a 128 multiple when no usable divisor exists (e.g. 577 → 640).
+
+    The 224 floor is the measured v5e sweet spot; an explicit
+    UNITE_FLASH_BQ override wins in BOTH directions (without this a
+    below-224 override — e.g. to shrink VMEM at a new length — was
+    silently ignored)."""
+    target = block_q if os.environ.get("UNITE_FLASH_BQ") \
+        else max(block_q, 224)
+    bq = _divisor_block(s, target)
     if bq >= 64:
         return s, bq
     m = max(block_q, 128)
@@ -321,7 +328,9 @@ def _flash_bwd(res, g, scale, block_q, block_k):
     # key block: a multiple-of-8 divisor of s keeps k/v unpadded; when none
     # exists, pad keys (padded key rows only yield garbage dk/dv rows that
     # are sliced off — no masking needed either way)
-    bk = _divisor_block(s, max(block_k, 160))
+    bk_target = block_k if os.environ.get("UNITE_FLASH_BK") \
+        else max(block_k, 160)  # 160 floor measured; explicit override wins
+    bk = _divisor_block(s, bk_target)
     gb = _flash_gb(_round_up(s, 128), max(bq, bk or block_k))
     bh_pad = _round_up(bh, gb)
     if bh_pad != bh:
@@ -1005,7 +1014,8 @@ def _packed_flash_bwd(qkv, out, lse, g, heads, scale,
     hd = thd // 3
     d = hd // heads
     _, bq = _flash_qblock(s, block_q)
-    bk = _divisor_block(s, max(block_k, 160)) or s
+    bk = _divisor_block(s, block_k if os.environ.get("UNITE_FLASH_BK")
+                        else max(block_k, 160)) or s
     # separate knob from the forward's UNITE_PFLASH_GB: the optima CONFLICT
     # (fwd wins at gb=2, both bwd kernels regress above 1)
     gb = int(os.environ.get("UNITE_PFLASH_BWD_GB", "0")) or 1
