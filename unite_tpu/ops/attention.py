@@ -156,14 +156,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2((s - m) * c).astype(v.dtype)  # bf16 for the MXU dots
-    l = _row_sums(p)  # [GB, BQ, 1] fp32
+    pv, l = _pv_and_rowsum(p, v)  # one dot: PV + MXU row sums
     lse = m * c + jnp.log2(l)  # [GB, BQ, 1] base-2 scaled lse
     lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
-    o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * (1.0 / l)
-    o_ref[...] = o.astype(o_ref.dtype)
+    o_ref[...] = (pv * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, scale, block_q):
@@ -629,6 +625,49 @@ def _row_sums(p, out_dtype=jnp.float32):
     return l[:, :, :1]
 
 
+# Fold threshold: at/below the fused-qkv forward cap (512 tokens) the
+# per-head ones-concat costs as much as the saved MXU passes — measured
+# flat-to-worse at 197/314 (see _pv_and_rowsum); above it the fold is the
+# clear winner (1568: -24%).
+_PV_FOLD_MIN_SEQ = FUSED_QKV_FWD_MAX_SEQ
+
+
+def _pv_and_rowsum(p, v):
+    """One MXU dot for BOTH the PV product and the softmax row sums.
+
+    The MXU emits output lanes in 128-wide passes, so with head dim
+    D = 64 a separate row-sum dot (``p @ ones``, 128 lanes) costs as many
+    MXU passes as the PV dot itself. Padding v's lanes up to the next 128
+    multiple WITH ONES makes a single dot emit PV in lanes [:D] and the
+    row sum in every padded lane — the PV+rowsum stage halves. Measured
+    v5e (us/layer fwd, best-of-5 x100): packed 1568 goes 1267 → 950-980
+    (-24%); at short sequences the [Sk, 128] ones-concat copy per head
+    cancels the saved passes (teacher 197: 1424 → 1461-1465, student 314:
+    504 → 493-515), so callers below the fold threshold keep the two-dot
+    form bit-for-bit.
+
+    p [GB, Sq, Sk] bf16, v [GB, Sk, D] → (pv fp32 [GB, Sq, D] UNNORMALIZED,
+    l fp32 [GB, Sq, 1]). Tile-padded p columns/v rows are masked by Mosaic
+    in the dot as usual; the ones pad lanes are real lanes of a real
+    operand and sum exactly the columns the PV dot contracts. When D is
+    already a lane multiple the fold buys nothing (the ones would add a
+    whole extra pass) — fall back to the two-dot form."""
+    gb, sk, d = v.shape
+    pad = -d % 128
+    if pad == 0 or sk <= _PV_FOLD_MIN_SEQ:
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return pv, _row_sums(p)
+    va = jnp.concatenate([v, jnp.ones((gb, sk, pad), v.dtype)], axis=-1)
+    ov = jax.lax.dot_general(
+        p, va, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return ov[:, :, :d], ov[:, :, d:d + 1]
+
+
 def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     # q/k/v_ref [GB, S, H·D] — three lane-blocked views of the SAME qkv
     # array, so only the needed lanes are DMA'd. S is the LOGICAL sequence
@@ -653,11 +692,8 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
         )  # [GB, S, S] fp32 RAW (scale folds into the exp2)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2((s - m) * (scale * INV_LN2)).astype(v.dtype)
-        inv_l = 1.0 / _row_sums(p)  # [GB, S, 1] fp32, summed on the MXU
-        o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * inv_l  # [GB, S, D]
+        pv, l = _pv_and_rowsum(p, v)  # one dot: PV + MXU row sums
+        o = pv * (1.0 / l)  # [GB, S, D]
         o_ref[:, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
 
 
@@ -885,14 +921,10 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads, scale):
             q, k, bdims, preferred_element_type=jnp.float32)  # [GB, BQ, S]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2((s - m) * c).astype(v.dtype)
-        l = _row_sums(p)
+        pv, l = _pv_and_rowsum(p, v)  # one dot: PV + MXU row sums
         lse_ref[:, h] = jnp.broadcast_to(m * c + jnp.log2(l),
                                          lse_ref.shape[:1] + lse_ref.shape[2:])
-        o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (1.0 / l)
-        o_ref[:, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+        o_ref[:, :, h * d:(h + 1) * d] = (pv * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _packed_flash_fwd(qkv, heads, scale, block_q=DEFAULT_BLOCK_Q):
