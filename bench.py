@@ -88,21 +88,27 @@ def flops_per_clip(frames=8, img=224, patch=16, mask_ratio=0.8,
     return teacher + 3 * student_fwd
 
 
+# v5e nominal bf16 peak — the roofline every vs_baseline in this repo is
+# defined against; also the no-device-probe fallback (see bench_loader_host)
+V5E_PEAK_BF16 = 197e12
+
+
 def peak_bf16_flops():
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "").lower()
     # bf16 peak per chip: v5e 197 TFLOPS, v5p 459, v4 275, v6e ~918
-    table = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
-             "v4": 275e12, "v6e": 918e12, "v6 lite": 918e12}
+    table = {"v5 lite": V5E_PEAK_BF16, "v5e": V5E_PEAK_BF16,
+             "v5p": 459e12, "v4": 275e12, "v6e": 918e12, "v6 lite": 918e12}
     for key, val in table.items():
         if key in kind:
             return val
-    return 197e12
+    return V5E_PEAK_BF16
 
 
 def check_kernels():
     """On-TPU numerics: all Pallas regimes fwd+bwd vs the XLA reference at
-    the three workload shapes (197 teacher, 314 masked student, 1568 full).
+    the six supported geometries (197 b16 teacher, 257 l14 teacher, 314
+    masked student, 577 l14_336 teacher, 784 16f/tubelet-2, 1568 full).
     Run via ``python bench.py --check`` (VERDICT r1 item 7: CPU tests only
     exercise the XLA fallback; kernels must be driven on the chip)."""
     from unite_tpu.ops.attention import (
@@ -433,7 +439,8 @@ def bench_stage3(B=5, frames=8, img=224):
 def bench_large(B=24, frames=8, img=224):
     """Stage-1 step at ViT-L geometry: ``adaptation_umt_large_patch16_224``
     student (1024x24, heads 16; reference modeling_adaptation.py:360-378)
-    + frozen ``clip_l14`` teacher (patch 14 -> 257 tokens/frame, proj->768,
+    + frozen ``clip_l14`` teacher run at input 196 so its /14 grid matches
+    the /16 student's -> (196/14)^2+1 = 197 tokens/frame (proj->768,
     clip.py:259-274), K=6 return layers (the last 6 of 24, the large analog
     of the shipped base config's [6..11]).  Run via ``bench.py --large [B]``;
     reports clips/s against the ViT-L roofline."""
@@ -523,7 +530,7 @@ def bench_loader_host(B, workers, frames=8, img=224, iters=20):
     # _require_devices first; this one is the tunnel-down diagnostic, and a
     # peak_bf16_flops() probe would hang with the tunnel). Use the v5e
     # nominal roofline this repo's vs_baseline is defined against.
-    sol = 197e12 / flops_per_clip()
+    sol = V5E_PEAK_BF16 / flops_per_clip()
     print(json.dumps({
         "metric": "stage1_loader_host_only_clips_per_sec",
         "value": round(clips, 2),

@@ -191,6 +191,25 @@ def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
     )
 
 
+def _zero1_leaf_spec(mesh: Mesh, axis: str):
+    """The ZeRO-1 moment rule: shard a leaf over ``axis`` along its largest
+    divisible dim, else replicate. ONE implementation shared by
+    zero1_sharding_tree and tensor_parallel_sharding_tree so --zero1 alone
+    and --tp --zero1 can never drift apart."""
+    n = mesh.shape[axis]
+
+    def leaf(x):
+        shape = np.shape(x)
+        for dim, size in enumerate(shape):
+            if size % n == 0 and size >= n:
+                spec = [None] * len(shape)
+                spec[dim] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return leaf
+
+
 def zero1_sharding_tree(state, mesh: Mesh, axis: str = "data"):
     """ZeRO-1-style sharding layout: params replicated, optimizer moments
     sharded over ``axis`` along their largest divisible dimension.
@@ -201,16 +220,7 @@ def zero1_sharding_tree(state, mesh: Mesh, axis: str = "data"):
     elementwise update. Returns a pytree of NamedShardings matching
     ``state`` for use as jit in_shardings / device_put layout.
     """
-    n = mesh.shape[axis]
-
-    def opt_leaf(x):
-        shape = np.shape(x)
-        for dim, size in enumerate(shape):
-            if size % n == 0 and size >= n:
-                spec = [None] * len(shape)
-                spec[dim] = axis
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+    opt_leaf = _zero1_leaf_spec(mesh, axis)
 
     def rep(_):
         return NamedSharding(mesh, P())
@@ -286,18 +296,8 @@ def tensor_parallel_sharding_tree(state, mesh: Mesh, axis: str = "model",
     def rep(_):
         return NamedSharding(mesh, P())
 
-    z1 = rep
-    if zero1_axis is not None:
-        n = mesh.shape[zero1_axis]
-
-        def z1(x):  # noqa: F811 — ZeRO-1 fallback for unmatched moments
-            shape = np.shape(x)
-            for dim, size in enumerate(shape):
-                if size % n == 0 and size >= n:
-                    spec = [None] * len(shape)
-                    spec[dim] = zero1_axis
-                    return NamedSharding(mesh, P(*spec))
-            return NamedSharding(mesh, P())
+    # ZeRO-1 fallback for unmatched moments (shared rule, see _zero1_leaf_spec)
+    z1 = _zero1_leaf_spec(mesh, zero1_axis) if zero1_axis is not None else rep
 
     tmap = jax.tree_util.tree_map_with_path
     return state.replace(
