@@ -221,10 +221,12 @@ def _parse_workers(argv, default=8):
     return argv[:i] + argv[i + 2:], int(argv[i + 1])
 
 
-def make_loader_batches(B, frames, img, num_workers=8):
+def make_loader_batches(B, frames, img, num_workers=8,
+                        worker_mode="thread"):
     """Loader-fed input path: synthetic decode → group-crop stack → uint8
     clips through DataLoader + device_prefetch (VERDICT r1 item 6).
-    ``--workers N`` controls the loader thread pool for scaling sweeps."""
+    ``--workers N`` controls the pool size and ``--procs`` switches to
+    forked worker processes for scaling sweeps on many-core hosts."""
     import os
     import tempfile
 
@@ -257,7 +259,8 @@ def make_loader_batches(B, frames, img, num_workers=8):
     ds = build_pretraining_dataset(A, anno_path=anno,
                                    reader=SyntheticVideoReader(256, 320))
     loader = DataLoader(ds, batch_size=B, num_workers=num_workers,
-                        drop_last=True, shuffle=True)
+                        drop_last=True, shuffle=True,
+                        worker_mode=worker_mode)
 
     def gen():
         epoch = 0
@@ -514,12 +517,15 @@ def bench_large(B=24, frames=8, img=224):
     }))
 
 
-def bench_loader_host(B, workers, frames=8, img=224, iters=20):
+def bench_loader_host(B, workers, frames=8, img=224, iters=20,
+                      worker_mode="thread"):
     """Host pipeline ALONE (synthetic decode → group transforms → uint8
     collate), no H2D and no train step: isolates the host-side rate from
     the development rig's 33 MB/s tunnel, which bounds ``--loader`` at
-    ~27 clips/s (1.2 MB/clip). Run via ``bench.py --loader-host``."""
-    gen = make_loader_batches(B, frames, img, num_workers=workers)
+    ~27 clips/s (1.2 MB/clip). Run via ``bench.py --loader-host``
+    (``--procs`` for forked worker processes)."""
+    gen = make_loader_batches(B, frames, img, num_workers=workers,
+                              worker_mode=worker_mode)
     next(gen)  # warm the pool + caches
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -592,7 +598,9 @@ def main():
         mesh = make_mesh()
         batches = device_prefetch(
             make_loader_batches(B, frames, img,
-                                num_workers=workers),
+                                num_workers=workers,
+                                worker_mode="process" if "--procs" in argv
+                                else "thread"),
             lambda b: shard_batch(b, mesh), depth=2,
         )
         state, m = step(state, tp, next(batches), rng)
@@ -642,7 +650,9 @@ if __name__ == "__main__":
         # pure host measurement: no TPU needed, do not probe the tunnel
         argv, w = _parse_workers(sys.argv[1:])
         pos = [a for a in argv if not a.startswith("--")]
-        bench_loader_host(int(pos[0]) if pos else 64, w)
+        bench_loader_host(int(pos[0]) if pos else 64, w,
+                          worker_mode="process" if "--procs" in argv
+                          else "thread")
         sys.exit(0)
     _require_devices()
     if "--check" in sys.argv:

@@ -338,6 +338,52 @@ def test_loader_batches_and_order(anno_file):
     assert len(list(loader2)) == 1
 
 
+def test_loader_process_workers_bitwise_equal_to_threads(anno_file):
+    """Forked worker processes (the reference's DataLoader model) must
+    reproduce thread-mode batches bitwise — incl. the per-(seed, epoch,
+    index) augmentation RNG across set_epoch (workers fork AFTER
+    set_epoch, inheriting the dataset state)."""
+    def make(mode):
+        ds = VideoClsDatasetSparse(
+            anno_file, mode="train", clip_len=2, crop_size=32,
+            short_side_size=48, reader=SyntheticVideoReader(64, 64),
+            seed=0, aa="rand-m3-n2", reprob=0.25,
+        )
+        return DataLoader(ds, batch_size=3, num_workers=2, drop_last=False,
+                          worker_mode=mode)
+
+    lt, lp = make("thread"), make("process")
+    for epoch in (0, 1):
+        lt.set_epoch(epoch)
+        lp.set_epoch(epoch)
+        bt, bp = list(lt), list(lp)
+        assert len(bt) == len(bp)
+        for t, p in zip(bt, bp):
+            np.testing.assert_array_equal(t[0], p[0])  # clips
+            np.testing.assert_array_equal(t[1], p[1])  # labels
+
+
+def test_loader_process_workers_propagate_errors(anno_file):
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("decode failed hard")
+            return np.zeros((2, 2), np.float32), 0
+
+    loader = DataLoader(Boom(), batch_size=4, num_workers=2,
+                        worker_mode="process")
+    with pytest.raises(RuntimeError, match="decode failed hard"):
+        list(loader)
+
+
+def test_loader_rejects_unknown_worker_mode(anno_file):
+    with pytest.raises(ValueError, match="worker_mode"):
+        DataLoader([1, 2], batch_size=1, worker_mode="greenlet")
+
+
 def test_loader_with_sharded_sampler(anno_file):
     ds = VideoClsDatasetSparse(
         anno_file, mode="train", clip_len=2, crop_size=32, short_side_size=48,

@@ -1,11 +1,26 @@
 """Batched, prefetching host data loader.
 
 Replacement for the reference's torch DataLoader(num_workers=10,
-persistent_workers=True) (run_stage1.py:676-692): a thread-pool loader
-(decode + PIL augmentation release the GIL in native code) with a bounded
-prefetch window, deterministic per-epoch ordering from a ShardedSampler, and
-optional uint8 output + on-device normalization to respect the narrow
-host→device link (BASELINE.md north star: fused on-device transforms).
+persistent_workers=True) (run_stage1.py:676-692): a worker-pool loader
+with a bounded prefetch window, deterministic per-epoch ordering from a
+ShardedSampler, and optional uint8 output + on-device normalization to
+respect the narrow host→device link (BASELINE.md north star: fused
+on-device transforms).
+
+Two worker modes:
+
+* ``"thread"`` (default): decode + PIL augmentation release the GIL in
+  native code, so threads suffice on hosts where the pipeline is
+  IO/native-bound — and they share the dataset object (no pickling, no
+  fork).
+* ``"process"``: the reference's worker-process model for many-core
+  production hosts where the pure-Python parts of __getitem__ would
+  serialize on the GIL. Workers are forked per epoch AFTER set_epoch, so
+  the per-(seed, epoch, index) RNG derivation is inherited and batches are
+  bitwise equal to thread mode (pinned by tests/test_data.py). The dataset
+  is inherited through fork (never pickled — ctypes decoder handles ride
+  the inherited .so mapping); only index lists and collated numpy batches
+  cross the pipe.
 
 Also provides ``device_prefetch`` — an iterator wrapper that keeps N batches
 in flight on the accelerator so H2D copy overlaps compute.
@@ -13,12 +28,22 @@ in flight on the accelerator so H2D copy overlaps compute.
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+# fork-inherited worker state: (dataset, collate_fn). Set in the PARENT
+# immediately before the pool forks so children see it without pickling.
+_WORKER_STATE = None
+
+
+def _load_batch_in_worker(batch_idx: Sequence[int]):
+    dataset, collate_fn = _WORKER_STATE
+    return collate_fn([dataset[i] for i in batch_idx])
 
 
 def default_collate(items: List):
@@ -52,6 +77,7 @@ class DataLoader:
         prefetch_batches: int = 4,
         collate_fn: Callable = default_collate,
         seed: int = 0,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -64,6 +90,15 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self._skip_batches = 0
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode {worker_mode!r} "
+                             "(expected 'thread' or 'process')")
+        if worker_mode == "process" and (
+                "fork" not in multiprocessing.get_all_start_methods()):
+            # process workers rely on fork inheritance (no dataset pickling)
+            print("DataLoader: fork unavailable; falling back to threads")
+            worker_mode = "thread"
+        self.worker_mode = worker_mode
 
     def skip_next_batches(self, n: int) -> None:
         """Drop the first ``n`` batches of the NEXT iteration (index-level —
@@ -108,6 +143,9 @@ class DataLoader:
             self._skip_batches = 0
         if not batches:
             return
+        if self.worker_mode == "process":
+            yield from self._iter_process(batches)
+            return
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             window = self.prefetch_batches
@@ -122,6 +160,27 @@ class DataLoader:
                 if next_submit < len(batches):
                     futures[next_submit % window] = pool.submit(
                         load_batch, batches[next_submit]
+                    )
+                    next_submit += 1
+
+    def _iter_process(self, batches: List[List[int]]) -> Iterator:
+        # fork a fresh pool per iteration (≈ per epoch): children inherit
+        # the dataset AND its current epoch (set_epoch ran before __iter__),
+        # so per-(seed, epoch, index) RNG matches thread mode bitwise. Fork
+        # is copy-on-write — per-epoch pool startup is milliseconds.
+        global _WORKER_STATE
+        _WORKER_STATE = (self.dataset, self.collate_fn)
+        ctx = multiprocessing.get_context("fork")
+        window = max(self.prefetch_batches, self.num_workers)
+        with ctx.Pool(self.num_workers) as pool:
+            futures = [pool.apply_async(_load_batch_in_worker, (b,))
+                       for b in batches[:window]]
+            next_submit = window
+            for i in range(len(batches)):
+                yield futures[i % window].get()
+                if next_submit < len(batches):
+                    futures[next_submit % window] = pool.apply_async(
+                        _load_batch_in_worker, (batches[next_submit],)
                     )
                     next_submit += 1
 

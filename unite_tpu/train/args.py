@@ -49,6 +49,12 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", default="tpu", help="accepted for config compat")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--worker_mode", default="thread",
+                   choices=("thread", "process"),
+                   help="loader workers: threads (native-bound pipelines) "
+                        "or forked processes (the reference's DataLoader "
+                        "model; for many-core hosts where pure-Python "
+                        "__getitem__ work would serialize on the GIL)")
     p.add_argument("--pin_mem", type=str2bool, default=True)
     p.add_argument("--overwrite", default="allow",
                    choices=["allow", "error", "resume"],

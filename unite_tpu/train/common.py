@@ -102,6 +102,7 @@ def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
         batch_size=per_host_batch(batch_size, tp_ways(args)),
         sampler=sampler,
         num_workers=args.num_workers, drop_last=drop_last,
+        worker_mode=getattr(args, "worker_mode", "thread"),
     )
 
 
@@ -518,6 +519,7 @@ def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
         sampler=ShardedSampler(len(dataset), jax.process_count(),
                                jax.process_index(), shuffle=False),
         num_workers=args.num_workers, drop_last=False,
+        worker_mode=getattr(args, "worker_mode", "thread"),
     )
     path = os.path.join(output_dir, f"{jax.process_index()}.txt")
     if os.path.exists(path):
