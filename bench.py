@@ -274,17 +274,21 @@ def make_loader_batches(B, frames, img, num_workers=8,
     return gen()
 
 
-def bench_stage2(B=8, frames=8, img=224):
-    """Stage-2 finetune step (full 1568-token ViT-B + CE + adamw):
-    ``python bench.py --stage2 [B]``. SOL from the same bf16-peak
-    derivation with the finetune per-clip FLOPs."""
+def bench_stage2(B=8, frames=8, img=224, large=False):
+    """Stage-2 finetune step (full 1568-token ViT + CE + adamw):
+    ``python bench.py --stage2 [B]`` (ViT-B) or ``--large2 [B]``
+    (ViT-L: 1024x24, heads 16 — drives the packed flash kernels at
+    ViT-L width). SOL from the same bf16-peak derivation with the
+    finetune per-clip FLOPs."""
     from unite_tpu import create_model
     from unite_tpu.engines.finetune import make_finetune_train_step
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState
 
+    name = "vit_large_patch16_224" if large else "vit_base_patch16_224"
+    depth, dim = (24, 1024) if large else (12, 768)
     model = create_model(
-        "vit_base_patch16_224", num_classes=12, all_frames=frames,
+        name, num_classes=12, all_frames=frames,
         tubelet_size=1, dtype=jnp.bfloat16, use_mean_pooling=True,
     )
     videos = jax.device_put(jnp.zeros((B, frames, img, img, 3), jnp.bfloat16))
@@ -312,11 +316,12 @@ def bench_stage2(B=8, frames=8, img=224):
         return mm + 2 * 2 * n * n * dd
 
     n_tok = frames * (img // 16) ** 2
-    fpc = 3 * (12 * block(n_tok, 768) + 2 * n_tok * (16 * 16 * 3) * 768)
+    fpc = 3 * (depth * block(n_tok, dim) + 2 * n_tok * (16 * 16 * 3) * dim)
     sol = peak_bf16_flops() / fpc
     clips = B * iters / dt
     print(json.dumps({
-        "metric": "stage2_clips_per_sec_per_chip",
+        "metric": ("stage2_large_clips_per_sec_per_chip" if large
+                   else "stage2_clips_per_sec_per_chip"),
         "value": round(clips, 2), "unit": "clips/s/chip",
         "vs_baseline": round(clips / sol, 4),
     }))
@@ -660,6 +665,9 @@ if __name__ == "__main__":
     elif "--stage2" in sys.argv:
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         bench_stage2(int(pos[0]) if pos else 8)
+    elif "--large2" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        bench_stage2(int(pos[0]) if pos else 8, large=True)
     elif "--stage3" in sys.argv:
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         bench_stage3(int(pos[0]) if pos else 5)
