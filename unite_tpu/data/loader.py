@@ -168,6 +168,10 @@ class DataLoader:
         # the dataset AND its current epoch (set_epoch ran before __iter__),
         # so per-(seed, epoch, index) RNG matches thread mode bitwise. Fork
         # is copy-on-write — per-epoch pool startup is milliseconds.
+        # Caveat: under device_prefetch the fork happens on the producer
+        # thread of a multi-threaded process (same stance as torch's
+        # fork-based DataLoader); workers only run dataset/collate code,
+        # which must not depend on parent thread state.
         global _WORKER_STATE
         _WORKER_STATE = (self.dataset, self.collate_fn)
         ctx = multiprocessing.get_context("fork")
