@@ -119,9 +119,25 @@ def _install_timm():
         utils.accuracy = accuracy
         utils.get_state_dict = lambda model, unwrap_fn=None: model.state_dict()
 
-        class ModelEma:  # engine only calls .update(model) when not None
-            def __init__(self, *a, **k):
-                raise RuntimeError("timm shim ModelEma exercised")
+        class ModelEma:
+            # faithful legacy timm ModelEma (timm/utils/model_ema.py) — the
+            # class run_stage2.py:588-592 constructs; update() is the exact
+            # state_dict formula the EMA-parity test matches against
+            def __init__(self, model, decay=0.9999, device="", resume=""):
+                import copy
+                self.ema = copy.deepcopy(model)
+                self.ema.eval()
+                self.decay = decay
+                for p in self.ema.parameters():
+                    p.requires_grad_(False)
+
+            def update(self, model):
+                with torch.no_grad():
+                    msd = model.state_dict()
+                    for k, ema_v in self.ema.state_dict().items():
+                        model_v = msd[k].detach()
+                        ema_v.copy_(ema_v * self.decay
+                                    + (1.0 - self.decay) * model_v)
         utils.ModelEma = ModelEma
 
     loss_mod = _ensure("timm.loss")

@@ -294,6 +294,159 @@ def test_stage2_engine_loss_curve_parity(tmp_path):
     np.testing.assert_allclose(our_losses, ref_losses, atol=5e-4, rtol=2e-3)
 
 
+def test_stage2_engine_mixup_ema_parity(tmp_path):
+    """24 micro-steps (update_freq=2) of the reference finetune engine with
+    mixup ACTIVE (SoftTargetCrossEntropy, run_stage2.py:675-677) and a live
+    timm-legacy ModelEma — vs our jitted step with the ``soft_targets``
+    injection hook and the fused EMA.  Mixup draws are pinned by computing
+    the mixed clips + soft targets once in numpy and injecting them
+    identically on both sides.  Asserts the loss curve AND a functional
+    probe of the EMA weights (eval forward from EMA params on held-out
+    clips), which pins the accumulation-boundary gating: the reference
+    updates the EMA once per OPTIMIZER step (engine_for_finetuning.py:
+    109-126), not per micro step."""
+    eff = rh.import_ref("src.engines.engine_for_finetuning")
+    ru = rh.import_ref("src.utils")
+    rof = rh.import_ref("src.optim_factory")
+    mf, _, _ = _ref_modules()
+    rh.install_shims()
+
+    MICRO, UPDATE_FREQ, B, NC = 24, 2, 4, 5
+    STEPS = MICRO // UPDATE_FREQ
+    DEPTH, DECAY, SMOOTH = 2, 0.95, 0.1
+    torch.manual_seed(6)
+    ref = mf.VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=DEPTH,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, init_scale=1.0,
+    ).train()
+    pth = tmp_path / "ref_vit.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    rng = np.random.default_rng(4)
+    vids = rng.normal(size=(MICRO, B, T, S, S, 3)).astype(np.float32) * 0.5
+    labels = rng.integers(0, NC, size=(MICRO, B))
+    lams = rng.uniform(0.2, 0.9, size=MICRO).astype(np.float32)
+    # host mixup pinned in numpy: x = lam·x + (1−lam)·x.flip(0) with timm's
+    # mixup_target smoothing (reference mixup.py:37-48 one_hot on/off)
+    off = SMOOTH / NC
+    on = 1.0 - SMOOTH + off
+    mixed = np.empty_like(vids)
+    soft = np.empty((MICRO, B, NC), np.float32)
+    for i in range(MICRO):
+        mixed[i] = lams[i] * vids[i] + (1 - lams[i]) * vids[i, ::-1]
+        y1 = np.full((B, NC), off, np.float32)
+        y1[np.arange(B), labels[i]] = on
+        y2 = np.full((B, NC), off, np.float32)
+        y2[np.arange(B), labels[i][::-1]] = on
+        soft[i] = lams[i] * y1 + (1 - lams[i]) * y2
+    mixed = rh.bf16_representable(mixed)
+
+    from unite_tpu.utils.schedules import cosine_scheduler
+
+    lr_tab = cosine_scheduler(5e-4, 1e-6, epochs=2, niter_per_ep=6,
+                              warmup_epochs=1, start_warmup_value=1e-6)
+    assert len(lr_tab) == STEPS
+
+    # ---- reference run ------------------------------------------------
+    assigner = rof.LayerDecayValueAssigner(
+        [0.65 ** (DEPTH + 1 - i) for i in range(DEPTH + 2)])
+    opt = rof.create_optimizer(
+        _opt_args(lr=5e-4), ref, skip_list=ref.no_weight_decay(),
+        get_num_layer=assigner.get_layer_id,
+        get_layer_scale=assigner.get_scale,
+    )
+    import timm.loss as tl
+    from timm.utils import ModelEma
+
+    criterion = tl.SoftTargetCrossEntropy()
+    ema = ModelEma(ref, decay=DECAY)
+    calls = {"n": 0}
+
+    def stub_mixup(samples, targets):
+        i = calls["n"]
+        calls["n"] += 1
+        return _to_torch_video(mixed[i]), torch.tensor(soft[i])
+
+    loader = [(_to_torch_video(vids[i]),
+               torch.tensor(labels[i], dtype=torch.long), None, None)
+              for i in range(MICRO)]
+    with rh.MeterTap(ru) as tap:
+        eff.train_one_epoch(
+            ref, criterion, loader, opt, torch.device("cpu"), 0,
+            rh.make_native_scaler(), max_norm=None, model_ema=ema,
+            mixup_fn=stub_mixup, start_steps=0, lr_schedule_values=lr_tab,
+            wd_schedule_values=None, num_training_steps_per_epoch=STEPS,
+            update_freq=UPDATE_FREQ, num_epochs=1,
+        )
+    ref_losses = tap.taps["loss"]
+    assert len(ref_losses) == MICRO
+    assert calls["n"] == MICRO
+
+    # ---- our run ------------------------------------------------------
+    import optax
+
+    from unite_tpu.engines.finetune import (
+        make_eval_step,
+        make_finetune_train_step,
+    )
+    from unite_tpu.models.vit import VisionTransformer
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+    from unite_tpu.train.train_state import TrainState
+
+    ours = VisionTransformer(
+        img_size=S, patch_size=16, num_classes=NC, embed_dim=48, depth=DEPTH,
+        num_heads=2, mlp_ratio=4, qkv_bias=True, all_frames=T,
+        tubelet_size=1, use_mean_pooling=True, norm_eps=1e-5,
+    )
+
+    class A:
+        finetune = str(pth)
+        model_key = "model|module"
+        nb_classes = NC
+        delete_head = False
+        input_size = S
+        patch_size = 16
+        num_frames = T
+        tubelet_size = 1
+        use_mean_pooling = True
+
+    params = ours.init(jax.random.PRNGKey(0),
+                       jnp.asarray(vids[0]))["params"]
+    params = load_finetune_ckpt(A, ours, params)
+    tx, _ = create_optimizer(
+        "adamw", lr=lr_tab, params=params, weight_decay=0.05,
+        betas=(0.9, 0.999), eps=1e-8, num_layers=DEPTH, layer_decay=0.65,
+    )
+    tx = optax.MultiSteps(tx, every_k_schedule=UPDATE_FREQ)
+    state = TrainState.create(params, tx, ema_decay=DECAY)
+    step = jax.jit(make_finetune_train_step(ours, ema_decay=DECAY))
+    our_losses = []
+    for i in range(MICRO):
+        batch = {"videos": jnp.asarray(mixed[i]),
+                 "labels": jnp.asarray(labels[i], dtype=jnp.int32),
+                 "soft_targets": jnp.asarray(soft[i])}
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, atol=5e-4, rtol=2e-3)
+
+    # EMA functional probe: identical eval forwards from the EMA weights
+    probe = rh.bf16_representable(
+        rng.normal(size=(2, T, S, S, 3)).astype(np.float32) * 0.5)
+    ema.ema.eval()
+    with torch.no_grad():
+        ref_logits = ema.ema(_to_torch_video(probe)).numpy()
+    ref_probs = np.exp(ref_logits - ref_logits.max(-1, keepdims=True))
+    ref_probs /= ref_probs.sum(-1, keepdims=True)
+    out = make_eval_step(ours, use_ema=True)(
+        state, {"videos": jnp.asarray(probe),
+                "labels": jnp.zeros((2,), jnp.int32)})
+    np.testing.assert_allclose(np.asarray(out["probs"]), ref_probs,
+                               atol=5e-4)
+
+
 class _FixedTeacher(torch.nn.Module):
     """Stage-3 teacher stub: returns precomputed (norm_clip, attn) per call
     so BOTH frameworks consume bit-identical attention (the real teachers'
@@ -311,13 +464,16 @@ class _FixedTeacher(torch.nn.Module):
         return torch.zeros(1, bt // T, T * N_PF, 24), a
 
 
-def test_stage3_engine_selection_and_loss_parity(tmp_path):
+@pytest.mark.parametrize("strategy", ["clip_matchORconf", "consORconf"])
+def test_stage3_engine_selection_and_loss_parity(tmp_path, strategy):
     """12 steps of the reference stage-3 loop (source CE + full/committee
-    student passes + clip_matchORconf selection + confidence-weighted
-    pseudo-label CE) vs our jitted selftrain step.  Teacher attention and
-    CLIP zero-shot similarities are injected identically on both sides;
-    asserts the loss curve AND the per-step selection diagnostics
-    (sel_ratio, precision/recall, match/conf rates) match."""
+    student passes + selection + confidence-weighted pseudo-label CE) vs
+    our jitted selftrain step.  Teacher attention and CLIP zero-shot
+    similarities are injected identically on both sides; asserts the loss
+    curve AND the per-step selection diagnostics (sel_ratio,
+    precision/recall, match/conf rates) match.  consORconf exercises the
+    committee VOTE path, which runs as a separate stop-gradient forward in
+    our step (engines/selftrain.py grad/vote split)."""
     rs3 = rh.import_ref("run_stage3")
     ru = rh.import_ref("src.utils")
     rof = rh.import_ref("src.optim_factory")
@@ -349,7 +505,7 @@ def test_stage3_engine_selection_and_loss_parity(tmp_path):
 
     # ---- reference run ------------------------------------------------
     args = types.SimpleNamespace(
-        log_freq=1, epochs=1, selection_strategy="clip_matchORconf",
+        log_freq=1, epochs=1, selection_strategy=strategy,
         return_aug_for_val=True, masking_type="clip_attention",
         use_cls_token=False, nb_classes=NC, clip_threshold=0.1,
         train_masked=True, conf_weighted_loss=True,
@@ -425,13 +581,15 @@ def test_stage3_engine_selection_and_loss_parity(tmp_path):
     state = TrainState.create(params, tx)
     step = jax.jit(make_selftrain_step(
         student, classifier, None, num_patches=N_PATCH, frames=T,
-        mask_ratio=MASK_RATIO, selection_strategy="clip_matchORconf",
+        mask_ratio=MASK_RATIO, selection_strategy=strategy,
         clip_threshold=0.1, conf_weighted_loss=True, train_masked=True,
         use_cls_token=False, nb_classes=NC, clip_input_resolution=S,
     ))
-    ours = {k: [] for k in ("loss", "loss_class_t", "sel_ratio",
-                            "correct_precision", "correct_recall",
-                            "match_select_rate", "conf_select_rate")}
+    keys = ["loss", "loss_class_t", "sel_ratio",
+            "correct_precision", "correct_recall"]
+    if strategy == "clip_matchORconf":
+        keys += ["match_select_rate", "conf_select_rate"]
+    ours = {k: [] for k in keys}
     for i in range(STEPS):
         batch = {
             "videos_s": jnp.asarray(vids_s[i]),
@@ -451,9 +609,11 @@ def test_stage3_engine_selection_and_loss_parity(tmp_path):
                                atol=5e-4, rtol=2e-3)
     # selection DECISIONS must match exactly (counts are discrete)
     np.testing.assert_allclose(ours["sel_ratio"], ref_sel, atol=1e-6)
-    np.testing.assert_allclose(ours["match_select_rate"], ref_match,
-                               atol=1e-6)
-    np.testing.assert_allclose(ours["conf_select_rate"], ref_conf, atol=1e-6)
+    if strategy == "clip_matchORconf":
+        np.testing.assert_allclose(ours["match_select_rate"], ref_match,
+                                   atol=1e-6)
+        np.testing.assert_allclose(ours["conf_select_rate"], ref_conf,
+                                   atol=1e-6)
     # precision is 0/0 = nan in the reference when nothing is selected
     # (run_stage3.py:595); ours defines it as 0 — compare where finite and
     # require the nan positions to be exactly the zero-selection steps

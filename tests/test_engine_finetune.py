@@ -71,6 +71,39 @@ def test_ema_tracks_params():
     np.testing.assert_allclose(e, 0.9 * p0 + 0.1 * p, atol=1e-6)
 
 
+def test_ema_updates_only_at_multisteps_boundary():
+    """timm ModelEma parity under grad accumulation: the reference updates
+    the EMA once per OPTIMIZER step (engine_for_finetuning.py:109-126);
+    with optax.MultiSteps the EMA must stay frozen on intermediate micro
+    steps (params are unchanged there — decaying toward them again would
+    compound decay^update_freq per optimizer step)."""
+    import optax
+
+    model = tiny_model()
+    batch = synthetic_batch(8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["videos"][:1]))["params"]
+    tx, _ = create_optimizer("sgd", lr=0.1, params=params, momentum=0.0)
+    tx = optax.MultiSteps(tx, every_k_schedule=2)
+    state = TrainState.create(params, tx, ema_decay=0.5)
+    step = make_finetune_train_step(model, ema_decay=0.5)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    p0 = np.asarray(state.params["head"]["kernel"])
+    # micro step 1: mid-accumulation — params AND ema unchanged
+    state1, _ = step(state, jb, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(state1.params["head"]["kernel"]), p0)
+    np.testing.assert_array_equal(
+        np.asarray(state1.ema_params["head"]["kernel"]), p0)
+    # micro step 2: boundary — params update, ema takes ONE decay step
+    state2, _ = step(state1, jb, jax.random.PRNGKey(1))
+    p2 = np.asarray(state2.params["head"]["kernel"])
+    assert not np.array_equal(p2, p0)
+    np.testing.assert_allclose(
+        np.asarray(state2.ema_params["head"]["kernel"]),
+        0.5 * p0 + 0.5 * p2, atol=1e-6)
+
+
 def test_eval_step_outputs():
     model = tiny_model()
     batch = synthetic_batch(8)

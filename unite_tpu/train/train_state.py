@@ -53,8 +53,17 @@ class TrainState(struct.PyTreeNode):
             )
         new_ema = self.ema_params
         if self.ema_params is not None and ema_decay is not None:
+            # timm ModelEma updates once per OPTIMIZER step — the reference
+            # gates model_ema.update(model) on the accumulation boundary
+            # (engine_for_finetuning.py:109-126). Under optax.MultiSteps the
+            # boundary is where mini_step wraps back to 0; on intermediate
+            # micro steps params are unchanged and the EMA must NOT decay
+            # toward them again (that would compound decay^update_freq).
+            decay = jnp.asarray(ema_decay, jnp.float32)
+            if isinstance(new_opt_state, optax.MultiStepsState):
+                decay = jnp.where(new_opt_state.mini_step == 0, decay, 1.0)
             new_ema = jax.tree.map(
-                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p.astype(e.dtype),
+                lambda e, p: e * decay + (1.0 - decay) * p.astype(e.dtype),
                 self.ema_params, new_params,
             )
         return self.replace(
