@@ -374,7 +374,10 @@ def bench_stage3(B=5, frames=8, img=224):
     passes + teacher attention + committee selection + pseudo-label CE):
     ``python bench.py --stage3 [B]``. B is the per-stream batch (reference
     stage3.sh: bs 5 source + 5 target per GPU). SOL counts source fwd+bwd,
-    target full fwd, k=2 masked fwd+bwd and the teacher forward."""
+    target full fwd, the grad committee member's masked fwd+bwd and the
+    teacher forward — under the shipped clip_matchORconf strategy the
+    vote-only committee members are dead compute (argmax never backprops;
+    engines/selftrain.py skips them), so they are not credited as work."""
     import flax.linen as nn
 
     from unite_tpu import create_model
@@ -433,7 +436,7 @@ def bench_stage3(B=5, frames=8, img=224):
     teacher_f = frames * 12 * block(hw + 1, 768)
     src = 3 * 12 * block(n_patch, 768)          # source fwd+bwd
     tgt_full = 12 * block(n_patch, 768)          # target full fwd (stop-grad)
-    committee = 2 * 3 * 12 * block(n_vis, 768)   # k=2 masked fwd+bwd
+    committee = 3 * 12 * block(n_vis, 768)       # grad member masked fwd+bwd
     fpc = teacher_f + src + tgt_full + committee  # per target+source PAIR
     sol = peak_bf16_flops() / fpc
     clips = B * iters / dt  # clip pairs/s

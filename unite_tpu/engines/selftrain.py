@@ -17,7 +17,13 @@ Components per step (all fused under jit):
   (:578-579, dead store), so pseudo-labels are ALWAYS the student's preds;
   replicated faithfully;
 * confidence-weighted pseudo-label CE on committee member k-1 when
-  ``train_masked`` (:599-616);
+  ``train_masked`` (:599-616). Member k-1's logits are the only committee
+  outputs with a non-zero gradient contribution (the other members feed
+  argmax votes, which cut the gradient), so member k-1 runs as its own grad
+  pass here while vote members run forward-only under stop_gradient — and
+  vote members are skipped entirely for strategies that never consume
+  sel_cons (including the shipped clip_matchORconf default): identical
+  outputs, fewer FLOPs than the reference's batched k-member grad pass;
 * diagnostics: sel_ratio, precision/recall vs ground truth, match/conf
   select+error rates (:593-597,676-703).
 
@@ -96,6 +102,21 @@ def make_selftrain_step(
     n_unmask_frame = patches_per_frame - int(patches_per_frame * mask_ratio)
     nv_committee = n_unmask_frame * frames
     k = committee_size
+    # Which committee forwards does THIS strategy actually consume?
+    # * member k-1's logits enter the pseudo-label CE iff train_masked
+    #   (run_stage3.py:599-616) — the only committee pass that needs grads;
+    # * members' argmax votes feed sel_cons, consumed only by the
+    #   cons-family strategies (:509-550). For the rest (incl. the shipped
+    #   clip_matchORconf default) those forwards affect no output at all
+    #   (argmax cuts the gradient; logits_masked_t_correct is a dead store
+    #   in the reference, :510-515), so they are skipped rather than
+    #   replicated: same outputs, fewer FLOPs.
+    needs_votes = selection_strategy in (
+        "cons", "consORconf", "consANDconf",
+        "consORclasswise-conf", "consANDclasswise-conf",
+    )
+    n_vote = (k - 1 if train_masked else k) if needs_votes else 0
+    needs_committee = train_masked or n_vote > 0
 
     from unite_tpu.engines.pretrain_umt import resize_for_teacher
 
@@ -111,24 +132,31 @@ def make_selftrain_step(
         b_t = videos_t.shape[0]
         drop_rng = jax.random.fold_in(rng, state.step)
 
-        if "attn" in batch:
-            # injection hook (mirrors stage-1's vis_idx): externally
-            # computed teacher attention for loss/selection parity checks
-            # against the reference engine given identical inputs
-            attn = batch["attn"]  # [B_t*T, HW]
-        else:
-            # teacher attention over AUGMENTED target clips
-            # (run_stage3.py:434-451)
-            clip_videos_t = resize_for_teacher(videos_t_aug,
-                                               clip_input_resolution)
-            _, attn = teacher.apply({"params": teacher_params}, clip_videos_t)
-            attn = jax.lax.stop_gradient(attn)  # [B_t*T, HW]
+        vis_idx_grad = vis_idx_vote = None
+        if needs_committee:
+            if "attn" in batch:
+                # injection hook (mirrors stage-1's vis_idx): externally
+                # computed teacher attention for loss/selection parity checks
+                # against the reference engine given identical inputs
+                attn = batch["attn"]  # [B_t*T, HW]
+            else:
+                # teacher attention over AUGMENTED target clips
+                # (run_stage3.py:434-451)
+                clip_videos_t = resize_for_teacher(videos_t_aug,
+                                                   clip_input_resolution)
+                _, attn = teacher.apply({"params": teacher_params},
+                                        clip_videos_t)
+                attn = jax.lax.stop_gradient(attn)  # [B_t*T, HW]
 
-        # committee visible-index sets (utils.py:89-120, :493-506)
-        masks = greedy_committee_masks(attn, mask_ratio, k)  # [k, B_t*T, HW]
-        masks_video = masks.reshape(k * b_t, -1)  # [(k B_t), T*HW]
-        vis_idx_committee = visible_indices(masks_video, nv_committee)
-        videos_tk = jnp.concatenate([videos_t_aug] * k, axis=0)
+            # committee visible-index sets (utils.py:89-120, :493-506):
+            # member k-1 = the grad (CE) member, members 0..k-2 vote-only
+            masks = greedy_committee_masks(attn, mask_ratio, k)  # [k,B_t*T,HW]
+            if train_masked:
+                vis_idx_grad = visible_indices(
+                    masks[-1].reshape(b_t, -1), nv_committee)
+            if n_vote:
+                vis_idx_vote = visible_indices(
+                    masks[:n_vote].reshape(n_vote * b_t, -1), nv_committee)
 
         def forward_parts(params):
             model_p, head_p = params["model"], params["classifier"]
@@ -147,12 +175,22 @@ def make_selftrain_step(
             # encoder stop-grad, classifier live (:480-483)
             feat_t = jax.lax.stop_gradient(encode_pool(videos_t))
             logits_full_t = head(feat_t)
-            logits_masked_t = head(encode_pool(videos_tk, vis_idx_committee))
-            logits_masked_t = logits_masked_t.reshape(k, b_t, -1)
-            return logits_full_s, logits_full_t, logits_masked_t
+            # grad member (k-1): the pseudo-label CE input (:599-616)
+            logits_grad_t = (head(encode_pool(videos_t_aug, vis_idx_grad))
+                             if train_masked else None)
+            # vote members: argmax only — forward under stop_gradient
+            logits_vote_t = None
+            if n_vote:
+                videos_tv = (jnp.concatenate([videos_t_aug] * n_vote, axis=0)
+                             if n_vote > 1 else videos_t_aug)
+                logits_vote_t = jax.lax.stop_gradient(
+                    head(encode_pool(videos_tv, vis_idx_vote))
+                ).reshape(n_vote, b_t, -1)
+            return logits_full_s, logits_full_t, logits_grad_t, logits_vote_t
 
         def loss_fn(params):
-            logits_full_s, logits_full_t, logits_masked_t = forward_parts(params)
+            (logits_full_s, logits_full_t,
+             logits_grad_t, logits_vote_t) = forward_parts(params)
             loss_class_s = cross_entropy(logits_full_s, labels_s)
 
             probs_full_t = jax.nn.softmax(
@@ -161,10 +199,19 @@ def make_selftrain_step(
             msp_t = probs_full_t.max(-1)
             preds_full_t = probs_full_t.argmax(-1)
 
-            # committee agreement with the full-video prediction (:505-519)
-            preds_masked = jax.lax.stop_gradient(logits_masked_t).argmax(-1)
-            votes = (preds_masked == preds_full_t[None, :]).sum(0)
-            sel_cons = votes >= k
+            sel_cons = None
+            if needs_votes:
+                # committee agreement with the full-video prediction
+                # (:505-519): all k members' preds, grad member included
+                parts = []
+                if logits_vote_t is not None:
+                    parts.append(logits_vote_t.argmax(-1))
+                if train_masked:
+                    parts.append(jax.lax.stop_gradient(
+                        logits_grad_t).argmax(-1)[None, :])
+                preds_masked = jnp.concatenate(parts, axis=0)  # [k, B_t]
+                votes = (preds_masked == preds_full_t[None, :]).sum(0)
+                sel_cons = votes >= k
             sel_conf = msp_t >= global_threshold
 
             diag = {}
@@ -180,9 +227,12 @@ def make_selftrain_step(
                                         "consANDclasswise-conf"):
                 th = batch["classwise_thresholds"]  # [nb_classes]
                 sel_cw = msp_t >= th[preds_full_t]
-                sel = {"classwise-conf": sel_cw,
-                       "consORclasswise-conf": sel_cw | sel_cons,
-                       "consANDclasswise-conf": sel_cw & sel_cons}[selection_strategy]
+                if selection_strategy == "classwise-conf":
+                    sel = sel_cw  # sel_cons is not computed for this one
+                elif selection_strategy == "consORclasswise-conf":
+                    sel = sel_cw | sel_cons
+                else:
+                    sel = sel_cw & sel_cons
             elif selection_strategy == "clip_only":
                 clip_sim = batch["clip_sim"]
                 sel = clip_sim.max(-1) >= global_threshold
@@ -208,7 +258,7 @@ def make_selftrain_step(
             # pseudo-labels are the student's full-video preds (:603-605 —
             # the most_conf_preds mix is dead-stored in the reference)
             ce_target = preds_full_t
-            ce_input = logits_masked_t[-1] if train_masked else logits_full_t
+            ce_input = logits_grad_t if train_masked else logits_full_t
             conf_w = msp_t if conf_weighted_loss else jnp.ones_like(msp_t)
             ce_t = cross_entropy(ce_input, ce_target, reduction="none")
             sel_f = sel.astype(jnp.float32)
