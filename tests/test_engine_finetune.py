@@ -84,7 +84,10 @@ def test_ema_updates_only_at_multisteps_boundary():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["videos"][:1]))["params"]
     tx, _ = create_optimizer("sgd", lr=0.1, params=params, momentum=0.0)
-    tx = optax.MultiSteps(tx, every_k_schedule=2)
+    # chain-wrap MultiSteps so it is NOT the outermost transform: the
+    # boundary detection must find it by opt-state traversal, not type
+    tx = optax.chain(optax.MultiSteps(tx, every_k_schedule=2),
+                     optax.identity())
     state = TrainState.create(params, tx, ema_decay=0.5)
     step = make_finetune_train_step(model, ema_decay=0.5)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}

@@ -60,8 +60,9 @@ class TrainState(struct.PyTreeNode):
             # micro steps params are unchanged and the EMA must NOT decay
             # toward them again (that would compound decay^update_freq).
             decay = jnp.asarray(ema_decay, jnp.float32)
-            if isinstance(new_opt_state, optax.MultiStepsState):
-                decay = jnp.where(new_opt_state.mini_step == 0, decay, 1.0)
+            ms = _find_multisteps_state(new_opt_state)
+            if ms is not None:
+                decay = jnp.where(ms.mini_step == 0, decay, 1.0)
             new_ema = jax.tree.map(
                 lambda e, p: e * decay + (1.0 - decay) * p.astype(e.dtype),
                 self.ema_params, new_params,
@@ -70,6 +71,22 @@ class TrainState(struct.PyTreeNode):
             step=self.step + 1, params=new_params, opt_state=new_opt_state,
             ema_params=new_ema,
         )
+
+
+def _find_multisteps_state(opt_state):
+    """Locate a MultiStepsState anywhere in the opt-state tree.
+
+    MultiSteps need not be the outermost transform (a chain/wrapper added
+    around it would hide it from an isinstance check and silently
+    reintroduce per-micro-step EMA decay); a structure walk is robust to
+    any nesting. Returns None when no accumulation is in play."""
+    hits = [
+        s for s in jax.tree.leaves(
+            opt_state,
+            is_leaf=lambda x: isinstance(x, optax.MultiStepsState))
+        if isinstance(s, optax.MultiStepsState)
+    ]
+    return hits[0] if hits else None
 
 
 def global_grad_norm(grads) -> jnp.ndarray:
