@@ -369,11 +369,13 @@ def bench_infer(B=16, frames=8, img=224):
     }))
 
 
-def bench_stage3(B=5, frames=8, img=224):
+def bench_stage3(B=8, frames=8, img=224):
     """Stage-3 self-training step (source CE + target full/masked student
     passes + teacher attention + committee selection + pseudo-label CE):
     ``python bench.py --stage3 [B]``. B is the per-stream batch (reference
-    stage3.sh: bs 5 source + 5 target per GPU). SOL counts source fwd+bwd,
+    stage3.sh ships bs 5 source + 5 target per GPU; the on-chip sweep
+    B=5/6/8/10 -> 52.4/58.0/59.3/58.3 pairs/s makes 8 the default here —
+    per-chip batch is a free knob on TPU). SOL counts source fwd+bwd,
     target full fwd, the grad committee member's masked fwd+bwd and the
     teacher forward — under the shipped clip_matchORconf strategy the
     vote-only committee members are dead compute (argmax never backprops;
@@ -673,7 +675,7 @@ if __name__ == "__main__":
         bench_stage2(int(pos[0]) if pos else 8, large=True)
     elif "--stage3" in sys.argv:
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_stage3(int(pos[0]) if pos else 5)
+        bench_stage3(int(pos[0]) if pos else 8)
     elif "--large" in sys.argv:
         # B=24 is the measured v5e sweet spot (16: 69.1, 24: 84.5, 32: 68.7
         # clips/s — repeatable, not tunnel noise)
