@@ -555,19 +555,20 @@ def bench_loader_host(B, workers, frames=8, img=224, iters=20,
     }))
 
 
-def main():
+def main(argv=None, workers=8):
     from unite_tpu import create_model
     from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState
 
-    argv, workers = _parse_workers(sys.argv[1:])
+    if argv is None:
+        argv, workers = _parse_workers(sys.argv[1:])
     args = [a for a in argv if not a.startswith("--")]
     # B=64 matches the reference's per-GPU batch (stage1.sh:23) and is the
     # fastest point of the measured scan (24: 217, 32: 219, 48: 229, 64: 234
     # clips/s on v5e)
     B = int(args[0]) if args else 64
-    loader_fed = "--loader" in sys.argv
+    loader_fed = "--loader" in argv
     frames, img, mask_ratio = 8, 224, 0.8
     n_patch = frames * (img // 16) ** 2
     n_vis = n_patch - int(n_patch * mask_ratio)
@@ -656,33 +657,30 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--loader-host" in sys.argv:
+    # consume --workers N FIRST so its value never leaks into the
+    # positional batch-size scan of any mode below
+    _argv, _workers = _parse_workers(sys.argv[1:])
+    _pos = [a for a in _argv if not a.startswith("--")]
+    if "--loader-host" in _argv:
         # pure host measurement: no TPU needed, do not probe the tunnel
-        argv, w = _parse_workers(sys.argv[1:])
-        pos = [a for a in argv if not a.startswith("--")]
-        bench_loader_host(int(pos[0]) if pos else 64, w,
-                          worker_mode="process" if "--procs" in argv
+        bench_loader_host(int(_pos[0]) if _pos else 64, _workers,
+                          worker_mode="process" if "--procs" in _argv
                           else "thread")
         sys.exit(0)
     _require_devices()
-    if "--check" in sys.argv:
+    if "--check" in _argv:
         sys.exit(check_kernels())
-    elif "--stage2" in sys.argv:
-        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_stage2(int(pos[0]) if pos else 8)
-    elif "--large2" in sys.argv:
-        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_stage2(int(pos[0]) if pos else 8, large=True)
-    elif "--stage3" in sys.argv:
-        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_stage3(int(pos[0]) if pos else 8)
-    elif "--large" in sys.argv:
+    elif "--stage2" in _argv:
+        bench_stage2(int(_pos[0]) if _pos else 8)
+    elif "--large2" in _argv:
+        bench_stage2(int(_pos[0]) if _pos else 8, large=True)
+    elif "--stage3" in _argv:
+        bench_stage3(int(_pos[0]) if _pos else 8)
+    elif "--large" in _argv:
         # B=24 is the measured v5e sweet spot (16: 69.1, 24: 84.5, 32: 68.7
         # clips/s — repeatable, not tunnel noise)
-        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_large(int(pos[0]) if pos else 24)
-    elif "--infer" in sys.argv:
-        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-        bench_infer(int(pos[0]) if pos else 16)
+        bench_large(int(_pos[0]) if _pos else 24)
+    elif "--infer" in _argv:
+        bench_infer(int(_pos[0]) if _pos else 16)
     else:
-        main()
+        main(_argv, _workers)

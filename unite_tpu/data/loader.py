@@ -36,9 +36,17 @@ from typing import Callable, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-# fork-inherited worker state: (dataset, collate_fn). Set in the PARENT
-# immediately before the pool forks so children see it without pickling.
+# fork-inherited worker state: (dataset, collate_fn). Bound per-pool via
+# Pool(initializer=..., initargs=...): under the fork start method initargs
+# are inherited by reference (never pickled), and capturing them at Pool
+# construction keeps two concurrently-forking loaders from serving each
+# other's dataset (a shared parent global would race).
 _WORKER_STATE = None
+
+
+def _init_worker(dataset, collate_fn):
+    global _WORKER_STATE
+    _WORKER_STATE = (dataset, collate_fn)
 
 
 def _load_batch_in_worker(batch_idx: Sequence[int]):
@@ -172,11 +180,10 @@ class DataLoader:
         # thread of a multi-threaded process (same stance as torch's
         # fork-based DataLoader); workers only run dataset/collate code,
         # which must not depend on parent thread state.
-        global _WORKER_STATE
-        _WORKER_STATE = (self.dataset, self.collate_fn)
         ctx = multiprocessing.get_context("fork")
         window = max(self.prefetch_batches, self.num_workers)
-        with ctx.Pool(self.num_workers) as pool:
+        with ctx.Pool(self.num_workers, initializer=_init_worker,
+                      initargs=(self.dataset, self.collate_fn)) as pool:
             futures = [pool.apply_async(_load_batch_in_worker, (b,))
                        for b in batches[:window]]
             next_submit = window

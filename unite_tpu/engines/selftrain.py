@@ -330,25 +330,33 @@ def compare_model_predictions(student_logits, clip_similarities, target):
     }
 
 
-def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False):
-    """Validation forward (run_stage3.py:714-787): full-vis encoder + head."""
+def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False,
+                             with_feats: bool = False):
+    """Validation forward (run_stage3.py:714-787): full-vis encoder + head.
+
+    ``with_feats``: also return the pooled encoder features (fp32 [B, width])
+    for the kNN representation probe — off by default so the per-epoch
+    validation and multi-view test hot paths don't materialize an output
+    nobody reads."""
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         x_vis, _ = student.apply(
             {"params": state.params["model"]},
             normalize_videos(batch["videos"]), None, False, True,
         )
+        pooled = pool_outputs(x_vis, use_cls_token)
         logits = classifier.apply(
-            {"params": state.params["classifier"]},
-            pool_outputs(x_vis, use_cls_token),
+            {"params": state.params["classifier"]}, pooled,
         )
         probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
         from unite_tpu.engines.losses import accuracy_topk
 
         acc1, acc5 = accuracy_topk(logits, batch["labels"])
-        feats = pool_outputs(x_vis, use_cls_token).astype(jnp.float32)
-        return {"probs": probs, "labels": batch["labels"], "acc1": acc1,
-                "acc5": acc5, "feats": feats,
-                "loss": cross_entropy(logits, batch["labels"])}
+        out = {"probs": probs, "labels": batch["labels"], "acc1": acc1,
+               "acc5": acc5,
+               "loss": cross_entropy(logits, batch["labels"])}
+        if with_feats:
+            out["feats"] = pooled.astype(jnp.float32)
+        return out
 
     return eval_step

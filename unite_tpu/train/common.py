@@ -384,6 +384,28 @@ def _pad_batch(batch: Dict, size: int) -> Dict:
     return out
 
 
+def _eval_batches(state, eval_step, loader, mesh, batch_size: int,
+                  out_key: str):
+    """Shared eval-loop body for run_validation/collect_features: pad each
+    host batch to ``batch_size``, shard, run ``eval_step``, and yield
+    ``(out[out_key] rows, labels, true_n)`` for this host's real rows.
+
+    _local_host_array, not np.asarray: with multi-host shard_batch the
+    step's outputs are data-sharded across processes and not fully
+    addressable; the local shard rows ARE this host's batch rows by
+    construction (make_array_from_process_local_data)."""
+    for batch in loader:
+        clips, labels = batch[0], batch[1]
+        true_n = np.asarray(clips).shape[0]
+        host = _pad_batch({"videos": clips, "labels": labels}, batch_size)
+        dev = pmesh.shard_batch(
+            {"videos": as_video_array(host["videos"]),
+             "labels": np.asarray(host["labels"], np.int32)}, mesh)
+        out = eval_step(state, dev)
+        yield (_local_host_array(out[out_key])[:true_n],
+               np.asarray(labels)[:true_n], true_n)
+
+
 def run_validation(state, eval_step, loader, mesh, batch_size: int,
                    header: str = "Val", save_preds_path: Optional[str] = None):
     """Padded-batch validation; gathers probs/labels for top1/5 + ECE
@@ -396,20 +418,8 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
     batch_size = per_host_batch(batch_size, pmesh.model_axis_size(mesh))  # pad to the loader's batch
     all_probs, all_labels = [], []
     loss_sum = n_total = 0.0
-    for batch in loader:
-        clips, labels = batch[0], batch[1]
-        true_n = np.asarray(clips).shape[0]
-        host = _pad_batch({"videos": clips, "labels": labels}, batch_size)
-        dev = pmesh.shard_batch(
-            {"videos": as_video_array(host["videos"]),
-             "labels": host["labels"].astype(np.int32)}, mesh)
-        out = eval_step(state, dev)
-        # _local_host_array, not np.asarray: with multi-host shard_batch the
-        # step's probs are data-sharded across processes and not fully
-        # addressable; the local shard rows ARE this host's batch rows by
-        # construction (make_array_from_process_local_data).
-        probs = _local_host_array(out["probs"])[:true_n]
-        labels_np = np.asarray(labels)[:true_n]
+    for probs, labels_np, true_n in _eval_batches(
+            state, eval_step, loader, mesh, batch_size, "probs"):
         all_probs.append(probs)
         all_labels.append(labels_np)
         # CE recomputed host-side from the SLICED probs: the in-step mean
@@ -460,16 +470,10 @@ def collect_features(state, eval_step, loader, mesh, batch_size: int,
     batch_size = per_host_batch(batch_size, pmesh.model_axis_size(mesh))  # pad to the loader's batch
     feats, labels = [], []
     n = 0
-    for batch in loader:
-        clips, lab = batch[0], batch[1]
-        true_n = np.asarray(clips).shape[0]
-        host = _pad_batch({"videos": clips, "labels": lab}, batch_size)
-        dev = pmesh.shard_batch(
-            {"videos": as_video_array(host["videos"]),
-             "labels": np.asarray(host["labels"], np.int32)}, mesh)
-        out = eval_step(state, dev)
-        feats.append(_local_host_array(out["feats"])[:true_n])
-        labels.append(np.asarray(lab)[:true_n])
+    for f, lab_np, true_n in _eval_batches(
+            state, eval_step, loader, mesh, batch_size, "feats"):
+        feats.append(f)
+        labels.append(lab_np)
         n += true_n
         if n >= max_videos:
             break
@@ -554,6 +558,11 @@ def save_epoch_stats(args, epoch: int, stats: Dict):
         log_stats({"epoch": epoch, **stats}, args.output_dir)
 
 
-def finish(start_time: float):
+def finish(start_time: float, wandb_logger=None):
+    if wandb_logger is not None:
+        # finalize the run (real wandb: flush + exit status; mirror mode:
+        # close the jsonl handle) — crashes before this point lose only
+        # buffered history, same as the reference's implicit atexit
+        wandb_logger.finish()
     total = time.time() - start_time
     print(f"Training time {datetime.timedelta(seconds=int(total))}")

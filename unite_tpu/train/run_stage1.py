@@ -279,7 +279,7 @@ def main(args):
             print(f"Preempted after epoch {epoch}; exiting")
             return
     ckpt_io.wait()
-    common.finish(start)
+    common.finish(start, wb)
 
 
 if __name__ == "__main__":

@@ -335,7 +335,7 @@ def main(args):
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
         args.output_dir)
     common.save_epoch_stats(args, args.epochs, test_stats)
-    common.finish(start)
+    common.finish(start, wb)
 
 
 if __name__ == "__main__":

@@ -247,7 +247,7 @@ def main(args):
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
             args.output_dir)
         common.save_epoch_stats(args, args.epochs, test_stats)
-        common.finish(start)
+        common.finish(start, wb)
         return
 
     if args.pseudolabel_threshold > 0:
@@ -280,7 +280,11 @@ def main(args):
                 "reference, run_stage3.py:556-593)."
             )
 
-    if args.initial_validation:
+    # skip on resume (start_epoch/skip0 > 0): a preemption restart must not
+    # replay the full pre-adaptation val pass — and the weights are no
+    # longer pre-adaptation, so re-dumping save_preds_path/'initial' would
+    # mislabel the analysis artifact
+    if args.initial_validation and start_epoch == 0 and skip0 == 0:
         common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
             header="Initial val",
@@ -289,12 +293,15 @@ def main(args):
         if args.knn_eval:
             # representation-quality probe: source-train features classify
             # target-val videos (utils/knn.py — the reference's intended
-            # src.knn surface)
+            # src.knn surface). Separate feats-returning step so the
+            # regular eval path never materializes features.
+            feats_fn = jax.jit(make_selftrain_eval_step(
+                student, classifier, args.use_cls_token, with_feats=True))
             knn_src = common.make_loader(ds_source, args,
                                          args.batch_size_val, shuffle=False,
                                          drop_last=False)
             common.run_knn_probe(
-                state, eval_fn, knn_src, val_loader, mesh,
+                state, feats_fn, knn_src, val_loader, mesh,
                 args.batch_size_val, args.nb_classes, k=args.knn_k,
                 max_videos=args.knn_max_videos)
 
@@ -406,7 +413,7 @@ def main(args):
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
         args.output_dir)
     common.save_epoch_stats(args, args.epochs, test_stats)
-    common.finish(start)
+    common.finish(start, wb)
 
 
 if __name__ == "__main__":
