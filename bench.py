@@ -327,11 +327,12 @@ def bench_stage2(B=8, frames=8, img=224, large=False):
     }))
 
 
-def bench_infer(B=16, frames=8, img=224):
+def bench_infer(B=64, frames=8, img=224):
     """Serving path: the jitted eval step (full-sequence ViT-B forward +
     softmax, engines/finetune.py make_eval_step — the same step final_test
     and validation run per view). ``python bench.py --infer [B]``. SOL from
-    the forward-only FLOPs (no 3x backward factor)."""
+    the forward-only FLOPs (no 3x backward factor). Default B=64 is the
+    measured v5e sweet spot (16: 345.9, 32: 358.7, 64: 366.1 views/s)."""
     from unite_tpu import create_model
     from unite_tpu.engines.finetune import make_eval_step
     from unite_tpu.train.train_state import TrainState
@@ -681,6 +682,6 @@ if __name__ == "__main__":
         # clips/s — repeatable, not tunnel noise)
         bench_large(int(_pos[0]) if _pos else 24)
     elif "--infer" in _argv:
-        bench_infer(int(_pos[0]) if _pos else 16)
+        bench_infer(int(_pos[0]) if _pos else 64)
     else:
         main(_argv, _workers)
