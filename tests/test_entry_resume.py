@@ -104,6 +104,21 @@ def _stage2_args(tmp_path, output_dir, epochs):
     return args
 
 
+def test_stage2_eval_mode_records_test_stats(tmp_path):
+    """--eval runs ONLY the multi-view final_test + merge and records the
+    merged accuracies to log.txt + the wandb sink, matching the reference's
+    eval branch (run_stage2.py:685-700)."""
+    from unite_tpu.train.run_stage2 import main
+
+    args = _stage2_args(tmp_path, tmp_path / "ev", 1)
+    args.eval = True
+    args.disable_wandb = False
+    main(args)
+    rec = json.loads(open(tmp_path / "ev" / "log.txt").readline())
+    assert "test_acc1" in rec and "test_acc5" in rec
+    assert "test/acc1" in open(tmp_path / "ev" / "wandb.jsonl").read()
+
+
 @pytest.mark.slow
 def test_stage2_resume_bitwise(tmp_path):
     from unite_tpu.train import common

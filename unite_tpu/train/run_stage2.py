@@ -223,11 +223,17 @@ def main(args):
     if args.eval:
         # protocol parity: the reference's eval mode runs ONLY the
         # multi-view final_test + merge and exits (run_stage2.py:685-700);
-        # its per-epoch validation (:784-785) never runs under --eval
+        # its per-epoch validation (:784-785) never runs under --eval. It
+        # does record the merged accuracies to log.txt + wandb (:694-699).
         stats = common.run_final_test(
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
             args.output_dir)
         print(stats)
+        common.save_epoch_stats(args, args.epochs, stats)
+        if wb is not None and stats:
+            wb.log({"test/acc1": stats["test_acc1"],
+                    "test/acc5": stats["test_acc5"]})
+        common.finish(start, wb)
         return
 
     def batches(epoch):
