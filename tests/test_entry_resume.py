@@ -119,6 +119,22 @@ def test_stage2_eval_mode_records_test_stats(tmp_path):
     assert "test/acc1" in open(tmp_path / "ev" / "wandb.jsonl").read()
 
 
+def test_stage2_wandb_epoch_surface(tmp_path):
+    """A full 1-epoch stage-2 run mirrors the reference's wandb surface:
+    per-epoch train/accuracy + train/epoch (run_stage2.py:770-775), val/*
+    incl. ece (:786-790), final test/acc1-5 (:846-847), plus the per-step
+    train/* stream."""
+    from unite_tpu.train.run_stage2 import main
+
+    args = _stage2_args(tmp_path, tmp_path / "wsf", 1)
+    args.disable_wandb = False
+    main(args)
+    wtxt = open(tmp_path / "wsf" / "wandb.jsonl").read()
+    for key in ("train/accuracy", "train/epoch", "val/acc1", "val/ece",
+                "test/acc1", "train/loss"):
+        assert key in wtxt, key
+
+
 @pytest.mark.slow
 def test_stage2_resume_bitwise(tmp_path):
     from unite_tpu.train import common
@@ -186,9 +202,14 @@ def test_stage1_resume_bitwise(tmp_path):
         args.seed = 5
         return args
 
-    main(make_args(tmp_path / "a", 3))
+    a_args = make_args(tmp_path / "a", 3)
+    a_args.disable_wandb = False
+    main(a_args)
     ref = _read_epoch_stats(str(tmp_path / "a"))
     assert set(ref) == {0, 1, 2}
+    # wandb surface: per-step train/* + per-epoch marker (run_stage1.py:901)
+    wtxt = open(tmp_path / "a" / "wandb.jsonl").read()
+    assert '"epoch"' in wtxt and "train/loss" in wtxt
 
     orig = common.save_epoch_stats
 

@@ -120,7 +120,14 @@ def test_stage3_entry_smoke_with_escape_hatch(tmp_path):
     main(_stage3_args(tmp_path, selection_strategy="clip_matchORconf",
                       allow_uniform_clip=True, save_preds_path=preds_dir,
                       initial_validation=True, knn_eval=True,
-                      knn_max_videos=8))
+                      knn_max_videos=8, disable_wandb=False))
+    # reference wandb surface: pre-adaptation (run_stage3.py:1299),
+    # per-epoch val + epoch marker (:1351,:1384), final test (:1413),
+    # per-step train/* (:685-703) — all mirrored to wandb.jsonl
+    wtxt = open(os.path.join(str(tmp_path / "out"), "wandb.jsonl")).read()
+    for key in ("pre-adaptation/acc1", "val/acc1", "\"epoch\"",
+                "test/acc1", "train/loss"):
+        assert key in wtxt, key
     for sub in ("initial", "epoch0"):
         for name in ("preds.npy", "labels.npy", "probs.npy"):
             path = os.path.join(preds_dir, sub, name)

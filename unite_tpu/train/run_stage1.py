@@ -274,6 +274,8 @@ def main(args):
                                      args=vars(args), tags=tags)
         common.save_epoch_stats(
             args, epoch, {f"train_{k}": v for k, v in stats.items()})
+        if wb is not None:
+            wb.log({"epoch": epoch})  # epoch marker (run_stage1.py:901)
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()
             print(f"Preempted after epoch {epoch}; exiting")

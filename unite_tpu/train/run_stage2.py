@@ -305,12 +305,20 @@ def main(args):
                                       done, len(loader), args.save_ckpt):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
+        if wb is not None:
+            # per-epoch train accuracy marker (run_stage2.py:770-775;
+            # class_acc is absent under mixup, logged as None there too)
+            wb.log({"train/accuracy": stats.get("class_acc"),
+                    "train/epoch": epoch})
         if (not args.disable_eval_during_finetuning
                 and (epoch + 1) % args.eval_freq == 0):
             val_stats = common.run_validation(
                 state, eval_fn, val_loader, mesh, args.batch_size_val,
                 header=f"Val [{epoch}]")
             epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
+            if wb is not None and val_stats:
+                # val/acc1, val/acc5, val/ece, val/loss (run_stage2.py:786-790)
+                wb.log({f"val/{k}": v for k, v in val_stats.items()})
             if args.save_ckpt and val_stats.get("acc1", -1) > best_acc:
                 best_acc = val_stats["acc1"]
                 ckpt_io.save_train_state(args.output_dir, epoch, state,
@@ -341,6 +349,10 @@ def main(args):
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
         args.output_dir)
     common.save_epoch_stats(args, args.epochs, test_stats)
+    if wb is not None and test_stats:
+        # final merged accuracies (run_stage2.py:846-847)
+        wb.log({"test/acc1": test_stats["test_acc1"],
+                "test/acc5": test_stats["test_acc5"]})
     common.finish(start, wb)
 
 

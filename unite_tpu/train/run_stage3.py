@@ -247,6 +247,9 @@ def main(args):
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
             args.output_dir)
         common.save_epoch_stats(args, args.epochs, test_stats)
+        if wb is not None and test_stats:
+            wb.log({"test/acc1": test_stats["test_acc1"],
+                    "test/acc5": test_stats["test_acc5"]})
         common.finish(start, wb)
         return
 
@@ -285,11 +288,16 @@ def main(args):
     # longer pre-adaptation, so re-dumping save_preds_path/'initial' would
     # mislabel the analysis artifact
     if args.initial_validation and start_epoch == 0 and skip0 == 0:
-        common.run_validation(
+        init_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
             header="Initial val",
             save_preds_path=(os.path.join(args.save_preds_path, "initial")
                              if args.save_preds_path else None))
+        if wb is not None and init_stats:
+            # pre-adaptation accuracy of the source-only model
+            # (run_stage3.py:1298-1299)
+            wb.log({"pre-adaptation/acc1": init_stats["acc1"],
+                    "pre-adaptation/acc5": init_stats["acc5"]})
         if args.knn_eval:
             # representation-quality probe: source-train features classify
             # target-val videos (utils/knn.py — the reference's intended
@@ -384,6 +392,12 @@ def main(args):
             save_preds_path=(os.path.join(args.save_preds_path, f"epoch{epoch}")
                              if args.save_preds_path else None))
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
+        if wb is not None:
+            if val_stats:
+                # run_stage3.py:1350-1351
+                wb.log({"val/acc1": val_stats["acc1"],
+                        "val/acc5": val_stats["acc5"]})
+            wb.log({"epoch": epoch})  # epoch marker (run_stage3.py:1384)
         if val_stats.get("acc1", -1) > best_acc:
             best_acc = val_stats["acc1"]
             if saving:
@@ -413,6 +427,10 @@ def main(args):
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
         args.output_dir)
     common.save_epoch_stats(args, args.epochs, test_stats)
+    if wb is not None and test_stats:
+        # final merged accuracies (run_stage3.py:1412-1413)
+        wb.log({"test/acc1": test_stats["test_acc1"],
+                "test/acc5": test_stats["test_acc5"]})
     common.finish(start, wb)
 
 
