@@ -131,7 +131,10 @@ def test_stage2_wandb_epoch_surface(tmp_path):
     main(args)
     wtxt = open(tmp_path / "wsf" / "wandb.jsonl").read()
     for key in ("train/accuracy", "train/epoch", "val/acc1", "val/ece",
-                "test/acc1", "train/loss"):
+                "test/acc1", "train/loss",
+                # schedule meters (run_stage2's engine logs lr/min_lr/wd per
+                # window, engine_for_finetuning.py:143-151)
+                "train/lr", "train/min_lr", "train/weight_decay"):
         assert key in wtxt, key
 
 

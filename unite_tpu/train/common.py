@@ -147,6 +147,34 @@ def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
     return lr_tab, wd_tab, lr
 
 
+def make_sched(lr_tab, wd_tab, offset: int, groups: Optional[Dict] = None,
+               every_k: int = 1):
+    """Schedule-meter context for ``train_one_epoch(sched=...)``.
+
+    ``offset``: global OPTIMIZER-step index of this epoch's first batch
+    (epoch·niter_per_ep, plus skipped steps on a mid-epoch resume).
+    ``every_k``: batches per optimizer step (grad accumulation), mapping
+    train_one_epoch's batch counter onto the tables' step axis.
+    ``groups``: the create_optimizer group table; its lr_scales give the
+    reference's max/min per-group LR (run_stage1.py:460-467 iterates
+    optimizer.param_groups; frozen scale-0 groups are excluded there by
+    requires_grad, so exclude them here too)."""
+    scales = [g["lr_scale"] for g in (groups or {}).values()
+              if g["lr_scale"] > 0] or [1.0]
+    return {"lr_tab": np.asarray(lr_tab), "wd_tab": np.asarray(wd_tab),
+            "offset": int(offset), "every_k": max(1, int(every_k)),
+            "max_scale": float(max(scales)), "min_scale": float(min(scales))}
+
+
+def _sched_values(sched: Dict, step_i: int) -> Dict:
+    g = sched["offset"] + step_i // sched["every_k"]
+    base = float(sched["lr_tab"][min(g, len(sched["lr_tab"]) - 1)])
+    return {"lr": base * sched["max_scale"],
+            "min_lr": base * sched["min_scale"],
+            "weight_decay": float(
+                sched["wd_tab"][min(g, len(sched["wd_tab"]) - 1)])}
+
+
 def resume_position(payload, default_start_epoch: int = 0):
     """(start_epoch, epoch_step) from a restored checkpoint payload.
 
@@ -254,6 +282,7 @@ def train_one_epoch(
     wandb_logger=None,
     array_sink: Optional[Dict] = None,
     preempt_guard: Optional[PreemptionGuard] = None,
+    sched: Optional[Dict] = None,
 ):
     """Host loop around the jitted step (engine train_one_epoch frame).
 
@@ -266,6 +295,11 @@ def train_one_epoch(
     local shards at epoch end) so collection neither blocks the async
     dispatch chain per step nor tries to np.asarray a multi-host-sharded
     value. Without a sink, array metrics are dropped.
+
+    ``sched`` (see ``make_sched``): host-side schedule tables; adds the
+    reference's lr/min_lr/weight_decay meters to each log window
+    (run_stage1.py:460-476,489-496) without any device read — the values
+    come from the same tables the optimizer was built from.
     """
     logger = metric_logger or MetricLogger()
     rng = rng if rng is not None else jax.random.PRNGKey(epoch)
@@ -301,6 +335,8 @@ def train_one_epoch(
                 host["clips_per_sec_chip"] = window_clips / max(dt, 1e-9) / n_chips
             window_t0 = time.time()
             window_clips = 0
+            if sched is not None:
+                host.update(_sched_values(sched, step_i))
             logger.update(**host)
             if tb_logger is not None:
                 tb_logger.update(head="train", step=step_i, **host)
@@ -318,6 +354,8 @@ def train_one_epoch(
         if not np.isfinite(host["loss"]):
             raise FloatingPointError(
                 f"Loss is {host['loss']}, stopping training")
+        if sched is not None:
+            host.update(_sched_values(sched, step_i - 1))
         logger.update(**host)
         last_metrics = host
     if preempt_guard is not None:

@@ -174,7 +174,7 @@ def main(args):
     lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
                                                args.num_sample)
     print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
-    tx, _ = create_optimizer(
+    tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=sp, weight_decay=wd_tab,
         betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
     )
@@ -258,6 +258,10 @@ def main(args):
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
             wandb_logger=wb, preempt_guard=guard,
+            sched=common.make_sched(
+                lr_tab, wd_tab,
+                epoch * niter_per_ep + (skip0 if epoch == start_epoch else 0),
+                opt_groups),
         )
         # checkpoints_enabled gates ALL writes (run_stage1.py:880; the
         # reference YAML ships false and stage1.sh re-enables it)

@@ -155,16 +155,22 @@ def main(args):
                                                args.num_sample)
     print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
 
+    opt_groups = {}
+
     def build_tx(lp_phase: bool):
         tmask = trainable_mask(args, params, lp_phase=lp_phase)
         tx, groups = create_optimizer(
             args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
             betas=tuple(args.opt_betas), eps=args.opt_eps,
             momentum=args.momentum,
-            num_layers=12 if "base" in args.model else 24,
+            # the reference uses the model's own depth (run_stage2.py:615
+            # model.get_num_layers()), not a name heuristic
+            num_layers=model.depth,
             layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
             trainable_mask=tmask,
         )
+        opt_groups.clear()
+        opt_groups.update(groups)  # current phase's groups (meter scales)
         if args.update_freq > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
         return tx
@@ -297,6 +303,11 @@ def main(args):
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
             wandb_logger=wb, preempt_guard=guard,
+            sched=common.make_sched(
+                lr_tab, wd_tab,
+                epoch * niter_per_ep
+                + (skip0 // args.update_freq if epoch == start_epoch else 0),
+                opt_groups, every_k=args.update_freq),
         )
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
         # done counts batches; MultiSteps' mid-accumulation state is part

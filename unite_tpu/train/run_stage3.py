@@ -185,7 +185,7 @@ def main(args):
     # it receives gradients. Freeze it identically here.
     tmask = {"model": jax.tree.map(lambda _: True, sp),
              "classifier": jax.tree.map(lambda _: False, hp)}
-    tx, _ = create_optimizer(
+    tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
         betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
         trainable_mask=tmask,
@@ -352,6 +352,10 @@ def main(args):
             profile_dir=args.profile_dir or None, tb_logger=tb,
             wandb_logger=wb,
             array_sink=arrays, preempt_guard=guard,
+            sched=common.make_sched(
+                lr_tab, wd_tab,
+                epoch * niter_per_ep + (skip0 if epoch == start_epoch else 0),
+                opt_groups),
         )
         # checkpoints_enabled gates ALL writes (run_stage3.py:1359; NOTE the
         # reference YAML ships false and its stage3.sh never re-enables it —
