@@ -115,3 +115,27 @@ def test_wandb_offline_sink(tmp_path):
 
     args.output_dir = str(tmp_path / "scrap_run")
     assert maybe_wandb(args) is None  # 'scrap' in output_dir disables
+
+
+def test_device_peak_mem_meter(monkeypatch, capsys):
+    """The log line appends 'max mem' where the backend exposes memory
+    stats (the reference's CUDA max_memory_allocated analogue,
+    utils.py:338-352) and omits it cleanly where it doesn't (CPU, axon
+    tunnel returns None)."""
+    import types
+
+    import jax
+
+    from unite_tpu.utils import metrics as M
+
+    assert M._device_peak_mb() is None  # CPU backend has no stats
+
+    fake = types.SimpleNamespace(
+        memory_stats=lambda: {"peak_bytes_in_use": 64 * 1024 * 1024})
+    monkeypatch.setattr(jax, "local_devices", lambda: [fake])
+    assert M._device_peak_mb() == 64.0
+    lg = M.MetricLogger()
+    for _ in lg.log_every(range(2), 1, "H:"):
+        lg.update(loss=1.0)
+    out = capsys.readouterr().out
+    assert "max mem: 64MB" in out

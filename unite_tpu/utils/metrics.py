@@ -22,6 +22,23 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 
+def _device_peak_mb() -> Optional[float]:
+    """Peak HBM bytes-in-use of local device 0 in MB — the TPU analogue of
+    the reference's torch.cuda.max_memory_allocated log entry
+    (utils.py:338-352). Returns None where the backend exposes no memory
+    stats (CPU) so the log line stays clean there."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if not stats:
+            return None
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return None if peak is None else peak / (1024 * 1024)
+    except Exception:
+        return None
+
+
 class SmoothedValue:
     """Track a series of values; expose window-smoothed and global stats."""
 
@@ -122,6 +139,7 @@ class MetricLogger:
         end = time.time()
         iter_time = SmoothedValue(fmt="{avg:.4f}")
         data_time = SmoothedValue(fmt="{avg:.4f}")
+        mem_fmt = _device_peak_mb()  # None on backends without stats (CPU)
         try:
             total = len(iterable)
         except TypeError:
@@ -135,18 +153,21 @@ class MetricLogger:
                 if total:
                     eta_seconds = iter_time.global_avg * (total - i)
                     eta = str(datetime.timedelta(seconds=int(eta_seconds)))
-                    print(
-                        self.delimiter.join(
-                            [
-                                header,
-                                ("[{0" + space_fmt + "}/{1}]").format(i, total),
-                                f"eta: {eta}",
-                                str(self),
-                                f"time: {iter_time}",
-                                f"data: {data_time}",
-                            ]
-                        )
-                    )
+                    parts = [
+                        header,
+                        ("[{0" + space_fmt + "}/{1}]").format(i, total),
+                        f"eta: {eta}",
+                        str(self),
+                        f"time: {iter_time}",
+                        f"data: {data_time}",
+                    ]
+                    if mem_fmt is not None:
+                        # the reference appends CUDA max_memory_allocated
+                        # (utils.py:338-352); HBM peak is the TPU analogue
+                        mem = _device_peak_mb()
+                        if mem is not None:
+                            parts.append(f"max mem: {mem:.0f}MB")
+                    print(self.delimiter.join(parts))
                 else:
                     print(self.delimiter.join([header, f"[{i}]", str(self)]))
             i += 1
