@@ -277,7 +277,8 @@ def main(args):
             ckpt_io.save_train_state(args.output_dir, epoch, state,
                                      args=vars(args), tags=tags)
         common.save_epoch_stats(
-            args, epoch, {f"train_{k}": v for k, v in stats.items()})
+            args, epoch, {**{f"train_{k}": v for k, v in stats.items()},
+                          "n_parameters": nparams})  # run_stage1.py:894-898
         if wb is not None:
             wb.log({"epoch": epoch})  # epoch marker (run_stage1.py:901)
         if guard.triggered:  # preempted exactly at an epoch boundary

@@ -316,6 +316,7 @@ def main(args):
                                       done, len(loader), args.save_ckpt):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
+        epoch_stats["n_parameters"] = nparams  # run_stage2.py:806-812
         if wb is not None:
             # per-epoch train accuracy marker (run_stage2.py:770-775;
             # class_acc is absent under mixup, logged as None there too)

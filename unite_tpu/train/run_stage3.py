@@ -368,6 +368,7 @@ def main(args):
                                       done, niter_per_ep, saving):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
+        epoch_stats["n_parameters"] = nparams  # run_stage3.py:1374-1380
         if "clip_preds_t" in arrays:
             # student-vs-CLIP agreement table (run_stage3.py:789-817)
             from unite_tpu.engines.selftrain import compare_model_predictions
