@@ -379,6 +379,31 @@ def test_loader_process_workers_propagate_errors(anno_file):
         list(loader)
 
 
+def test_loader_process_worker_death_raises_not_hangs(anno_file):
+    """A worker killed mid-task (the segfault/OOM-kill analogue: os._exit)
+    must surface as BrokenProcessPool instead of blocking .result()
+    forever — multiprocessing.Pool replaces the dead worker but never
+    completes its in-flight task, which is why the loader uses
+    ProcessPoolExecutor."""
+    import os as _os
+
+    from concurrent.futures.process import BrokenProcessPool
+
+    class Die:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                _os._exit(1)
+            return np.zeros((2, 2), np.float32), 0
+
+    loader = DataLoader(Die(), batch_size=4, num_workers=2,
+                        worker_mode="process")
+    with pytest.raises(BrokenProcessPool):
+        list(loader)
+
+
 def test_loader_rejects_unknown_worker_mode(anno_file):
     with pytest.raises(ValueError, match="worker_mode"):
         DataLoader([1, 2], batch_size=1, worker_mode="greenlet")

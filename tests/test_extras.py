@@ -125,6 +125,25 @@ def test_set_schedule_count():
     np.testing.assert_allclose(float(-updates["w"][0, 0]), 0.01, rtol=1e-6)
 
 
+def test_sched_values_mid_accumulation_phase():
+    """Schedule meters on a mid-accumulation resume: make_sched(phase=
+    skip0 % k) must index the tables by floor((skip0 + step_i)/k) — the
+    reference's it = start_steps + data_iter_step // update_freq
+    (engine_for_finetuning.py:71-74) — not floor(skip0/k) + floor(step_i/k),
+    which lags one optimizer step whenever skip0 % k != 0."""
+    from unite_tpu.train import common
+
+    tab = np.arange(10, dtype=np.float64)
+    k = 2
+    full = common.make_sched(tab, tab, 0, every_k=k)
+    want = [common._sched_values(full, i)["lr"] for i in range(6)]
+    skip0 = 3  # preempted mid-window: one batch into optimizer step 1
+    resumed = common.make_sched(tab, tab, skip0 // k, every_k=k,
+                                phase=skip0 % k)
+    got = [common._sched_values(resumed, i)["lr"] for i in range(3)]
+    assert got == want[skip0:]
+
+
 def test_clip_text_transformer_shapes():
     from unite_tpu.models.clip_text import CLIPTextTransformer
 

@@ -31,14 +31,14 @@ from __future__ import annotations
 import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 # fork-inherited worker state: (dataset, collate_fn). Bound per-pool via
-# Pool(initializer=..., initargs=...): under the fork start method initargs
-# are inherited by reference (never pickled), and capturing them at Pool
+# the executor's initializer/initargs: under the fork start method initargs
+# are inherited by reference (never pickled), and capturing them at pool
 # construction keeps two concurrently-forking loaders from serving each
 # other's dataset (a shared parent global would race).
 _WORKER_STATE = None
@@ -180,18 +180,26 @@ class DataLoader:
         # thread of a multi-threaded process (same stance as torch's
         # fork-based DataLoader); workers only run dataset/collate code,
         # which must not depend on parent thread state.
+        # ProcessPoolExecutor, NOT multiprocessing.Pool: Pool transparently
+        # replaces a crashed worker but never completes its in-flight task,
+        # so .get() on that AsyncResult blocks forever — a segfaulting/OOM-
+        # killed worker would hang training silently. PPE marks every
+        # pending future BrokenProcessPool instead, surfacing the failure
+        # like thread mode does. Fork-context initargs are still inherited
+        # by reference (never pickled).
         ctx = multiprocessing.get_context("fork")
         window = max(self.prefetch_batches, self.num_workers)
-        with ctx.Pool(self.num_workers, initializer=_init_worker,
-                      initargs=(self.dataset, self.collate_fn)) as pool:
-            futures = [pool.apply_async(_load_batch_in_worker, (b,))
+        with ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx, initializer=_init_worker,
+                initargs=(self.dataset, self.collate_fn)) as pool:
+            futures = [pool.submit(_load_batch_in_worker, b)
                        for b in batches[:window]]
             next_submit = window
             for i in range(len(batches)):
-                yield futures[i % window].get()
+                yield futures[i % window].result()
                 if next_submit < len(batches):
-                    futures[next_submit % window] = pool.apply_async(
-                        _load_batch_in_worker, (batches[next_submit],)
+                    futures[next_submit % window] = pool.submit(
+                        _load_batch_in_worker, batches[next_submit]
                     )
                     next_submit += 1
 

@@ -110,7 +110,12 @@ def make_selftrain_step(
     #   clip_matchORconf default) those forwards affect no output at all
     #   (argmax cuts the gradient; logits_masked_t_correct is a dead store
     #   in the reference, :510-515), so they are skipped rather than
-    #   replicated: same outputs, fewer FLOPs.
+    #   replicated: same outputs, fewer FLOPs. "Same outputs" is exact for
+    #   deterministic/zero-drop configs (the parity tests); with
+    #   drop_path > 0 splitting the old single [k·B]-row committee forward
+    #   into grad + vote forwards redraws the stochastic-depth pattern per
+    #   part — a different but equally valid realization of the same
+    #   distribution, not a behavioral difference.
     needs_votes = selection_strategy in (
         "cons", "consORconf", "consANDconf",
         "consORclasswise-conf", "consANDclasswise-conf",

@@ -117,13 +117,15 @@ def _flash_qblock(s: int, block_q: int):
     The 224 floor is the measured v5e sweet spot; an explicit
     UNITE_FLASH_BQ override wins in BOTH directions (without this a
     below-224 override — e.g. to shrink VMEM at a new length — was
-    silently ignored)."""
-    target = block_q if os.environ.get("UNITE_FLASH_BQ") \
-        else max(block_q, 224)
-    bq = _divisor_block(s, target)
+    silently ignored). The env VALUE is read here at trace time (not the
+    import-time ``block_q`` default) so setting it after import behaves
+    the same as setting it before."""
+    env = os.environ.get("UNITE_FLASH_BQ")
+    bq_eff = int(env) if env else block_q  # effective knob value
+    bq = _divisor_block(s, bq_eff if env else max(bq_eff, 224))
     if bq >= 64:
         return s, bq
-    m = max(block_q, 128)
+    m = max(bq_eff, 128)  # pad fallback keeps the RAW knob (577 → 640/128)
     s_pad = _round_up(s, m)
     bq = _divisor_block(s_pad, m)
     if bq == 0:
@@ -134,6 +136,13 @@ def _flash_qblock(s: int, block_q: int):
         s_pad = _round_up(s, m)
         bq = _divisor_block(s_pad, m)
     return s_pad, bq
+
+
+def _flash_kblock_target(block_k: int) -> int:
+    # 160 floor measured on v5e; an explicit UNITE_FLASH_BK override wins
+    # in both directions and is read at trace time (see _flash_qblock).
+    env = os.environ.get("UNITE_FLASH_BK")
+    return int(env) if env else max(block_k, 160)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
@@ -324,9 +333,7 @@ def _flash_bwd(res, g, scale, block_q, block_k):
     # key block: a multiple-of-8 divisor of s keeps k/v unpadded; when none
     # exists, pad keys (padded key rows only yield garbage dk/dv rows that
     # are sliced off — no masking needed either way)
-    bk_target = block_k if os.environ.get("UNITE_FLASH_BK") \
-        else max(block_k, 160)  # 160 floor measured; explicit override wins
-    bk = _divisor_block(s, bk_target)
+    bk = _divisor_block(s, _flash_kblock_target(block_k))
     gb = _flash_gb(_round_up(s, 128), max(bq, bk or block_k))
     bh_pad = _round_up(bh, gb)
     if bh_pad != bh:
@@ -1046,8 +1053,7 @@ def _packed_flash_bwd(qkv, out, lse, g, heads, scale,
     hd = thd // 3
     d = hd // heads
     _, bq = _flash_qblock(s, block_q)
-    bk = _divisor_block(s, block_k if os.environ.get("UNITE_FLASH_BK")
-                        else max(block_k, 160)) or s
+    bk = _divisor_block(s, _flash_kblock_target(block_k)) or s
     # separate knob from the forward's UNITE_PFLASH_GB: the optima CONFLICT
     # (fwd wins at gb=2, both bwd kernels regress above 1)
     gb = int(os.environ.get("UNITE_PFLASH_BWD_GB", "0")) or 1

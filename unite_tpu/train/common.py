@@ -148,13 +148,18 @@ def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
 
 
 def make_sched(lr_tab, wd_tab, offset: int, groups: Optional[Dict] = None,
-               every_k: int = 1):
+               every_k: int = 1, phase: int = 0):
     """Schedule-meter context for ``train_one_epoch(sched=...)``.
 
     ``offset``: global OPTIMIZER-step index of this epoch's first batch
     (epoch·niter_per_ep, plus skipped steps on a mid-epoch resume).
     ``every_k``: batches per optimizer step (grad accumulation), mapping
     train_one_epoch's batch counter onto the tables' step axis.
+    ``phase``: batches already consumed into the CURRENT accumulation
+    window on a mid-epoch resume (skip0 % every_k) — without it
+    floor(skip0/k) + floor(step_i/k) lags floor((skip0+step_i)/k), i.e.
+    the reference's it = start_steps + data_iter_step // update_freq
+    (engine_for_finetuning.py:71-74).
     ``groups``: the create_optimizer group table; its lr_scales give the
     reference's max/min per-group LR (run_stage1.py:460-467 iterates
     optimizer.param_groups; frozen scale-0 groups are excluded there by
@@ -163,11 +168,12 @@ def make_sched(lr_tab, wd_tab, offset: int, groups: Optional[Dict] = None,
               if g["lr_scale"] > 0] or [1.0]
     return {"lr_tab": np.asarray(lr_tab), "wd_tab": np.asarray(wd_tab),
             "offset": int(offset), "every_k": max(1, int(every_k)),
+            "phase": int(phase),
             "max_scale": float(max(scales)), "min_scale": float(min(scales))}
 
 
 def _sched_values(sched: Dict, step_i: int) -> Dict:
-    g = sched["offset"] + step_i // sched["every_k"]
+    g = sched["offset"] + (sched.get("phase", 0) + step_i) // sched["every_k"]
     base = float(sched["lr_tab"][min(g, len(sched["lr_tab"]) - 1)])
     return {"lr": base * sched["max_scale"],
             "min_lr": base * sched["min_scale"],

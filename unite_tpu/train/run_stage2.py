@@ -307,7 +307,9 @@ def main(args):
                 lr_tab, wd_tab,
                 epoch * niter_per_ep
                 + (skip0 // args.update_freq if epoch == start_epoch else 0),
-                opt_groups, every_k=args.update_freq),
+                opt_groups, every_k=args.update_freq,
+                phase=(skip0 % args.update_freq
+                       if epoch == start_epoch else 0)),
         )
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
         # done counts batches; MultiSteps' mid-accumulation state is part
