@@ -558,3 +558,124 @@ def test_ssv2_video_dataset_test_protocol(tmp_path):
         reader=SyntheticVideoReader(48, 64, frames=40), seed=0)
     clip, label, idx, _ = ds_tr[1]
     assert clip.shape == (4, 32, 32, 3)
+
+
+def test_build_dataset_nb_classes_mismatch_raises(anno_file):
+    """Fixed-class datasets must match --nb_classes (reference build.py:254
+    asserts); Kinetics-family takes the count FROM args (Daily-DA subsets)."""
+    from types import SimpleNamespace
+
+    from unite_tpu.data.build import build_dataset
+
+    args = SimpleNamespace(data_set="UCF101", nb_classes=12, num_frames=4,
+                           input_size=64, data_path=anno_file)
+    with pytest.raises(ValueError, match="nb_classes"):
+        build_dataset("train", args, anno_path=anno_file,
+                      reader=SyntheticVideoReader(96, 128))
+    # Kinetics_sparse: args wins, no raise
+    args = SimpleNamespace(data_set="Kinetics_sparse", nb_classes=12,
+                           num_frames=4, input_size=64, data_path=anno_file)
+    ds, nb = build_dataset("train", args, anno_path=anno_file,
+                           reader=SyntheticVideoReader(96, 128))
+    assert nb == 12
+
+
+def test_train_interpolation_fixed_bicubic(anno_file, monkeypatch):
+    """--train_interpolation reaches rand-augment as a FIXED PIL filter
+    (reference kinetics_sparse.py:225 -> video_transforms.py:667-668);
+    'random' keeps timm's per-op (BILINEAR, BICUBIC) tuple."""
+    from PIL import Image
+
+    import unite_tpu.data.datasets as dmod
+
+    captured = {}
+    real = dmod.rand_augment_transform
+
+    def spy(cfg, hparams):
+        captured["interpolation"] = hparams["interpolation"]
+        return real(cfg, hparams)
+
+    monkeypatch.setattr(dmod, "rand_augment_transform", spy)
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=2, crop_size=64, short_side_size=80,
+        reader=SyntheticVideoReader(96, 128), seed=0, reprob=0.0,
+        aa="rand-m3-n2", train_interpolation="bicubic",
+    )
+    ds[0]
+    assert captured["interpolation"] == Image.BICUBIC
+    ds = VideoClsDatasetSparse(
+        anno_file, mode="train", clip_len=2, crop_size=64, short_side_size=80,
+        reader=SyntheticVideoReader(96, 128), seed=0, reprob=0.0,
+        aa="rand-m3-n2", train_interpolation="random",
+    )
+    ds[0]
+    assert captured["interpolation"] == (Image.BILINEAR, Image.BICUBIC)
+
+
+def test_loader_thread_window_covers_workers(anno_file):
+    """Thread mode must keep >= num_workers batch decodes in flight
+    (prefetch_batches=4 used to cap concurrency below the worker count)."""
+    import threading
+    import time
+
+    from unite_tpu.data.loader import DataLoader
+
+    peak = [0]
+    active = [0]
+    lock = threading.Lock()
+
+    class SlowDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+            time.sleep(0.05)
+            with lock:
+                active[0] -= 1
+            return np.zeros(2, np.float32), i
+
+    loader = DataLoader(SlowDataset(), batch_size=1, num_workers=8,
+                        prefetch_batches=2)
+    for _ in loader:
+        pass
+    assert peak[0] >= 6, peak  # ~8 minus scheduling slack
+    # prefetch_batches=0 must not crash (guarded to >=1)
+    loader = DataLoader(SlowDataset(), batch_size=32, num_workers=2,
+                        prefetch_batches=0)
+    assert len(list(loader)) == 2
+
+
+def test_device_prefetch_abandoned_consumer_unblocks_producer():
+    """Abandoning the generator (preemption break / bench loop) must stop
+    the producer thread instead of leaving it blocked in q.put forever."""
+    import threading
+    import time
+
+    from unite_tpu.data.loader import device_prefetch
+
+    produced = []
+
+    def source():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    n_before = threading.active_count()
+    gen = device_prefetch(source(), lambda x: x, depth=2)
+    assert next(gen) == 0
+    gen.close()  # consumer abandons mid-stream
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
+    assert len(produced) < 100  # producer stopped early
+
+
+def test_mixup_requires_an_active_alpha():
+    from unite_tpu.ops.mixup import Mixup
+
+    with pytest.raises(ValueError, match="mixup_alpha"):
+        Mixup(mixup_alpha=0.0, cutmix_alpha=0.0, num_classes=4)

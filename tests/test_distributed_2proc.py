@@ -86,6 +86,35 @@ _CHILD = textwrap.dedent("""
         np.array([stats["acc1"], stats["loss"]]))
     assert np.allclose(g[0], g[1]), g  # stats are global, identical on both
     print(f"proc {pid}: val acc1={stats['acc1']:.2f} OK")
+
+    # --- sharded-state checkpoint save (multihost --zero1/--tp analogue):
+    # params sharded ACROSS the two processes are neither fully addressable
+    # nor fully replicated — the save must gather them collectively before
+    # the proc-0 fetch (a proc-0-only snapshot used to raise, killing every
+    # epoch-end checkpoint of a multihost zero1 run).
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from unite_tpu.train.train_state import TrainState
+    from unite_tpu.utils import checkpoint as ck
+
+    sh = NamedSharding(mesh, P("data"))
+    local_w = np.arange(4, dtype=np.float32) + pid * 4.0  # global [0..8)
+    w = jax.make_array_from_process_local_data(sh, local_w)
+    assert not w.is_fully_addressable and not w.is_fully_replicated
+    st = TrainState.create({"w": w}, optax.sgd(0.1))
+    out_dir = sys.argv[3]
+    io = ck.AsyncCheckpointer()
+    io.save_train_state(out_dir, 0, st, extra={"best_acc": 12.5},
+                        tags=("latest",))
+    io.wait()
+    if pid == 0:
+        payload = ck.load_checkpoint(
+            os.path.join(out_dir, "checkpoint-latest" + ck.CKPT_EXT))
+        got = np.asarray(payload["model"]["w"])
+        assert np.allclose(got, np.arange(8, dtype=np.float32)), got
+        assert float(payload["extra"]["best_acc"]) == 12.5
+    multihost_utils.sync_global_devices("ckpt_done")
+    print(f"proc {pid}: sharded ckpt OK")
 """)
 
 
@@ -108,9 +137,11 @@ def test_two_process_distributed_step(tmp_path):
         os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
 
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(i)],
+            [sys.executable, str(script), coord, str(i), str(ckpt_dir)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -124,6 +155,7 @@ def test_two_process_distributed_step(tmp_path):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         assert f"proc {i}: loss=" in out
         assert f"proc {i}: val acc1=" in out
+        assert f"proc {i}: sharded ckpt OK" in out
     # both processes computed the identical global loss
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]

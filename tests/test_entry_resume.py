@@ -77,7 +77,10 @@ def _stage2_args(tmp_path, output_dir, epochs):
     args = parse_with_config(stage2_parser(), [])
     args.model = "vit_test_tiny"
     args.nb_classes = 3
-    args.data_set = "UCF101"
+    # Kinetics_sparse: class count comes from args (the Daily-DA pattern) —
+    # fixed-class names like UCF101 now raise on nb_classes mismatch,
+    # matching the reference's build.py:254 assert
+    args.data_set = "Kinetics_sparse"
     args.ann_file_train = anno
     args.ann_file_val = _write_annotations(tmp_path, "val.csv", 8)
     args.ann_file_test = _write_annotations(tmp_path, "test.csv", 2)

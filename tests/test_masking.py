@@ -94,3 +94,20 @@ def test_random_masking_generator():
     m = gen()
     assert m.sum() == int(0.9 * 8 * 196)
     assert m.shape == (8 * 196,)
+
+
+def test_n_visible_total_matches_generators():
+    """The static visible count must equal what each generator leaves
+    visible — 'random' counts over the whole video, tube per frame
+    (masking_generator.py:24-69); a mismatch makes visible_indices leak
+    masked tokens into the fixed-width gather."""
+    from unite_tpu.ops.masking import n_visible_total
+
+    for ratio in (0.75, 0.8, 0.9):
+        m = RandomMaskingGenerator((8, 14, 14), ratio)()
+        assert (m == 0).sum() == n_visible_total(8 * 196, 8, ratio, "random")
+        mt = TubeMaskingGenerator((8, 14, 14), ratio)()
+        assert (mt == 0).sum() == n_visible_total(8 * 196, 8, ratio, "tube")
+    # the whole-video and per-frame formulas genuinely differ at 0.8
+    assert n_visible_total(1568, 8, 0.8, "random") == 314
+    assert n_visible_total(1568, 8, 0.8, "attention") == 320

@@ -83,3 +83,103 @@ def test_resume_continues_schedule(tmp_path):
         resumed.params)
     mag = float(jnp.abs(updates["head"]["kernel"]).max())
     assert mag == pytest.approx(1e-5, rel=1e-5)
+
+
+def _find_sched_count(opt_state):
+    """First ScheduledState-style count in an optax state tree (the node
+    set_schedule_count rewrites)."""
+    if hasattr(opt_state, "count") and hasattr(opt_state, "inner"):
+        return int(opt_state.count)
+    if isinstance(opt_state, tuple):
+        for v in opt_state:
+            c = _find_sched_count(v)
+            if c is not None:
+                return c
+    return None
+
+
+def test_restore_sched_every_k_maps_batches_to_opt_steps():
+    """restore_train_state's schedule-count fallback must divide state.step
+    (a BATCH counter) by update_freq — the LR table is indexed per
+    OPTIMIZER step under MultiSteps grad accumulation."""
+    import optax
+
+    from unite_tpu.utils import checkpoint as ck
+
+    m, state, batch = tiny_setup()
+    table = np.linspace(1e-3, 1e-6, 32).astype(np.float32)
+    tx, _ = create_optimizer("sgd", lr=table, params=state.params,
+                             momentum=0.0)
+    tx = optax.MultiSteps(tx, every_k_schedule=4)
+    state = TrainState.create(state.params, tx)
+    # payload with no optimizer tree (forces the fallback) after 8 BATCHES
+    payload = {"model": jax.device_get(state.params), "optimizer": None,
+               "epoch": 0, "extra": {"step": 8}}
+    resumed = ck.restore_train_state(state, payload, sched_every_k=4)
+    assert int(resumed.step) == 8
+    assert _find_sched_count(resumed.opt_state) == 2  # 8 batches / k=4
+    # without the divisor the count would jump to batch index 8
+    wrong = ck.restore_train_state(state, payload)
+    assert _find_sched_count(wrong.opt_state) == 8
+
+
+def test_best_acc_persists_across_resume(tmp_path):
+    """checkpoint extra carries best_acc so a resumed run cannot clobber
+    checkpoint-best with a worse model (fixes the -1.0 restart; the
+    reference shares the bug, run_stage2.py:751)."""
+    from unite_tpu.train import common
+    from unite_tpu.utils import checkpoint as ck
+
+    _, state, _ = tiny_setup()
+    ck.save_train_state(str(tmp_path), 3, state,
+                        extra={"best_acc": 77.5}, tags=("latest",))
+    payload = ck.auto_load_model(str(tmp_path))
+    assert common.resume_best_acc(payload) == 77.5
+    assert common.resume_best_acc(None) == -1.0
+    # payloads from before the fix (no best_acc key) restart at -1.0
+    assert common.resume_best_acc({"extra": {"step": 4}}) == -1.0
+
+
+def test_last_step_not_double_counted():
+    """When the epoch's last step is itself a log step, the post-loop final
+    sync must not update the meters a second time."""
+    from unite_tpu.utils.metrics import MetricLogger
+
+    m, state, batch = tiny_setup()
+    step = jax.jit(make_finetune_train_step(m))
+    logger = MetricLogger()
+    train_one_epoch(state, step, [batch], epoch=0, log_freq=10,
+                    metric_logger=logger)
+    assert logger.meters["loss"].count == 1
+    # last step NOT on a log boundary → final sync still records it
+    logger2 = MetricLogger()
+    train_one_epoch(state, step, [batch, batch], epoch=0, log_freq=10,
+                    metric_logger=logger2)
+    assert logger2.meters["loss"].count == 2
+
+
+def test_profiler_trace_closed_on_short_epoch(monkeypatch, tmp_path):
+    """A trace started at step 2 must be stopped when the epoch ends before
+    the step-7 stop point (otherwise it records the whole run)."""
+    calls = {"start": 0, "stop": 0}
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda *a, **k: calls.__setitem__(
+                            "start", calls["start"] + 1))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: calls.__setitem__("stop", calls["stop"] + 1))
+    m, state, batch = tiny_setup()
+    step = jax.jit(make_finetune_train_step(m))
+    train_one_epoch(state, step, [batch] * 4, epoch=0, log_freq=100,
+                    profile_dir=str(tmp_path))
+    assert calls == {"start": 1, "stop": 1}
+
+
+def test_batch_clips_counts_all_video_streams():
+    """clips/sec/chip must count every video tensor (stage 3 ships three
+    streams; counting only videos_s understated it ~3x vs stage 1)."""
+    from unite_tpu.train.common import _batch_clips
+
+    v = np.zeros((2, 1, 4, 4, 3), np.float32)
+    assert _batch_clips({"videos": np.zeros((5, 1, 4, 4, 3))}) == 5
+    assert _batch_clips({"videos_s": v, "videos_t": v, "videos_t_aug": v,
+                         "labels_s": np.zeros(2)}) == 6

@@ -76,7 +76,7 @@ def _stage3_args(tmp_path, **overrides):
     args.ann_file_val = _write_annotations(tmp_path, "val.csv", 8)
     args.ann_file_test = _write_annotations(tmp_path, "test.csv", 2)
     args.nb_classes = 3
-    args.data_set = "UCF101"
+    args.data_set = "Kinetics_sparse"  # class count from args (Daily-DA)
     args.synthetic_data = True
     args.input_size = 32
     args.short_side_size = 32

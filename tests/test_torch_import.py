@@ -312,3 +312,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ck.find_resume_checkpoint(str(tmp_path)).endswith("checkpoint-best.msgpack")
     os.remove(tmp_path / "checkpoint-best.msgpack")
     assert ck.find_resume_checkpoint(str(tmp_path)).endswith("checkpoint-4.msgpack")
+
+
+def test_surgery_head_label_map(tmp_path):
+    """K710 -> 600/700 head remap through a label-map json
+    (run_stage2.py:376-382); absent map leaves the head with a warning."""
+    import json
+    import warnings
+
+    sd = {"head.weight": torch.randn(710, 8), "head.bias": torch.randn(710)}
+    label_map = list(range(700, 100, -1))  # arbitrary 600-row permutation
+    p = tmp_path / "label_mixto600.json"
+    p.write_text(json.dumps(label_map))
+    out = ti.surgery_head(dict(sd), nb_classes=600, label_map_path=str(p))
+    assert out["head.weight"].shape[0] == 600
+    np.testing.assert_array_equal(out["head.weight"].numpy(),
+                                  sd["head.weight"].numpy()[label_map])
+    np.testing.assert_array_equal(out["head.bias"].numpy(),
+                                  sd["head.bias"].numpy()[label_map])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = ti.surgery_head(dict(sd), nb_classes=700,
+                              label_map_path=str(tmp_path / "missing.json"))
+    assert any("label map" in str(x.message) for x in w)
+    assert out["head.weight"].shape[0] == 710  # untouched -> merge will skip

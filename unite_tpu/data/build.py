@@ -82,6 +82,17 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
     if data_set not in DATASET_NB_CLASSES and not getattr(args, "nb_classes", 0):
         raise NotImplementedError(f"unknown dataset {data_set}")
     nb_classes = getattr(args, "nb_classes", 0) or DATASET_NB_CLASSES[data_set]
+    # the reference's `assert nb_classes == args.nb_classes` (build.py:254):
+    # Kinetics-family datasets take their class count FROM args (that is how
+    # Daily-DA's 8/12/23-class subsets ride data_set=Kinetics_sparse,
+    # build.py:107-150), but the fixed-class datasets must match — a stale
+    # --nb_classes would otherwise silently build a wrong-width head
+    if (data_set not in ("Kinetics", "Kinetics_sparse", "mitv1_sparse")
+            and data_set in DATASET_NB_CLASSES
+            and nb_classes != DATASET_NB_CLASSES[data_set]):
+        raise ValueError(
+            f"nb_classes={nb_classes} != {DATASET_NB_CLASSES[data_set]} for "
+            f"{data_set} (reference build.py:254 asserts equality)")
 
     if anno_path is None:
         anno_path = {
@@ -119,6 +130,7 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         test_num_segment=getattr(args, "test_num_segment", 5),
         test_num_crop=getattr(args, "test_num_crop", 3),
         aa=getattr(args, "aa", "rand-m7-n4-mstd0.5-inc1"),
+        train_interpolation=getattr(args, "train_interpolation", "bicubic"),
         reprob=getattr(args, "reprob", 0.25),
         remode=getattr(args, "remode", "pixel"),
         recount=getattr(args, "recount", 1),

@@ -108,6 +108,7 @@ class VideoClsDatasetSparse:
         self.test_num_segment = test_num_segment
         self.test_num_crop = test_num_crop
         self.aa = aa
+        self.train_interpolation = train_interpolation
         self.reprob = reprob
         self.remode = remode
         self.recount = recount
@@ -187,7 +188,14 @@ class VideoClsDatasetSparse:
         aa = aa if aa is not None else self.aa
         reprob = reprob if reprob is not None else self.reprob
         if aa:
-            interp = (Image.BICUBIC, Image.BILINEAR)
+            # fixed interpolation from --train_interpolation (the reference
+            # passes it into create_random_augment, kinetics_sparse.py:225 →
+            # video_transforms.py:667-668 — default bicubic for EVERY op);
+            # 'random' keeps timm's per-op (BILINEAR, BICUBIC) draw
+            named = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+                     "lanczos": Image.LANCZOS}
+            ti = self.train_interpolation
+            interp = named.get(ti, (Image.BILINEAR, Image.BICUBIC))
             augment = rand_augment_transform(
                 aa,
                 {"translate_pct": 0.45,

@@ -93,7 +93,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
-        self.prefetch_batches = prefetch_batches
+        self.prefetch_batches = max(1, prefetch_batches)
         self.collate_fn = collate_fn
         self.seed = seed
         self.epoch = 0
@@ -156,7 +156,10 @@ class DataLoader:
             return
 
         with ThreadPoolExecutor(self.num_workers) as pool:
-            window = self.prefetch_batches
+            # window caps in-flight batches AND decode concurrency (each
+            # task decodes one whole batch): must cover num_workers or
+            # excess pool threads sit idle (same fix as _iter_process)
+            window = max(self.prefetch_batches, self.num_workers)
 
             def load_batch(batch_idx: Sequence[int]):
                 return self.collate_fn([self.dataset[i] for i in batch_idx])
@@ -231,26 +234,46 @@ def cycle(loader: DataLoader, skip_batches: int = 0) -> Iterator:
 def device_prefetch(iterator: Iterable, put: Callable, depth: int = 2):
     """Keep ``depth`` device batches in flight (H2D overlaps compute).
 
-    ``put`` maps a host batch to device arrays (e.g. mesh.shard_batch)."""
+    ``put`` maps a host batch to device arrays (e.g. mesh.shard_batch).
+
+    The producer polls a stop flag while the queue is full: if the consumer
+    abandons the generator (preemption break, step exception, fixed-step
+    bench loop), the generator's ``finally`` sets the flag and the producer
+    exits within the poll interval instead of blocking in q.put() forever —
+    which would leak the thread plus up to depth+window decoded/device
+    batches per abandoned epoch."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     error: list = []
+
+    def _offer(obj) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(put(item))
+                if not _offer(put(item)):
+                    return  # consumer gone
         except BaseException as e:  # propagate to the consumer
             error.append(e)
-        finally:
-            q.put(sentinel)
+        _offer(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                break
+            yield item
+    finally:
+        stop.set()

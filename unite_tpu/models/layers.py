@@ -114,6 +114,9 @@ class Mlp(nn.Module):
     drop: float = 0.0
     dtype: Dtype = jnp.float32
     kernel_init: Callable = xavier_uniform
+    # separate fc2 init (defaults to kernel_init): the MLP classifier head
+    # scales ONLY fc2 by init_scale (modeling_finetune.py:329-330)
+    kernel_init_out: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -125,7 +128,7 @@ class Mlp(nn.Module):
         x = (self.act or gelu_for(self.dtype))(x)
         x = nn.Dense(
             out_dim, dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=self.kernel_init, name="fc2",
+            kernel_init=self.kernel_init_out or self.kernel_init, name="fc2",
         )(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x

@@ -144,6 +144,9 @@ class VisionTransformer(nn.Module):
                 act=lambda v: v,  # act_layer=nn.Identity in the reference
                 dtype=jnp.float32,
                 kernel_init=trunc_normal_02,
+                # reference scales fc2 (only) by init_scale so finetuning
+                # starts from near-zero logits (modeling_finetune.py:329-330)
+                kernel_init_out=scaled_trunc_normal(self.init_scale),
                 name="head",
             )(feat, deterministic)
         else:

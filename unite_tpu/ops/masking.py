@@ -32,6 +32,22 @@ def n_visible(num_patches: int, mask_ratio: float) -> int:
     return num_patches - int(num_patches * mask_ratio)
 
 
+def n_visible_total(num_patches: int, frames: int, mask_ratio: float,
+                    mask_type: str = "attention") -> int:
+    """Static whole-video visible-token count for a mask source.
+
+    Must use the SAME arithmetic as the mask generator, or
+    ``visible_indices``'s fixed-width gather leaks masked tokens into the
+    visible set: 'random' draws int(ratio·N_total) masked tokens over the
+    whole video (masking_generator.py:48-69 — e.g. 314 visible at ratio 0.8,
+    8x196), while attention/tube masks keep n_visible per FRAME
+    (run_stage1.py:380, masking_generator.py:24-45 — 320 at the same
+    geometry)."""
+    if mask_type == "random":
+        return num_patches - int(mask_ratio * num_patches)
+    return n_visible(num_patches // frames, mask_ratio) * frames
+
+
 def visible_indices(mask: jnp.ndarray, n_vis: int) -> jnp.ndarray:
     """Indices of the False (visible) entries of ``mask`` in original order.
 

@@ -99,6 +99,12 @@ class Mixup:
             assert len(cutmix_minmax) == 2
             cutmix_alpha = 1.0
             correct_lam = True
+        if mixup_alpha <= 0.0 and cutmix_alpha <= 0.0:
+            # degenerate beta(1e-8,1e-8) draws would be ~Bernoulli{0,1} —
+            # half the batches silently replaced by their flipped partner
+            raise ValueError(
+                "One of mixup_alpha > 0., cutmix_alpha > 0., cutmix_minmax "
+                "not None should be true (reference mixup.py:157-158)")
         self.mixup_alpha = mixup_alpha
         self.cutmix_alpha = cutmix_alpha
         self.prob = prob

@@ -265,10 +265,11 @@ def create_optimizer(
     fused/apex aliases map to the plain implementation (XLA fuses anyway).
     """
     opt_lower = opt.lower().replace("fused", "").strip("_")
-    wd_value = weight_decay if not callable(weight_decay) else 1.0
+    # group-logging value only: callables (schedules) report 1.0
+    wd_value = 1.0 if callable(weight_decay) else float(np.max(weight_decay))
     wd_mask, lr_scale, groups = param_group_metadata(
         params,
-        weight_decay=float(np.max(wd_value)) if not callable(wd_value) else 1.0,
+        weight_decay=wd_value,
         skip_list=skip_list, num_layers=num_layers, layer_decay=layer_decay,
         trainable_mask=trainable_mask,
     )

@@ -239,6 +239,10 @@ def stage2_parser() -> argparse.ArgumentParser:
     p.add_argument("--delete_head", type=str2bool, default=True)
     p.add_argument("--no_delete_head", action="store_false",
                    dest="delete_head", help="reference-style complement")
+    p.add_argument("--label_map_path", default="",
+                   help="K710 head remap json for nb_classes 600/700 "
+                        "(reference reads k710/label_mixto{n}.json, "
+                        "run_stage2.py:376-382)")
     p.add_argument("--use_mean_pooling", type=str2bool, default=True)
     p.add_argument("--use_cls", action="store_false", dest="use_mean_pooling",
                    help="complement of use_mean_pooling (run_stage2.py:180)")

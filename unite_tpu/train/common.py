@@ -37,7 +37,11 @@ def setup_run(args):
     torchrun/SLURM rendezvous of utils.py:510-551 becomes one line."""
     import os as _os
 
-    if _os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    # is_initialized(), NOT process_count(): the latter initializes the XLA
+    # backend, after which jax.distributed.initialize() raises — the guard
+    # must not itself touch the backend
+    if (_os.environ.get("JAX_COORDINATOR_ADDRESS")
+            and not jax.distributed.is_initialized()):
         jax.distributed.initialize()
     np.random.seed(args.seed + jax.process_index())
     import random
@@ -198,6 +202,16 @@ def resume_position(payload, default_start_epoch: int = 0):
     return int(payload["epoch"]) + 1, 0
 
 
+def resume_best_acc(payload) -> float:
+    """Best val acc1 recorded in a resumed checkpoint's ``extra`` — restart
+    tracking from it so the first post-resume validation cannot overwrite
+    checkpoint-best with a worse model (the reference shares this bug: its
+    best_acc also restarts at 0 on resume, run_stage2.py:751)."""
+    if payload is None:
+        return -1.0
+    return float((payload.get("extra") or {}).get("best_acc", -1.0) or -1.0)
+
+
 class PreemptionGuard:
     """Preemption-safe early stop for the epoch loop.
 
@@ -249,20 +263,25 @@ class PreemptionGuard:
 
 
 def preempted_mid_epoch(guard, ckpt_io, args, state, epoch: int, done: int,
-                        niter_per_ep: int, saving: bool) -> bool:
+                        niter_per_ep: int, saving: bool,
+                        extra: Optional[Dict] = None) -> bool:
     """Shared epoch-end preemption handling for the three entries.
 
     True = the run was preempted MID-epoch and must exit now; when
     ``saving``, a checkpoint carrying ``epoch_step=done`` was written (and
     waited on) so the next run replays the rest of the epoch bitwise. An
     epoch-boundary preemption returns False — the caller runs its normal
-    end-of-epoch saves, then checks ``guard.triggered`` itself."""
+    end-of-epoch saves, then checks ``guard.triggered`` itself.
+
+    ``extra``: additional payload entries to persist (e.g. ``best_acc`` so
+    the resumed run's best-checkpoint tracking continues where it left
+    off)."""
     if not (guard.triggered and done < niter_per_ep):
         return False
     if saving:
         ckpt_io.save_train_state(args.output_dir, epoch, state,
                                  args=vars(args),
-                                 extra={"epoch_step": done},
+                                 extra={**(extra or {}), "epoch_step": done},
                                  tags=("latest",))
         ckpt_io.wait()
         print(f"Preempted at epoch {epoch} step {done}; "
@@ -315,9 +334,11 @@ def train_one_epoch(
     step_i = 0
     window_t0 = time.time()
     window_clips = 0
+    trace_active = False
     for batch in logger.log_every(batches, log_freq, header):
         if profile_dir and step_i == 2 and epoch == 0:
             jax.profiler.start_trace(profile_dir)
+            trace_active = True
         state, metrics = step_fn(state, *extra_step_args, batch, rng)
         if array_sink is not None:
             for k, v in metrics.items():
@@ -351,11 +372,19 @@ def train_one_epoch(
             last_metrics = host
         if profile_dir and step_i == 7 and epoch == 0:
             jax.profiler.stop_trace()
+            trace_active = False
             print(f"profiler trace written to {profile_dir}")
         step_i += 1
         if preempt_guard is not None and preempt_guard.step():
             break
-    if step_i > 0:  # final sync of the epoch's last step
+    if trace_active:
+        # the epoch ended (or was preempted) before the step-7 stop point —
+        # finalize the trace instead of letting it record the whole run
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
+    # final sync of the epoch's last step — skipped when that step was
+    # already a log step (updating the meters again would count it twice)
+    if step_i > 0 and (step_i - 1) % log_freq != 0:
         host = _scalar_metrics(metrics)
         if not np.isfinite(host["loss"]):
             raise FloatingPointError(
@@ -407,12 +436,17 @@ def as_video_array(x) -> np.ndarray:
 
 
 def _batch_clips(batch) -> int:
-    """Global clip count of a (possibly sharded) batch dict."""
-    for key in ("videos", "videos_s"):
-        v = batch.get(key) if isinstance(batch, dict) else None
-        if v is not None:
-            return int(v.shape[0])
-    return 0
+    """Global clip count of a (possibly sharded) batch dict.
+
+    Counts EVERY video tensor in the batch so the clips/sec/chip meter is
+    consistent across stages: stage 1 ships one [src;tgt] concat ('videos'),
+    stage 3 ships three streams (videos_s + videos_t + videos_t_aug) that
+    each get encoder work — counting only videos_s would understate stage-3
+    throughput ~3x relative to stage 1."""
+    if not isinstance(batch, dict):
+        return 0
+    return sum(int(v.shape[0]) for k, v in batch.items()
+               if k.startswith("videos"))
 
 
 def _pad_batch(batch: Dict, size: int) -> Dict:
@@ -429,10 +463,15 @@ def _pad_batch(batch: Dict, size: int) -> Dict:
 
 
 def _eval_batches(state, eval_step, loader, mesh, batch_size: int,
-                  out_key: str):
+                  out_key: str, cast_bf16: bool = False):
     """Shared eval-loop body for run_validation/collect_features: pad each
     host batch to ``batch_size``, shard, run ``eval_step``, and yield
     ``(out[out_key] rows, labels, true_n)`` for this host's real rows.
+
+    ``cast_bf16``: ship float videos as bf16 over the H2D link, same as
+    every train path (the entries' models compute in bf16 and cast their
+    inputs anyway, so this halves eval transfer bytes for free); default
+    off so fp32-model tests keep exact numerics.
 
     _local_host_array, not np.asarray: with multi-host shard_batch the
     step's outputs are data-sharded across processes and not fully
@@ -442,16 +481,19 @@ def _eval_batches(state, eval_step, loader, mesh, batch_size: int,
         clips, labels = batch[0], batch[1]
         true_n = np.asarray(clips).shape[0]
         host = _pad_batch({"videos": clips, "labels": labels}, batch_size)
-        dev = pmesh.shard_batch(
-            {"videos": as_video_array(host["videos"]),
-             "labels": np.asarray(host["labels"], np.int32)}, mesh)
+        host = {"videos": as_video_array(host["videos"]),
+                "labels": np.asarray(host["labels"], np.int32)}
+        if cast_bf16:
+            host = pmesh.cast_videos_bf16(host)
+        dev = pmesh.shard_batch(host, mesh)
         out = eval_step(state, dev)
         yield (_local_host_array(out[out_key])[:true_n],
                np.asarray(labels)[:true_n], true_n)
 
 
 def run_validation(state, eval_step, loader, mesh, batch_size: int,
-                   header: str = "Val", save_preds_path: Optional[str] = None):
+                   header: str = "Val", save_preds_path: Optional[str] = None,
+                   cast_bf16: bool = False):
     """Padded-batch validation; gathers probs/labels for top1/5 + ECE
     (engine_for_finetuning.py:175-237).
 
@@ -463,7 +505,8 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
     all_probs, all_labels = [], []
     loss_sum = n_total = 0.0
     for probs, labels_np, true_n in _eval_batches(
-            state, eval_step, loader, mesh, batch_size, "probs"):
+            state, eval_step, loader, mesh, batch_size, "probs",
+            cast_bf16=cast_bf16):
         all_probs.append(probs)
         all_labels.append(labels_np)
         # CE recomputed host-side from the SLICED probs: the in-step mean
@@ -507,7 +550,7 @@ def run_validation(state, eval_step, loader, mesh, batch_size: int,
 
 
 def collect_features(state, eval_step, loader, mesh, batch_size: int,
-                     max_videos: int = 512):
+                     max_videos: int = 512, cast_bf16: bool = False):
     """Pooled encoder features + labels over a loader (for the kNN
     representation probe, utils/knn.py; requires an eval step that returns
     a ``feats`` entry). Stops after ``max_videos`` videos."""
@@ -515,7 +558,8 @@ def collect_features(state, eval_step, loader, mesh, batch_size: int,
     feats, labels = [], []
     n = 0
     for f, lab_np, true_n in _eval_batches(
-            state, eval_step, loader, mesh, batch_size, "feats"):
+            state, eval_step, loader, mesh, batch_size, "feats",
+            cast_bf16=cast_bf16):
         feats.append(f)
         labels.append(lab_np)
         n += true_n
@@ -538,16 +582,18 @@ def collect_features(state, eval_step, loader, mesh, batch_size: int,
 
 def run_knn_probe(state, eval_step, train_loader, val_loader, mesh,
                   batch_size: int, num_classes: int, k: int = 20,
-                  max_videos: int = 512):
+                  max_videos: int = 512, cast_bf16: bool = False):
     """Representation-quality probe: cosine-kNN classify val features
     against train features (utils/knn.py, the DINO/UMT protocol — the
     reference intended this via its missing ``src.knn`` module)."""
     from unite_tpu.utils.knn import knn_classifier
 
     tr_f, tr_l = collect_features(state, eval_step, train_loader, mesh,
-                                  batch_size, max_videos)
+                                  batch_size, max_videos,
+                                  cast_bf16=cast_bf16)
     va_f, va_l = collect_features(state, eval_step, val_loader, mesh,
-                                  batch_size, max_videos)
+                                  batch_size, max_videos,
+                                  cast_bf16=cast_bf16)
     if tr_f.shape[0] == 0 or va_f.shape[0] == 0:
         return {}
     top1, top5 = knn_classifier(tr_f, tr_l, va_f, va_l, k=k,
@@ -558,7 +604,7 @@ def run_knn_probe(state, eval_step, train_loader, val_loader, mesh,
 
 
 def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
-                   output_dir: str):
+                   output_dir: str, cast_bf16: bool = False):
     """Multi-view test: per-view probs → per-process file → merge
     (engine_for_finetuning.py:241-351)."""
     batch_size = per_host_batch(batch_size, pmesh.model_axis_size(mesh))
@@ -577,6 +623,8 @@ def run_final_test(state, eval_step, dataset, args, mesh, batch_size: int,
         true_n = np.asarray(clips).shape[0]
         host = _pad_batch({"videos": as_video_array(clips),
                            "labels": np.asarray(labels, np.int32)}, batch_size)
+        if cast_bf16:
+            host = pmesh.cast_videos_bf16(host)
         dev = pmesh.shard_batch(host, mesh)
         out = eval_step(state, dev)
         probs = _local_host_array(out["probs"])[:true_n]

@@ -24,7 +24,7 @@ from unite_tpu.data.build import build_pretraining_dataset
 from unite_tpu.data.loader import cycle, device_prefetch
 from unite_tpu.data.sharding import repetitions_to_match
 from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
-from unite_tpu.ops.masking import n_visible, visible_indices
+from unite_tpu.ops.masking import n_visible_total, visible_indices
 from unite_tpu.optim.factory import create_optimizer
 from unite_tpu.parallel import mesh as pmesh
 from unite_tpu.train import common
@@ -160,8 +160,8 @@ def main(args):
     teacher = build_teacher(args)
     n_patch = (args.input_size // args.patch_size) ** 2 * (
         args.num_frames // args.tubelet_size)
-    nv = n_visible(n_patch // (args.num_frames // args.tubelet_size),
-                   args.mask_ratio) * (args.num_frames // args.tubelet_size)
+    nv = n_visible_total(n_patch, args.num_frames // args.tubelet_size,
+                         args.mask_ratio, args.mask_type)
     example = jnp.zeros(
         (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
     sp = student.init(jax.random.PRNGKey(args.seed), example,

@@ -75,7 +75,9 @@ def load_finetune_ckpt(args, model, params):
         merged, _, _ = ti.merge_params(params, loaded, strict_shapes=False)
         return merged
     state = ti.load_torch_state(args.finetune, args.model_key)
-    state = ti.surgery_head(state, args.nb_classes, args.delete_head)
+    state = ti.surgery_head(state, args.nb_classes, args.delete_head,
+                            label_map_path=getattr(args, "label_map_path",
+                                                   "") or None)
     state = ti.strip_prefixes(state, ("backbone.", "encoder."))
     n_patch = (args.input_size // args.patch_size) ** 2 * (
         args.num_frames // args.tubelet_size
@@ -199,8 +201,11 @@ def main(args):
     state = TrainState.create(
         params, tx, ema_decay=args.model_ema_decay if args.model_ema else None)
     if payload is not None:
-        # full resume: params + optimizer + step + EMA (utils.py:739-776)
-        state = ck.restore_train_state(state, payload)
+        # full resume: params + optimizer + step + EMA (utils.py:739-776);
+        # sched_every_k maps the batch-counting state.step onto the
+        # per-optimizer-step LR table in the tree-mismatch fallback
+        state = ck.restore_train_state(state, payload,
+                                       sched_every_k=args.update_freq)
 
     mixup_fn = None
     if args.mixup > 0 or args.cutmix > 0:
@@ -233,7 +238,7 @@ def main(args):
         # does record the merged accuracies to log.txt + wandb (:694-699).
         stats = common.run_final_test(
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-            args.output_dir)
+            args.output_dir, cast_bf16=True)
         print(stats)
         common.save_epoch_stats(args, args.epochs, stats)
         if wb is not None and stats:
@@ -251,7 +256,7 @@ def main(args):
                 {"videos": common.as_video_array(clips),
                  "labels": np.asarray(labels, np.int32)}), mesh)
 
-    best_acc = -1.0
+    best_acc = common.resume_best_acc(payload)
     ckpt_io = ck.AsyncCheckpointer()  # epoch N+1 overlaps epoch N's write
     guard = common.PreemptionGuard(stop_after_steps=args.stop_after_steps)
     for epoch in range(start_epoch, args.epochs):
@@ -293,7 +298,11 @@ def main(args):
             step_now = int(state.step)
             new_state = new_state.replace(
                 step=jnp.asarray(step_now, jnp.int32),
-                opt_state=set_schedule_count(new_state.opt_state, step_now),
+                # state.step counts BATCHES; the LR/WD tables are indexed
+                # per OPTIMIZER step (MultiSteps advances the inner count at
+                # accumulation boundaries only)
+                opt_state=set_schedule_count(
+                    new_state.opt_state, step_now // args.update_freq),
             )
             state = pmesh.replicate(new_state, mesh)
         state, stats, _ = common.train_one_epoch(
@@ -315,7 +324,8 @@ def main(args):
         # done counts batches; MultiSteps' mid-accumulation state is part
         # of opt_state and restores with it
         if common.preempted_mid_epoch(guard, ckpt_io, args, state, epoch,
-                                      done, len(loader), args.save_ckpt):
+                                      done, len(loader), args.save_ckpt,
+                                      extra={"best_acc": best_acc}):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         epoch_stats["n_parameters"] = nparams  # run_stage2.py:806-812
@@ -328,7 +338,7 @@ def main(args):
                 and (epoch + 1) % args.eval_freq == 0):
             val_stats = common.run_validation(
                 state, eval_fn, val_loader, mesh, args.batch_size_val,
-                header=f"Val [{epoch}]")
+                header=f"Val [{epoch}]", cast_bf16=True)
             epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
             if wb is not None and val_stats:
                 # val/acc1, val/acc5, val/ece, val/loss (run_stage2.py:786-790)
@@ -336,13 +346,18 @@ def main(args):
             if args.save_ckpt and val_stats.get("acc1", -1) > best_acc:
                 best_acc = val_stats["acc1"]
                 ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                         args=vars(args), tags=("best",))
+                                         args=vars(args),
+                                         extra={"best_acc": best_acc},
+                                         tags=("best",))
         if args.save_ckpt:
             tags = ["latest"]
             if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
                 tags.append(epoch)
+            # best_acc rides in extra so a resumed run keeps tracking from
+            # it instead of overwriting checkpoint-best with a worse model
             ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                     args=vars(args), tags=tags)
+                                     args=vars(args),
+                                     extra={"best_acc": best_acc}, tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()
@@ -361,7 +376,7 @@ def main(args):
             state = state.replace(params=pmesh.replicate(payload["model"], mesh))
     test_stats = common.run_final_test(
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-        args.output_dir)
+        args.output_dir, cast_bf16=True)
     common.save_epoch_stats(args, args.epochs, test_stats)
     if wb is not None and test_stats:
         # final merged accuracies (run_stage2.py:846-847)

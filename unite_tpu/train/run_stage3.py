@@ -192,6 +192,7 @@ def main(args):
     )
     state = TrainState.create(params, tx)
 
+    payload = None
     start_epoch, skip0 = args.start_epoch, 0
     # --eval never auto-resumes (the reference's eval exit :1280 precedes
     # its auto_resume :1310): it evaluates exactly the student_init weights
@@ -245,7 +246,7 @@ def main(args):
         # directory via load_classifier_head (:1212-1219)
         test_stats = common.run_final_test(
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-            args.output_dir)
+            args.output_dir, cast_bf16=True)
         common.save_epoch_stats(args, args.epochs, test_stats)
         if wb is not None and test_stats:
             wb.log({"test/acc1": test_stats["test_acc1"],
@@ -290,7 +291,7 @@ def main(args):
     if args.initial_validation and start_epoch == 0 and skip0 == 0:
         init_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
-            header="Initial val",
+            header="Initial val", cast_bf16=True,
             save_preds_path=(os.path.join(args.save_preds_path, "initial")
                              if args.save_preds_path else None))
         if wb is not None and init_stats:
@@ -311,7 +312,7 @@ def main(args):
             common.run_knn_probe(
                 state, feats_fn, knn_src, val_loader, mesh,
                 args.batch_size_val, args.nb_classes, k=args.knn_k,
-                max_videos=args.knn_max_videos)
+                max_videos=args.knn_max_videos, cast_bf16=True)
 
     def batches(epoch):
         src_loader.set_epoch(epoch)
@@ -339,7 +340,7 @@ def main(args):
     def wrapped_step(state, batch, rng):
         return step_fn(state, tp, batch, rng)
 
-    best_acc = -1.0
+    best_acc = common.resume_best_acc(payload)
     ckpt_io = ck.AsyncCheckpointer()  # epoch N+1 overlaps epoch N's write
     guard = common.PreemptionGuard(stop_after_steps=args.stop_after_steps)
     for epoch in range(start_epoch, args.epochs):
@@ -365,7 +366,8 @@ def main(args):
         done = (skip0 if epoch == start_epoch else 0) + guard.steps_done
         # mid-epoch preemption skips validation/diagnostics (epoch incomplete)
         if common.preempted_mid_epoch(guard, ckpt_io, args, state, epoch,
-                                      done, niter_per_ep, saving):
+                                      done, niter_per_ep, saving,
+                                      extra={"best_acc": best_acc}):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}
         epoch_stats["n_parameters"] = nparams  # run_stage3.py:1374-1380
@@ -393,7 +395,7 @@ def main(args):
             epoch_stats.update({f"cmp_{k}": v for k, v in cmp.items()})
         val_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
-            header=f"Val [{epoch}]",
+            header=f"Val [{epoch}]", cast_bf16=True,
             save_preds_path=(os.path.join(args.save_preds_path, f"epoch{epoch}")
                              if args.save_preds_path else None))
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
@@ -407,13 +409,17 @@ def main(args):
             best_acc = val_stats["acc1"]
             if saving:
                 ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                         args=vars(args), tags=("best",))
+                                         args=vars(args),
+                                         extra={"best_acc": best_acc},
+                                         tags=("best",))
         tags = ["latest"]
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             tags.append(epoch)
         if saving:
+            # best_acc rides in extra so a resumed run keeps tracking from it
             ckpt_io.save_train_state(args.output_dir, epoch, state,
-                                     args=vars(args), tags=tags)
+                                     args=vars(args),
+                                     extra={"best_acc": best_acc}, tags=tags)
         common.save_epoch_stats(args, epoch, epoch_stats)
         if guard.triggered:  # preempted exactly at an epoch boundary
             ckpt_io.wait()
@@ -430,7 +436,7 @@ def main(args):
             pass
     test_stats = common.run_final_test(
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-        args.output_dir)
+        args.output_dir, cast_bf16=True)
     common.save_epoch_stats(args, args.epochs, test_stats)
     if wb is not None and test_stats:
         # final merged accuracies (run_stage3.py:1412-1413)

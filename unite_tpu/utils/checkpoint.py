@@ -132,6 +132,7 @@ def save_train_state(output_dir: str, epoch: int, state, args=None,
     rebuilds it into a freshly-initialized state of the same structure."""
     from flax import serialization as _ser
 
+    state = _gather_sharded(state)  # collective; no-op when all-addressable
     save_checkpoint(
         output_dir, epoch, state.params,
         opt_state=_ser.to_state_dict(state.opt_state),
@@ -142,15 +143,55 @@ def save_train_state(output_dir: str, epoch: int, state, args=None,
     )
 
 
+def _gather_sharded(tree):
+    """Replace jax.Array leaves that are neither fully addressable nor fully
+    replicated (multihost --zero1 moments, --tp params) with their full host
+    value via a cross-process allgather.
+
+    COLLECTIVE: every process must call this, in the same order — a
+    process-0-only snapshot/fetch of such leaves is illegal in
+    multi-controller JAX (computations and __array__ both require either
+    full addressability or full replication). Single-host runs (all leaves
+    addressable) and plain-DP multihost runs (state fully replicated) take
+    the no-op fast path."""
+    needs = [x for x in jax.tree.leaves(tree)
+             if isinstance(x, jax.Array)
+             and not x.is_fully_addressable and not x.is_fully_replicated]
+    if not needs:
+        return tree
+    from jax.experimental import multihost_utils
+
+    # tiled=True: for a non-fully-addressable global array this returns the
+    # full global value with its shape preserved (tiled=False raises)
+    return jax.tree.map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True)
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated) else x,
+        tree)
+
+
 def _device_snapshot(tree):
-    """On-device copies of every jax.Array leaf (async dispatch, ~HBM-copy
-    cost). The snapshot is independent of the live training state, so the
-    train loop may immediately run a buffer-DONATING step on the original
-    while a background thread fetches the copy to host."""
+    """On-device copies of every addressable jax.Array leaf (async dispatch,
+    ~HBM-copy cost). The snapshot is independent of the live training state,
+    so the train loop may immediately run a buffer-DONATING step on the
+    original while a background thread fetches the copy to host.
+
+    Non-fully-addressable leaves (multihost: replicated state spans other
+    hosts' devices) are fetched to host immediately instead — jnp.copy is a
+    computation, which a single process may not run on a multi-process
+    array; __array__ on a fully-REPLICATED one is a plain local D2H fetch
+    (sharded-but-unreplicated leaves were already gathered by
+    ``_gather_sharded``)."""
     import jax.numpy as jnp
 
-    return jax.tree.map(
-        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+    def snap(x):
+        if not isinstance(x, jax.Array):
+            return x
+        if x.is_fully_addressable:
+            return jnp.copy(x)
+        return np.asarray(x)
+
+    return jax.tree.map(snap, tree)
 
 
 class AsyncCheckpointer:
@@ -188,6 +229,9 @@ class AsyncCheckpointer:
     def save_train_state(self, output_dir: str, epoch: int, state, args=None,
                          extra: Optional[Dict[str, Any]] = None,
                          tags=("latest",)) -> None:
+        # collective — BEFORE the main-process early return (all call sites
+        # invoke save symmetrically on every process)
+        state = _gather_sharded(state)
         if not is_main_process():
             return
         self.wait()
@@ -205,7 +249,8 @@ class AsyncCheckpointer:
         self._thread.start()
 
 
-def restore_train_state(state, payload: Dict[str, Any]):
+def restore_train_state(state, payload: Dict[str, Any],
+                        sched_every_k: int = 1):
     """Restore a payload into a TrainState created with the SAME optimizer.
 
     Mirrors the reference's auto_load_model (src/utils.py:739-776): params,
@@ -213,7 +258,13 @@ def restore_train_state(state, payload: Dict[str, Any]):
     step-folded PRNG continue where they left off), and EMA when both sides
     have one. If the saved optimizer tree does not match the current one
     (e.g. resuming across an LP→FT optimizer rebuild), falls back to
-    continuing only the schedule count."""
+    continuing only the schedule count.
+
+    ``sched_every_k``: batches per optimizer step (grad accumulation).
+    ``state.step`` counts BATCHES (TrainState.apply_gradients increments per
+    call) while the LR/WD tables are indexed per OPTIMIZER step, so the
+    fallback schedule count is ``step // sched_every_k`` — stage 2 passes
+    its ``update_freq`` here."""
     import jax.numpy as jnp
     from flax import serialization as _ser
 
@@ -232,7 +283,8 @@ def restore_train_state(state, payload: Dict[str, Any]):
         from unite_tpu.optim.factory import set_schedule_count
 
         state = state.replace(
-            opt_state=set_schedule_count(state.opt_state, step))
+            opt_state=set_schedule_count(
+                state.opt_state, step // max(1, int(sched_every_k))))
     if payload.get("model_ema") is not None and state.ema_params is not None:
         state = state.replace(ema_params=payload["model_ema"])
     return state.replace(step=jnp.asarray(step, jnp.int32))
