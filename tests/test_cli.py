@@ -238,3 +238,24 @@ def test_classify_tool_smoke(tmp_path):
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 5  # top-5 rows
     assert "walking" in out.stdout  # 12-class Daily-DA name table
+
+
+def test_flops_tool_smoke():
+    """tools/flops.py: XLA-cost-model FLOP table (the reference's fvcore
+    smoke block, modeling_finetune.py:439-441) prints a row per model."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/flops.py", "vit_base_patch16_224",
+         "--input-size", "32", "--frames", "2"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    row = [l for l in out.stdout.splitlines()
+           if l.startswith("vit_base_patch16_224")]
+    assert len(row) == 1
+    params_m, gflops, gb = (float(v) for v in row[0].split()[1:])
+    assert 80 < params_m < 90  # ViT-B
+    assert gflops > 0 and gb > 0
