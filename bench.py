@@ -32,23 +32,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def _require_devices(timeout_s: float = 180.0):
     """Fail fast (one JSON error line) when the TPU tunnel is down instead
-    of hanging forever in backend init — observed multi-hour outages where
-    even jax.devices() never returns."""
+    of hanging forever — observed multi-hour outages where jax.devices()
+    never returns, and a degraded mode where devices() answers but the
+    first compile/execute stalls forever (control plane up, data plane
+    hung), so probe both."""
     import threading
 
     got = []
-    t = threading.Thread(target=lambda: got.append(jax.devices()),
-                         daemon=True)
+
+    def probe():
+        got.append(jax.devices())
+        # round-trip one tiny program: catches the hung-data-plane mode
+        got.append(float(jax.jit(lambda x: x + 1)(jnp.zeros(()))))
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    if not got:
+    if len(got) < 2:
+        stage = ("jax.devices()" if not got
+                 else "first compile/execute (devices() answered)")
         print(json.dumps({
             "metric": "error",
             "value": 0,
             "unit": "tpu_unreachable",
             "vs_baseline": 0,
-            "detail": f"jax.devices() did not return within {timeout_s}s "
-                      "(axon tunnel down?)"}))
+            "detail": f"{stage} did not complete within {timeout_s}s "
+                      "(axon tunnel down or degraded?)"}))
         import os
 
         os._exit(2)

@@ -69,11 +69,10 @@ def model_cost(name: str, batch: int, frames: int, tubelet: int,
     params = model.init(rng, *args)["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
+    from unite_tpu.utils.flops import xla_cost
+
     fwd = jax.jit(lambda p, *a: model.apply({"params": p}, *a))
-    compiled = fwd.lower(params, *args).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):  # older jax returns one dict per device
-        cost = cost[0]
+    cost = xla_cost(fwd, params, *args) or {}
     return n_params, cost.get("flops", 0.0), cost.get("bytes accessed", 0.0)
 
 

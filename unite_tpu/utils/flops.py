@@ -36,12 +36,21 @@ def vit_flops(
     return total
 
 
-def xla_cost_flops(jitted_fn, *args) -> Optional[float]:
-    """Exact FLOPs from XLA's cost analysis of the lowered computation."""
+def xla_cost(jitted_fn, *args) -> Optional[dict]:
+    """XLA's full cost-analysis dict (flops, bytes accessed, ...) for the
+    lowered computation, or None when the backend exposes none."""
     try:
         analysis = jitted_fn.lower(*args).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
-        return float(analysis.get("flops", float("nan")))
+        return dict(analysis)
     except Exception:
         return None
+
+
+def xla_cost_flops(jitted_fn, *args) -> Optional[float]:
+    """Exact FLOPs from XLA's cost analysis of the lowered computation."""
+    cost = xla_cost(jitted_fn, *args)
+    if cost is None:
+        return None
+    return float(cost.get("flops", float("nan")))
