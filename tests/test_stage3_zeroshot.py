@@ -117,9 +117,15 @@ def test_stage3_entry_smoke_with_escape_hatch(tmp_path):
     from unite_tpu.train.run_stage3 import main
 
     preds_dir = str(tmp_path / "preds")
+    from tests.test_entry_resume import _write_annotations
+
     main(_stage3_args(tmp_path, selection_strategy="clip_matchORconf",
                       allow_uniform_clip=True, save_preds_path=preds_dir,
                       initial_validation=True, knn_eval=True,
+                      # separate gallery split (the *_sourceonly mappings'
+                      # ann_file_train_knn key) instead of ds_source
+                      ann_file_train_knn=_write_annotations(
+                          tmp_path, "knn.csv", 8),
                       knn_max_videos=8, disable_wandb=False))
     # reference wandb surface: pre-adaptation (run_stage3.py:1299),
     # per-epoch val + epoch marker (:1351,:1384), final test (:1413),

@@ -215,8 +215,11 @@ def stage1_parser() -> argparse.ArgumentParser:
                         "where the reference's skip_length=1 override "
                         "makes any umt_step > 1 yield empty clips")
     p.add_argument("--ann_file_train_knn", default=None,
-                   help="accepted for config compat; dead in the reference "
-                        "(run_stage1.py:173 — parsed, never read)")
+                   help="gallery annotation split for the --knn_eval "
+                        "representation probe (set by the *_sourceonly "
+                        "dataset mappings; the reference parses this at "
+                        "run_stage1.py:173 but never reads it — here it "
+                        "feeds run_stage3's kNN probe gallery loader)")
     p.add_argument("--checkpoints_enabled", type=str2bool, default=True,
                    help="gate ALL checkpoint writes (run_stage1.py:880; "
                         "NOTE the reference YAMLs default this to false and "

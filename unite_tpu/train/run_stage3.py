@@ -306,7 +306,19 @@ def main(args):
             # regular eval path never materializes features.
             feats_fn = jax.jit(make_selftrain_eval_step(
                 student, classifier, args.use_cls_token, with_feats=True))
-            knn_src = common.make_loader(ds_source, args,
+            # gallery = --ann_file_train_knn when the mapping provides one
+            # (the *_sourceonly entries, dataset_mappings.yaml:9-12 in the
+            # reference — its run_stage1.py:173 parses the key but never
+            # reads it; here it selects the probe's gallery split),
+            # else the source train split
+            if getattr(args, "ann_file_train_knn", None):
+                ds_knn, _ = build_dataset(
+                    "validation", args, anno_path=args.ann_file_train_knn,
+                    reader=reader)
+                ds_knn.return_aug_for_val = False
+            else:
+                ds_knn = ds_source
+            knn_src = common.make_loader(ds_knn, args,
                                          args.batch_size_val, shuffle=False,
                                          drop_last=False)
             common.run_knn_probe(
