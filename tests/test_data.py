@@ -679,3 +679,46 @@ def test_mixup_requires_an_active_alpha():
 
     with pytest.raises(ValueError, match="mixup_alpha"):
         Mixup(mixup_alpha=0.0, cutmix_alpha=0.0, num_classes=4)
+
+
+def test_loader_worker_death_with_parent_sigterm_handler(anno_file):
+    """Regression (r4): entries leave a catching SIGTERM handler installed
+    while they run (PreemptionGuard); forked loader workers used to inherit
+    it, so the executor's terminate() was swallowed and a worker-death
+    shutdown joined an unkillable idle worker forever — wedging the whole
+    process. Workers now reset SIGTERM to default at init; this drives the
+    death path under an installed handler and must complete, not hang."""
+    import os as _os
+    import signal
+    import threading
+
+    from concurrent.futures.process import BrokenProcessPool
+
+    class Die:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                _os._exit(1)
+            return np.zeros((2, 2), np.float32), 0
+
+    prev = signal.signal(signal.SIGTERM, lambda s, f: None)
+    done = []
+    try:
+        def drive():
+            loader = DataLoader(Die(), batch_size=4, num_workers=2,
+                                worker_mode="process")
+            try:
+                list(loader)
+            except BrokenProcessPool:
+                done.append(True)
+
+        t = threading.Thread(target=drive, daemon=True)
+        t.start()
+        t.join(120)
+        assert done == [True], \
+            "loader hung (or didn't raise) after worker death with a " \
+            "parent SIGTERM handler installed"
+    finally:
+        signal.signal(signal.SIGTERM, prev)

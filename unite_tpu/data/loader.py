@@ -47,6 +47,19 @@ _WORKER_STATE = None
 def _init_worker(dataset, collate_fn):
     global _WORKER_STATE
     _WORKER_STATE = (dataset, collate_fn)
+    # Forked workers inherit the parent's signal handlers. If the parent
+    # installed a catching SIGTERM handler (PreemptionGuard does), the
+    # executor's p.terminate() is swallowed and pool shutdown joins a
+    # worker that never exits — a hard deadlock observed when an entry
+    # main() ran earlier in the same process. Loader workers must die on
+    # terminate; preemption policy belongs to the parent alone.
+    import signal
+
+    try:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+    except ValueError:  # not the main thread (never the case post-fork)
+        pass
 
 
 def _load_batch_in_worker(batch_idx: Sequence[int]):
@@ -192,9 +205,16 @@ class DataLoader:
         # by reference (never pickled).
         ctx = multiprocessing.get_context("fork")
         window = max(self.prefetch_batches, self.num_workers)
-        with ProcessPoolExecutor(
-                self.num_workers, mp_context=ctx, initializer=_init_worker,
-                initargs=(self.dataset, self.collate_fn)) as pool:
+        pool = ProcessPoolExecutor(
+            self.num_workers, mp_context=ctx, initializer=_init_worker,
+            initargs=(self.dataset, self.collate_fn))
+        # NOT a `with` block: on the error path (worker died / task raised)
+        # a blocking shutdown(wait=True) can deadlock joining the broken
+        # pool's machinery (observed: BrokenProcessPool propagating through
+        # __exit__ wedged in process.py shutdown on a loaded host). Clean
+        # exhaustion still waits; errors shut down without waiting and
+        # cancel the queue.
+        try:
             futures = [pool.submit(_load_batch_in_worker, b)
                        for b in batches[:window]]
             next_submit = window
@@ -205,6 +225,11 @@ class DataLoader:
                         _load_batch_in_worker, batches[next_submit]
                     )
                     next_submit += 1
+        except BaseException:
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
+        else:
+            pool.shutdown(wait=True)
 
 
 def cycle(loader: DataLoader, skip_batches: int = 0) -> Iterator:
