@@ -137,3 +137,178 @@ def test_trainable_mask_freezes():
     assert float(jnp.abs(updates["a"]).max()) == 0.0
     assert float(jnp.abs(updates["b"]).max()) == 1.0
     assert "frozen" in groups
+
+
+# --------------------------------------------------------------------------
+# Full reference --opt surface (optim_factory.py:121-211; VERDICT r3 item 5)
+# --------------------------------------------------------------------------
+
+REFERENCE_OPT_NAMES = [
+    # every name the reference's create_optimizer dispatches on
+    "sgd", "nesterov", "momentum", "adam", "adamw", "nadam", "radam",
+    "adamp", "sgdp", "adadelta", "adafactor", "adahessian", "rmsprop",
+    "rmsproptf", "novograd", "nvnovograd", "fusedsgd", "fusedmomentum",
+    "fusedadam", "fusedadamw", "fusedlamb", "fusednovograd",
+    "lookahead_adamw", "lookahead_sgd",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_OPT_NAMES)
+def test_every_reference_opt_builds_or_errors_intelligibly(name):
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    if name == "adahessian":
+        with pytest.raises(NotImplementedError, match="supported"):
+            create_optimizer(name, lr=1e-3, params=params)
+        return
+    tx, _ = create_optimizer(name, lr=1e-3, params=params, weight_decay=0.01)
+    grads = [{"w": jnp.full((4, 3), 0.1), "b": jnp.full((3,), 0.1)}] * 3
+    got = _run_jax(tx, params, grads)
+    for leaf in jax.tree.leaves(got):
+        assert np.isfinite(np.asarray(leaf)).all(), name
+
+
+def test_unknown_opt_lists_supported():
+    with pytest.raises(ValueError, match="supported"):
+        create_optimizer("zoomzoom", lr=1e-3, params={"w": jnp.ones((2, 2))})
+
+
+def test_sgd_is_nesterov_like_reference():
+    """Reference 'sgd' builds torch SGD with nesterov=True
+    (optim_factory.py:153-156); 'momentum' is the plain variant."""
+    rng = np.random.default_rng(4)
+    w0 = rng.standard_normal((5, 2)).astype(np.float32)
+    grads_seq = [{"w": jnp.asarray(rng.standard_normal((5, 2)), jnp.float32)}
+                 for _ in range(4)]
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("sgd", lr=0.1, params=params,
+                             weight_decay=0.01, momentum=0.9)
+    got = _run_jax(tx, params, grads_seq)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, nesterov=True,
+                          weight_decay=0.01)
+    for g in grads_seq:
+        tw.grad = torch.tensor(np.asarray(g["w"]))
+        opt.step()
+    np.testing.assert_allclose(np.asarray(got["w"]), tw.detach().numpy(),
+                               atol=1e-6)
+
+
+def test_rmsprop_matches_torch():
+    """torch.optim.RMSprop(alpha=0.9, momentum, L2 wd) parity — eps sits
+    OUTSIDE the sqrt in torch (vs TF-style inside for rmsproptf)."""
+    rng = np.random.default_rng(5)
+    w0 = (rng.standard_normal((3, 4)).astype(np.float32)) * 0.5
+    grads_seq = [{"w": jnp.asarray(rng.standard_normal((3, 4)), jnp.float32)}
+                 for _ in range(5)]
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("rmsprop", lr=0.01, params=params,
+                             weight_decay=0.01, momentum=0.9, eps=1e-8)
+    got = _run_jax(tx, params, grads_seq)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.RMSprop([tw], lr=0.01, alpha=0.9, momentum=0.9,
+                              weight_decay=0.01, eps=1e-8)
+    for g in grads_seq:
+        tw.grad = torch.tensor(np.asarray(g["w"]))
+        opt.step()
+    np.testing.assert_allclose(np.asarray(got["w"]), tw.detach().numpy(),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_novograd_two_steps_manual():
+    """NovoGrad recurrence hand-rolled (Ginsburg et al. 2019 alg. 1):
+    v_0=||g||^2, v_t=b2 v+(1-b2)||g||^2, m_t=b1 m+(g/(sqrt(v)+eps)+wd p)."""
+    b1, b2, eps, wd, lr = 0.95, 0.98, 1e-8, 0.01, 0.1
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    g1 = np.array([[0.1, 0.2], [-0.3, 0.4]], np.float32)
+    g2 = np.array([[-0.2, 0.1], [0.2, -0.1]], np.float32)
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("novograd", lr=lr, params=params,
+                             weight_decay=wd)
+    got = _run_jax(tx, params, [{"w": jnp.asarray(g1)}, {"w": jnp.asarray(g2)}])
+
+    v = float((g1 * g1).sum())
+    m = g1 / (np.sqrt(v) + eps) + wd * w0
+    w = w0 - lr * m
+    v = b2 * v + (1 - b2) * float((g2 * g2).sum())
+    m = b1 * m + (g2 / (np.sqrt(v) + eps) + wd * w)
+    w = w - lr * m
+    np.testing.assert_allclose(np.asarray(got["w"]), w, rtol=1e-5, atol=1e-6)
+
+
+def test_adamp_projection_tangent():
+    """When the gradient is orthogonal to a 2-D weight (the scale-invariant
+    case), AdamP's projected update must stay in the tangent space:
+    <p, u> ~ 0 per output channel, and the weight norm must grow more
+    slowly than under plain adamw."""
+    w0 = np.array([[1.0, 0.0, 0.0], [0.0, 2.0, 0.0]], np.float32)
+    # per-channel orthogonal gradient
+    g = np.array([[0.0, 0.3, -0.1], [0.1, 0.0, 0.2]], np.float32)
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("adamp", lr=0.1, params=params, weight_decay=0.0)
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+    u = np.asarray(updates["w"])
+    dots = (w0 * u).sum(axis=1) / (np.linalg.norm(w0, axis=1)
+                                   * np.linalg.norm(u, axis=1) + 1e-12)
+    assert np.all(np.abs(dots) < 1e-4), dots
+
+
+def test_sgdp_runs_and_decreases_quadratic():
+    params = {"w": jnp.asarray(np.ones((4, 4), np.float32))}
+    tx, _ = create_optimizer("sgdp", lr=0.05, params=params,
+                             weight_decay=0.01, momentum=0.9)
+    state = tx.init(params)
+    p = params
+    losses = []
+    for _ in range(20):
+        g = {"w": 2 * p["w"]}  # d/dw ||w||^2
+        losses.append(float((p["w"] ** 2).sum()))
+        u, state = tx.update(g, state, p)
+        p = jax.tree.map(lambda a, b: a + b, p, u)
+    assert losses[-1] < 0.25 * losses[0], losses[::5]
+
+
+def test_lookahead_sync_semantics():
+    """lookahead_momentum with momentum=0 == plain SGD fast steps; at step
+    k=6 the params must land on slow + alpha*(fast - slow)."""
+    lr, alpha, k = 0.1, 0.5, 6
+    w0 = np.array([2.0, -1.0], np.float32)
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("lookahead_momentum", lr=lr, params=params,
+                             weight_decay=0.0, momentum=0.0)
+    state = tx.init(params)
+    p = params
+    g = {"w": jnp.asarray(np.array([1.0, 1.0], np.float32))}
+    fast = w0.copy()
+    for step in range(1, k + 1):
+        u, state = tx.update(g, state, p)
+        p = jax.tree.map(lambda a, b: a + b, p, u)
+        fast = fast - lr * np.array([1.0, 1.0])
+    expect = w0 + alpha * (fast - w0)  # slow synced at step k
+    np.testing.assert_allclose(np.asarray(p["w"]), expect, rtol=1e-6)
+    # and the fast weights were reset to the slow ones
+    u, state = tx.update(g, state, p)
+    p2 = jax.tree.map(lambda a, b: a + b, p, u)
+    np.testing.assert_allclose(np.asarray(p2["w"]),
+                               expect - lr * np.array([1.0, 1.0]), rtol=1e-6)
+
+
+def test_mu_dtype_bf16_state_and_trajectory():
+    """--mu_dtype bfloat16: first moment stored bf16 (HBM traffic lever,
+    tools/stage2_probe.py); trajectory stays close to fp32 state."""
+    params = {"w": jnp.ones((8, 4)) * 0.3}
+    tx32, _ = create_optimizer("adamw", lr=1e-3, params=params,
+                               weight_decay=0.01)
+    tx16, _ = create_optimizer("adamw", lr=1e-3, params=params,
+                               weight_decay=0.01, mu_dtype=jnp.bfloat16)
+    s16 = tx16.init(params)
+    mus = [l for l in jax.tree.leaves(s16)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment found in opt state"
+    grads = [{"w": jnp.full((8, 4), 0.05)}] * 5
+    got32 = _run_jax(tx32, params, grads)
+    got16 = _run_jax(tx16, params, grads)
+    np.testing.assert_allclose(np.asarray(got16["w"]),
+                               np.asarray(got32["w"]), rtol=0, atol=1e-4)

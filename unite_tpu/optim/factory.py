@@ -221,6 +221,223 @@ def set_schedule_count(opt_state, step: int):
     return opt_state
 
 
+def _projection(p, g, perturb, delta: float, wd_ratio: float, eps: float):
+    """AdamP/SGDP tangent-space projection (Heo et al. 2021, the algorithm
+    behind timm's adamp.py/sgdp.py the reference dispatches to at
+    optim_factory.py:169-172).
+
+    If the gradient is (nearly) orthogonal to a scale-invariant weight —
+    channel-wise first, then layer-wise — the update is projected onto the
+    tangent space of the weight-norm sphere and the effective weight decay
+    is multiplied by ``wd_ratio``. Returns (projected_update, wd_ratio_t).
+    """
+    if p.ndim < 2:
+        return perturb, jnp.float32(1.0)
+
+    def try_view(shape2d):
+        gv = g.reshape(shape2d).astype(jnp.float32)
+        pv = p.reshape(shape2d).astype(jnp.float32)
+        uv = perturb.reshape(shape2d).astype(jnp.float32)
+        cos = jnp.abs((gv * pv).sum(1)) / (
+            jnp.linalg.norm(gv, axis=1) * jnp.linalg.norm(pv, axis=1) + eps)
+        ok = cos.max() < delta / np.sqrt(gv.shape[1])
+        pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
+        proj = (uv - pn * (pn * uv).sum(1, keepdims=True)).reshape(p.shape)
+        return ok, proj.astype(perturb.dtype)
+
+    ok_c, proj_c = try_view((p.shape[0], -1))
+    ok_l, proj_l = try_view((1, -1))
+    out = jnp.where(ok_c, proj_c, jnp.where(ok_l, proj_l, perturb))
+    ratio = jnp.where(ok_c | ok_l, jnp.float32(wd_ratio), jnp.float32(1.0))
+    return out, ratio
+
+
+def adamp_direction(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                    weight_decay: ScheduleLike = 0.0, wd_mask=None,
+                    delta: float = 0.1, wd_ratio: float = 0.01,
+                    nesterov: bool = True):
+    """AdamP: Adam step + norm-growth-limiting projection. The reference
+    builds it with wd_ratio=0.01, nesterov=True (optim_factory.py:169).
+    Weight decay is the AdamP multiplicative form p*(1-lr*wd*ratio),
+    expressed additively (exactly equal) so it rides the generic
+    ``scheduled_optimizer(decoupled=False)`` wrapper."""
+    wd_fn = _as_lookup(weight_decay)
+
+    class AdamPState(NamedTuple):
+        count: jnp.ndarray
+        m: Any
+        v: Any
+
+    def init(params):
+        z = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return AdamPState(jnp.zeros([], jnp.int32), z(), z())
+
+    def update(grads, state, params=None):
+        assert params is not None
+        t = state.count + 1
+        bias1 = 1 - b1 ** t.astype(jnp.float32)
+        bias2 = 1 - b2 ** t.astype(jnp.float32)
+        wd_t = wd_fn(state.count)
+        mask = (wd_mask if wd_mask is not None
+                else jax.tree.map(lambda _: True, params))
+
+        def leaf(g, p, m, v, msk):
+            g = g.astype(jnp.float32)
+            pf = p.astype(jnp.float32)
+            m_n = b1 * m + (1 - b1) * g
+            v_n = b2 * v + (1 - b2) * g * g
+            denom = jnp.sqrt(v_n / bias2) + eps
+            num = (b1 * m_n + (1 - b1) * g) if nesterov else m_n
+            perturb = num / denom / bias1
+            perturb, ratio = _projection(pf, g, perturb, delta, wd_ratio, eps)
+            u = perturb + wd_t * ratio * pf * jnp.float32(msk)
+            return u, m_n, v_n
+
+        out = jax.tree.map(leaf, grads, params, state.m, state.v, mask)
+        u = jax.tree.map(lambda o: o[0], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        m = jax.tree.map(lambda o: o[1], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        v = jax.tree.map(lambda o: o[2], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        return u, AdamPState(t, m, v)
+
+    return optax.GradientTransformation(init, update)
+
+
+def sgdp_direction(momentum: float = 0.9, weight_decay: ScheduleLike = 0.0,
+                   wd_mask=None, delta: float = 0.1, wd_ratio: float = 0.1,
+                   nesterov: bool = True, eps: float = 1e-8):
+    """SGDP (projection SGD) — reference optim_factory.py:171-172."""
+    wd_fn = _as_lookup(weight_decay)
+
+    class SGDPState(NamedTuple):
+        count: jnp.ndarray
+        buf: Any
+
+    def init(params):
+        return SGDPState(jnp.zeros([], jnp.int32),
+                         jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        assert params is not None
+        wd_t = wd_fn(state.count)
+        mask = (wd_mask if wd_mask is not None
+                else jax.tree.map(lambda _: True, params))
+
+        def leaf(g, p, buf, msk):
+            g = g.astype(jnp.float32)
+            pf = p.astype(jnp.float32)
+            buf_n = momentum * buf + g
+            d_p = g + momentum * buf_n if nesterov else buf_n
+            d_p, ratio = _projection(pf, g, d_p, delta, wd_ratio, eps)
+            u = d_p + wd_t * ratio * pf * jnp.float32(msk)
+            return u, buf_n
+
+        out = jax.tree.map(leaf, grads, params, state.buf, mask)
+        u = jax.tree.map(lambda o: o[0], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        buf = jax.tree.map(lambda o: o[1], out,
+                           is_leaf=lambda x: isinstance(x, tuple))
+        return u, SGDPState(state.count + 1, buf)
+
+    return optax.GradientTransformation(init, update)
+
+
+def novograd_direction(b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
+                       weight_decay: ScheduleLike = 0.0, wd_mask=None,
+                       grad_averaging: bool = False):
+    """NovoGrad (layer-wise second moment; Ginsburg et al. 2019) — the
+    reference's novograd/nvnovograd/fusednovograd types
+    (optim_factory.py:185-202). One fp32 scalar v per tensor:
+    v_0=||g||^2, v_t=b2*v+(1-b2)*||g||^2; m_t=b1*m + (g/(sqrt(v)+eps)
+    + wd*p); update = m_t."""
+    wd_fn = _as_lookup(weight_decay)
+
+    class NovoState(NamedTuple):
+        count: jnp.ndarray
+        m: Any
+        v: Any
+
+    def init(params):
+        return NovoState(
+            jnp.zeros([], jnp.int32),
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(lambda _: jnp.zeros([], jnp.float32), params),
+        )
+
+    def update(grads, state, params=None):
+        assert params is not None
+        wd_t = wd_fn(state.count)
+        first = state.count == 0
+        mask = (wd_mask if wd_mask is not None
+                else jax.tree.map(lambda _: True, params))
+
+        def leaf(g, p, m, v, msk):
+            g = g.astype(jnp.float32)
+            norm = (g * g).sum()
+            v_n = jnp.where(first, norm, b2 * v + (1 - b2) * norm)
+            gp = g / (jnp.sqrt(v_n) + eps)
+            gp = gp + wd_t * p.astype(jnp.float32) * jnp.float32(msk)
+            if grad_averaging:
+                gp = gp * (1 - b1)
+            m_n = b1 * m + gp
+            return m_n, m_n, v_n
+
+        out = jax.tree.map(leaf, grads, params, state.m, state.v, mask)
+        u = jax.tree.map(lambda o: o[0], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        m = jax.tree.map(lambda o: o[1], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        v = jax.tree.map(lambda o: o[2], out,
+                         is_leaf=lambda x: isinstance(x, tuple))
+        return u, NovoState(state.count + 1, m, v)
+
+    return optax.GradientTransformation(init, update)
+
+
+def lookahead(inner: optax.GradientTransformation, k: int = 6,
+              alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper (``lookahead_<opt>`` prefix,
+    optim_factory.py:207-209; timm defaults k=6, alpha=0.5): keep slow
+    weights in the optimizer state; every k fast steps pull them toward the
+    fast weights and reset the fast weights to the slow ones. Expressed as
+    a pure optax transform — the emitted update already lands the params on
+    the synced value, so TrainState.apply stays a plain add."""
+
+    class LookaheadState(NamedTuple):
+        count: jnp.ndarray
+        slow: Any
+        inner: Any
+
+    def init(params):
+        return LookaheadState(jnp.zeros([], jnp.int32),
+                              jax.tree.map(jnp.array, params),
+                              inner.init(params))
+
+    def update(grads, state, params=None):
+        assert params is not None
+        u, inner_s = inner.update(grads, state.inner, params)
+        t = state.count + 1
+        sync = (t % k) == 0
+
+        def leaf(p, du, s):
+            fast = p.astype(jnp.float32) + du.astype(jnp.float32)
+            slow_n = jnp.where(sync, s + alpha * (fast - s), s)
+            u_final = jnp.where(sync, slow_n - p.astype(jnp.float32),
+                                du.astype(jnp.float32))
+            return u_final.astype(du.dtype), slow_n
+
+        out = jax.tree.map(leaf, params, u, state.slow)
+        u2 = jax.tree.map(lambda o: o[0], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        slow = jax.tree.map(lambda o: o[1], out,
+                            is_leaf=lambda x: isinstance(x, tuple))
+        return u2, LookaheadState(t, slow, inner_s)
+
+    return optax.GradientTransformation(init, update)
+
+
 def sgd_l2_direction(momentum: float = 0.9, nesterov: bool = False,
                      weight_decay: ScheduleLike = 0.0, wd_mask=None):
     """torch-SGD semantics: L2 folded into grads before the momentum buffer."""
@@ -246,6 +463,38 @@ def sgd_l2_direction(momentum: float = 0.9, nesterov: bool = False,
     return optax.GradientTransformation(init, update)
 
 
+def _l2_direction(base: optax.GradientTransformation,
+                  weight_decay: ScheduleLike, wd_mask):
+    """Fold torch-style L2 (wd into the gradient) in front of ``base``."""
+    wd_fn = _as_lookup(weight_decay)
+
+    class L2State(NamedTuple):
+        count: jnp.ndarray
+        inner: Any
+
+    def init(params):
+        return L2State(jnp.zeros([], jnp.int32), base.init(params))
+
+    def update(grads, state, params=None):
+        wd_t = wd_fn(state.count)
+        if params is not None:
+            grads = jax.tree.map(
+                lambda g, p, m: g + wd_t * p * jnp.float32(m),
+                grads, params, wd_mask,
+            )
+        u, inner = base.update(grads, state.inner, params)
+        return u, L2State(state.count + 1, inner)
+
+    return optax.GradientTransformation(init, update)
+
+
+SUPPORTED_OPTS = (
+    "adamw adam nadam radam lamb adabelief adagrad adadelta rmsprop "
+    "rmsproptf lion sgd momentum nesterov adamp sgdp adafactor novograd "
+    "nvnovograd (+ fused* aliases, lookahead_* prefix)"
+)
+
+
 def create_optimizer(
     opt: str,
     lr: ScheduleLike,
@@ -258,13 +507,34 @@ def create_optimizer(
     num_layers: Optional[int] = None,
     layer_decay: Optional[float] = None,
     trainable_mask=None,
+    mu_dtype=None,
 ) -> Tuple[optax.GradientTransformation, dict]:
     """Build the full optimizer (optim_factory.py:121-211 surface).
 
     Returns (transform, group_names). ``opt`` accepts the reference's names;
-    fused/apex aliases map to the plain implementation (XLA fuses anyway).
+    fused/apex aliases map to the plain implementation (XLA fuses anyway);
+    a ``lookahead_`` prefix wraps the base optimizer (optim_factory.py:
+    207-209). ``adahessian`` raises: it needs a second backward pass for
+    the Hutchinson Hessian-diagonal estimate, which is not expressible as
+    a gradient transformation (and no reference config uses it — see
+    docs/MIGRATION.md).
+
+    ``mu_dtype``: storage dtype for the first moment of the adam family
+    (``--mu_dtype bfloat16``). The optimizer update is HBM-bound — the
+    measured 3.0 ms of a ViT-B stage-2 step is pure m/v traffic
+    (tools/stage2_probe.py) — and a bf16 first moment claws back ~0.6 ms
+    (+0.7% step). Off by default: fp32 state is the reference-parity
+    contract.
     """
     opt_lower = opt.lower().replace("fused", "").strip("_")
+    use_lookahead = opt_lower.startswith("lookahead_")
+    if use_lookahead:
+        opt_lower = opt_lower.split("_", 1)[1]
+    if opt_lower == "adahessian":
+        raise NotImplementedError(
+            "adahessian needs a second-order (Hutchinson) backward pass and "
+            "is not supported on the TPU build; pick one of: "
+            + SUPPORTED_OPTS)
     # group-logging value only: callables (schedules) report 1.0
     wd_value = 1.0 if callable(weight_decay) else float(np.max(weight_decay))
     wd_mask, lr_scale, groups = param_group_metadata(
@@ -276,61 +546,82 @@ def create_optimizer(
     # decay mask folds into the wd term; lr_scale folds into the update
     masked_wd = weight_decay
 
+    # directions where wd is DECOUPLED AdamW-style (wd added to the update)
     adam_dirs = {
-        "adamw": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
-        "adam": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        "adamw": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                                             mu_dtype=mu_dtype),
         "nadam": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
-                                             nesterov=True),
+                                             nesterov=True, mu_dtype=mu_dtype),
         "radam": lambda: optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps),
         "lamb": lambda: optax.chain(
-            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                                mu_dtype=mu_dtype),
             optax.scale_by_trust_ratio(),
         ),
         "adabelief": lambda: optax.scale_by_belief(b1=betas[0], b2=betas[1], eps=eps),
         "adagrad": lambda: optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps),
-        "adadelta": lambda: optax.contrib.scale_by_adadelta(eps=eps),
-        "rmsprop": lambda: optax.scale_by_rms(decay=0.9, eps=eps),
+        "adadelta": lambda: optax.scale_by_adadelta(eps=eps),
         "lion": lambda: optax.scale_by_lion(b1=betas[0], b2=betas[1]),
+        # Adafactor: factored second moment (optax.scale_by_factored_rms);
+        # wd decoupled like timm's Adafactor (optim_factory.py:176-179).
+        # timm's relative-step/update-clipping extras are intentionally not
+        # reproduced (docs/MIGRATION.md) — the explicit-lr path is the one
+        # the reference can reach (args.lr is always set).
+        "adafactor": lambda: optax.scale_by_factored_rms(),
+    }
+    # directions where wd is COUPLED torch-style (L2 into the gradient);
+    # torch RMSprop: eps OUTSIDE sqrt, v starts at 0; timm RMSpropTF: eps
+    # inside sqrt, v starts at 1 (optim_factory.py:181-184). Both take the
+    # reference's alpha=0.9 + momentum-buffer chain.
+    l2_dirs = {
+        "adam": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        "rmsprop": lambda: optax.chain(
+            optax.scale_by_rms(decay=0.9, eps=eps, eps_in_sqrt=False),
+            optax.trace(decay=momentum)),
+        "rmsproptf": lambda: optax.chain(
+            optax.scale_by_rms(decay=0.9, eps=eps, initial_scale=1.0,
+                               eps_in_sqrt=True),
+            optax.trace(decay=momentum)),
     }
 
     if opt_lower in ("sgd", "momentum", "nesterov"):
+        # reference 'sgd' == nesterov SGD (optim_factory.py:153-159);
+        # only 'momentum' is the plain heavy-ball variant
         direction = sgd_l2_direction(
-            momentum=momentum, nesterov=(opt_lower == "nesterov"),
+            momentum=momentum, nesterov=(opt_lower != "momentum" and momentum > 0),
             weight_decay=masked_wd, wd_mask=wd_mask,
         )
-        tx = scheduled_optimizer(direction, lr, 0.0, wd_mask=wd_mask,
-                                 lr_scale=lr_scale, decoupled=False)
+        tx_dir, decoupled = direction, False
+    elif opt_lower == "adamp":
+        tx_dir = adamp_direction(b1=betas[0], b2=betas[1], eps=eps,
+                                 weight_decay=masked_wd, wd_mask=wd_mask)
+        decoupled = False  # wd folded inside (projection-modulated)
+    elif opt_lower == "sgdp":
+        tx_dir = sgdp_direction(momentum=momentum, weight_decay=masked_wd,
+                                wd_mask=wd_mask, eps=eps)
+        decoupled = False
+    elif opt_lower in ("novograd", "nvnovograd"):
+        # NovoGrad's canonical betas are (0.95, 0.98) (the reference's
+        # fusednovograd default, optim_factory.py:200-202); honor an
+        # explicit override, else use the canonical pair
+        nb = betas if betas != (0.9, 0.999) else (0.95, 0.98)
+        tx_dir = novograd_direction(b1=nb[0], b2=nb[1], eps=eps,
+                                    weight_decay=masked_wd, wd_mask=wd_mask)
+        decoupled = False
+    elif opt_lower in l2_dirs:
+        tx_dir = _l2_direction(l2_dirs[opt_lower](), masked_wd, wd_mask)
+        decoupled = False
     elif opt_lower in adam_dirs:
-        decoupled = opt_lower != "adam"  # plain adam: L2 into grads like torch
-        if not decoupled:
-            base = adam_dirs[opt_lower]()
-            wd_fn = _as_lookup(masked_wd)
-
-            class L2State(NamedTuple):
-                count: jnp.ndarray
-                inner: Any
-
-            def init(params):
-                return L2State(jnp.zeros([], jnp.int32), base.init(params))
-
-            def update(grads, state, params=None):
-                wd_t = wd_fn(state.count)
-                if params is not None:
-                    grads = jax.tree.map(
-                        lambda g, p, m: g + wd_t * p * jnp.float32(m),
-                        grads, params, wd_mask,
-                    )
-                u, inner = base.update(grads, state.inner, params)
-                return u, L2State(state.count + 1, inner)
-
-            direction = optax.GradientTransformation(init, update)
-            tx = scheduled_optimizer(direction, lr, 0.0, wd_mask=wd_mask,
-                                     lr_scale=lr_scale, decoupled=False)
-        else:
-            tx = scheduled_optimizer(
-                adam_dirs[opt_lower](), lr, masked_wd, wd_mask=wd_mask,
-                lr_scale=lr_scale, decoupled=True,
-            )
+        tx_dir, decoupled = adam_dirs[opt_lower](), True
     else:
-        raise ValueError(f"unsupported optimizer {opt!r}")
+        raise ValueError(
+            f"unsupported optimizer {opt!r}; supported: {SUPPORTED_OPTS}")
+
+    tx = scheduled_optimizer(tx_dir, lr, masked_wd, wd_mask=wd_mask,
+                             lr_scale=lr_scale,
+                             decoupled=decoupled)
+    if use_lookahead:
+        # wrap the FULL scheduled optimizer: lookahead operates on the final
+        # (lr-scaled) updates, and its sync step emits `slow - p` directly
+        tx = lookahead(tx)
     return tx, groups
