@@ -44,16 +44,28 @@ def model_cost(name: str, batch: int, frames: int, tubelet: int,
     from unite_tpu.utils.registry import create_model
 
     kwargs = {}
+    size = input_size
     if name.startswith("vit_"):
         kwargs.update(all_frames=frames, tubelet_size=tubelet, num_classes=12)
-    elif not name.startswith("clip_"):
+        if input_size != 224:
+            kwargs.update(img_size=input_size)
+    elif name.startswith("clip_"):
+        # clip factories pin input_resolution (224, or 336 for *_336);
+        # honor --input-size by overriding it so the pos-table geometry
+        # tracks the input (ADVICE r3: a mismatched size crashed mid-table)
+        native = 336 if name.endswith("_336") else 224
+        size = input_size if input_size != 224 else native
+        if size != native:
+            kwargs.update(input_resolution=size)
+    else:
         kwargs.update(num_frames=frames, tubelet_size=tubelet)
-    if name.startswith("vit_") and input_size != 224:
-        kwargs.update(img_size=input_size)  # factories for the other
-        # families pin img_size=224 (as the reference's registrations do)
+        if input_size != 224:
+            # these factories pin img_size=224 (as the reference's
+            # registrations do) — degrade explicitly instead of crashing
+            print(f"[flops] {name}: factory pins img_size=224; "
+                  f"ignoring --input-size {input_size}", file=sys.stderr)
+            size = 224
     model = create_model(name, **kwargs)
-
-    size = 336 if name.endswith("_336") else input_size
     x = jnp.zeros((batch, frames, size, size, 3), jnp.float32)
     rng = jax.random.PRNGKey(0)
 
