@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -26,18 +27,23 @@ import numpy as np
 # Persistent compile cache: the fused stage-1 step is a large program and
 # XLA compilation through the remote-device tunnel is slow; cache it across
 # runs so the bench measures steps, not compiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _require_devices(timeout_s: float = 180.0):
+def _require_devices(timeout_s: float | None = None):
     """Fail fast (one JSON error line) when the TPU tunnel is down instead
     of hanging forever — observed multi-hour outages where jax.devices()
     never returns, and a degraded mode where devices() answers but the
     first compile/execute stalls forever (control plane up, data plane
-    hung), so probe both."""
+    hung), so probe both. ``UNITE_BENCH_PROBE_TIMEOUT`` overrides the
+    window; progress heartbeats go to stderr so a long wait is visibly a
+    wait, not a hang."""
     import threading
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("UNITE_BENCH_PROBE_TIMEOUT", "150"))
     got = []
 
     def probe():
@@ -47,7 +53,15 @@ def _require_devices(timeout_s: float = 180.0):
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    waited = 0.0
+    while waited < timeout_s and t.is_alive():
+        t.join(min(30.0, timeout_s - waited))
+        waited += 30.0
+        if t.is_alive():
+            stage = "jax.devices()" if not got else "first compile/execute"
+            print(f"[bench] still waiting on {stage} "
+                  f"({int(min(waited, timeout_s))}/{int(timeout_s)}s)",
+                  file=sys.stderr)
     if len(got) < 2:
         stage = ("jax.devices()" if not got
                  else "first compile/execute (devices() answered)")
@@ -58,10 +72,73 @@ def _require_devices(timeout_s: float = 180.0):
             "vs_baseline": 0,
             "detail": f"{stage} did not complete within {timeout_s}s "
                       "(axon tunnel down or degraded?)"}))
-        import os
-
         os._exit(2)
     return got[0]
+
+
+def _cache_entries() -> int:
+    try:
+        return len(os.listdir(_CACHE_DIR))
+    except OSError:
+        return 0
+
+
+def _outer_retry(argv) -> int:
+    """Run the bench in a killable subprocess with growing windows
+    (VERDICT r3 item 1: a degraded tunnel used to take the whole round's
+    perf record dark after one fixed 180 s probe).
+
+    Each attempt is a fresh process — a fresh tunnel handshake — and every
+    successfully compiled program lands in the persistent cache at
+    ``_CACHE_DIR``, so attempt N+1 resumes from whatever attempt N managed
+    to compile instead of starting over. ``UNITE_BENCH_COMPILE_TIMEOUT``
+    sets the base window (default 300 s; attempt i gets base*(i+1)),
+    ``UNITE_BENCH_ATTEMPTS`` the attempt count (default 3),
+    ``UNITE_BENCH_NO_RETRY=1`` disables the wrapper entirely."""
+    import subprocess
+
+    base = float(os.environ.get("UNITE_BENCH_COMPILE_TIMEOUT", "300"))
+    attempts = int(os.environ.get("UNITE_BENCH_ATTEMPTS", "3"))
+    last = None
+    for i in range(attempts):
+        window = base * (i + 1)
+        print(f"[bench] attempt {i + 1}/{attempts}: window {int(window)}s, "
+              f"{_cache_entries()} cached executables in {_CACHE_DIR}",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner", *argv],
+                capture_output=True, text=True, timeout=window)
+        except subprocess.TimeoutExpired as e:
+            print(f"[bench] attempt {i + 1} killed after {int(window)}s "
+                  "(compile/execute stalled); retrying with a larger window",
+                  file=sys.stderr, flush=True)
+            last = (124, (e.stdout or ""), (e.stderr or ""))
+            continue
+        dt = time.perf_counter() - t0
+        sys.stderr.write(r.stderr if isinstance(r.stderr, str)
+                         else r.stderr.decode())
+        if r.returncode == 0 and r.stdout.strip():
+            sys.stdout.write(r.stdout)
+            print(f"[bench] attempt {i + 1} succeeded in {dt:.0f}s",
+                  file=sys.stderr)
+            return 0
+        last = (r.returncode, r.stdout, r.stderr)
+        print(f"[bench] attempt {i + 1} exited rc={r.returncode} after "
+              f"{dt:.0f}s; retrying", file=sys.stderr, flush=True)
+        time.sleep(min(60.0, base / 4))
+    if last and last[1].strip():
+        # pass through the inner run's JSON error line verbatim
+        sys.stdout.write(last[1])
+    else:
+        print(json.dumps({
+            "metric": "error", "value": 0, "unit": "tpu_unreachable",
+            "vs_baseline": 0,
+            "detail": f"no attempt completed ({attempts} attempts, base "
+                      f"window {int(base)}s; set UNITE_BENCH_COMPILE_TIMEOUT "
+                      "to grow it). axon tunnel down?"}))
+    return 2
 
 
 def _block_flops(n, d):
@@ -114,12 +191,14 @@ def peak_bf16_flops():
     return V5E_PEAK_BF16
 
 
-def check_kernels():
+def check_kernels(out_path: str | None = None):
     """On-TPU numerics: all Pallas regimes fwd+bwd vs the XLA reference at
     the six supported geometries (197 b16 teacher, 257 l14 teacher, 314
     masked student, 577 l14_336 teacher, 784 16f/tubelet-2, 1568 full).
-    Run via ``python bench.py --check`` (VERDICT r1 item 7: CPU tests only
-    exercise the XLA fallback; kernels must be driven on the chip)."""
+    Run via ``python bench.py --check [--out CHECK.json]`` (VERDICT r1
+    item 7 / r3 item 4: CPU tests only exercise interpret mode; Mosaic
+    layout legality + real bf16 numerics need the chip, and ``--out``
+    persists the deltas as a durable round artifact)."""
     from unite_tpu.ops.attention import (
         attention_xla,
         fused_qkv_attention,
@@ -129,6 +208,7 @@ def check_kernels():
 
     assert jax.default_backend() == "tpu", "--check needs the TPU"
     ok = True
+    records = []
     # 197: teacher b16 per-frame; 314: masked student; 577: l14_336 teacher
     # per-frame (24^2+1, clip.py:276-295); 784: 16f tubelet-2 student
     # (modeling_finetune.py:161); 1568: full stage-2 sequence
@@ -154,6 +234,9 @@ def check_kernels():
                     for a, b in zip(gp, gr))
         line_ok = fwd_d < 8e-3 and bwd_d < 8e-2  # bf16 tolerances
         ok &= line_ok
+        records.append({"family": "multi_head_attention", "seq": seq,
+                        "fwd_max_abs": fwd_d, "bwd_max_abs": bwd_d,
+                        "fwd_tol": 8e-3, "bwd_tol": 8e-2, "ok": line_ok})
         print(f"mha seq={seq}: fwd {fwd_d:.5f} bwd {bwd_d:.5f} "
               f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
 
@@ -176,6 +259,9 @@ def check_kernels():
             - jax.grad(floss(fr))(qkv).astype(jnp.float32))))
         line_ok = fwd_d < 1.6e-2 and bwd_d < 1.6e-1
         ok &= line_ok
+        records.append({"family": "fused_qkv_attention", "seq": seq,
+                        "fwd_max_abs": fwd_d, "bwd_max_abs": bwd_d,
+                        "fwd_tol": 1.6e-2, "bwd_tol": 1.6e-1, "ok": line_ok})
         print(f"fused-qkv seq={seq}: fwd {fwd_d:.5f} bwd {bwd_d:.5f} "
               f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
     # Model-level geometry drives (VERDICT r2 item 5): one real-chip
@@ -197,6 +283,8 @@ def check_kernels():
         and bool(jnp.isfinite(attn.astype(jnp.float32)).all())
     )
     ok &= line_ok
+    records.append({"family": "clip_l14_336_model_fwd", "seq": 577,
+                    "ok": line_ok})
     print(f"clip_l14_336 fwd (577 tok/frame): {'OK' if line_ok else 'FAIL'}",
           file=sys.stderr)
 
@@ -210,9 +298,18 @@ def check_kernels():
     line_ok = (logits.shape == (1, 12)
                and bool(jnp.isfinite(logits.astype(jnp.float32)).all()))
     ok &= line_ok
+    records.append({"family": "vit_base_16f_tubelet2_model_fwd", "seq": 784,
+                    "ok": line_ok})
     print(f"vit_base 16f/tubelet-2 fwd (784 tok): "
           f"{'OK' if line_ok else 'FAIL'}", file=sys.stderr)
 
+    if out_path:
+        dev = jax.devices()[0]
+        with open(out_path, "w") as f:
+            json.dump({"device": getattr(dev, "device_kind", str(dev)),
+                       "all_ok": ok, "checks": records}, f, indent=1)
+        print(f"[bench] wrote {out_path} ({len(records)} checks)",
+              file=sys.stderr)
     print(json.dumps({"metric": "kernel_numerics_check",
                       "value": 1.0 if ok else 0.0, "unit": "pass",
                       "vs_baseline": 1.0 if ok else 0.0}))
@@ -565,6 +662,52 @@ def bench_loader_host(B, workers, frames=8, img=224, iters=20,
     }))
 
 
+def bench_loader_host_eval(B, workers, device_tfms: bool, frames=8,
+                           iters=30):
+    """Host-side VAL pipeline rate (synthetic decode → val transform →
+    collate), no device: quantifies what --device_eval_transforms removes
+    from the host (the cv2 resize + fp32 normalize; decode remains).
+    ``bench.py --loader-host-eval [--device-tfms]``."""
+    import os
+    import tempfile
+
+    from unite_tpu.data.datasets import VideoClsDatasetSparse
+    from unite_tpu.data.loader import DataLoader
+    from unite_tpu.data.video_reader import SyntheticVideoReader
+
+    anno = os.path.join(tempfile.mkdtemp(), "val.csv")
+    with open(anno, "w") as f:
+        for i in range(max(256, B * 4)):
+            f.write(f"clip_{i:04d}.mp4 {i % 12}\n")
+    ds = VideoClsDatasetSparse(
+        anno_path=anno, mode="validation", clip_len=frames, crop_size=224,
+        short_side_size=256, seed=0, reader=SyntheticVideoReader(256, 320),
+        device_eval_transforms=device_tfms,
+        device_normalize=device_tfms,
+    )
+    loader = DataLoader(ds, batch_size=B, num_workers=workers,
+                        drop_last=True, shuffle=False)
+    it = iter(loader)
+    next(it)  # warm pool
+    t0 = time.perf_counter()
+    done = 0
+    while done < iters:
+        try:
+            next(it)
+        except StopIteration:
+            it = iter(loader)
+            continue
+        done += 1
+    dt = time.perf_counter() - t0
+    clips = B * iters / dt
+    print(json.dumps({
+        "metric": ("val_loader_host_clips_per_sec_device_tfms" if device_tfms
+                   else "val_loader_host_clips_per_sec"),
+        "value": round(clips, 2), "unit": "clips/s",
+        "vs_baseline": round(dt / iters / B * 1e3, 3),  # host ms/clip
+    }))
+
+
 def main(argv=None, workers=8):
     from unite_tpu import create_model
     from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
@@ -667,10 +810,29 @@ def main(argv=None, workers=8):
 
 
 if __name__ == "__main__":
+    if ("--inner" not in sys.argv and "--loader-host" not in sys.argv
+            and "--loader-host-eval" not in sys.argv
+            and os.environ.get("UNITE_BENCH_NO_RETRY") != "1"):
+        # degraded-tunnel armor: run the real bench in killable
+        # subprocesses with growing windows (the persistent compile cache
+        # carries partial progress across attempts)
+        sys.exit(_outer_retry(sys.argv[1:]))
     # consume --workers N FIRST so its value never leaks into the
     # positional batch-size scan of any mode below
-    _argv, _workers = _parse_workers(sys.argv[1:])
+    _argv, _workers = _parse_workers(
+        [a for a in sys.argv[1:] if a != "--inner"])
+    _out = None
+    if "--out" in _argv:
+        _i = _argv.index("--out")
+        if _i + 1 >= len(_argv):
+            sys.exit("usage: bench.py --check --out FILE.json")
+        _out = _argv[_i + 1]
+        _argv = _argv[:_i] + _argv[_i + 2:]
     _pos = [a for a in _argv if not a.startswith("--")]
+    if "--loader-host-eval" in _argv:
+        bench_loader_host_eval(int(_pos[0]) if _pos else 64, _workers,
+                               device_tfms="--device-tfms" in _argv)
+        sys.exit(0)
     if "--loader-host" in _argv:
         # pure host measurement: no TPU needed, do not probe the tunnel
         bench_loader_host(int(_pos[0]) if _pos else 64, _workers,
@@ -679,7 +841,7 @@ if __name__ == "__main__":
         sys.exit(0)
     _require_devices()
     if "--check" in _argv:
-        sys.exit(check_kernels())
+        sys.exit(check_kernels(out_path=_out))
     elif "--stage2" in _argv:
         bench_stage2(int(_pos[0]) if _pos else 8)
     elif "--large2" in _argv:
