@@ -131,3 +131,28 @@ def test_jpeg_probe_emit_matches_decode(jpeg_folder):
     out = native.get_batch(jpeg_folder, [0, 1, 2, 0])
     assert out.shape == (4, 48, 64, 3)
     assert np.array_equal(out[0], out[3])  # emit vs decode_with, same file
+
+
+def test_scaled_decode_matches_host_resize(video_file):
+    """vd_open_scaled: decode-time swscale short-side resize. Dims must
+    match transforms.resize_clip rounding exactly; pixels within bilinear
+    implementation tolerance of the cv2 host path."""
+    from unite_tpu.data.transforms import resize_clip
+
+    idx = [0, 10, 30]
+    scaled = NativeVideoReader(short_side=32).get_batch(video_file, idx)
+    # 48x64 -> short side 32: long = int(32*64/48) = 42
+    assert scaled.shape == (3, 32, 42, 3)
+    host = resize_clip(NativeVideoReader().get_batch(video_file, idx), 32)
+    assert host.shape == scaled.shape
+    diff = np.abs(scaled.astype(np.int16) - host.astype(np.int16))
+    assert diff.mean() < 4.0, diff.mean()  # swscale vs cv2 rounding
+    assert np.quantile(diff, 0.95) <= 16, np.quantile(diff, 0.95)
+
+
+def test_scaled_decode_noop_when_matching(video_file):
+    """short_side == native short side: bit-identical to unscaled decode."""
+    idx = [0, 5]
+    a = NativeVideoReader(short_side=48).get_batch(video_file, idx)
+    b = NativeVideoReader().get_batch(video_file, idx)
+    np.testing.assert_array_equal(a, b)

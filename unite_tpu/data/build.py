@@ -117,7 +117,8 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         extra = {"frame_sample_rate": getattr(args, "sampling_rate", 2) or 2}
     else:
         DS = VideoClsDatasetSparse
-        extra = {}
+        extra = {"device_eval_transforms": getattr(
+            args, "device_eval_transforms", False)}
 
     ds = DS(
         anno_path=anno_path,

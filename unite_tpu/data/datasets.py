@@ -99,6 +99,7 @@ class VideoClsDatasetSparse:
         reader: Optional[VideoReaderBase] = None,
         seed: Optional[int] = None,
         device_normalize: bool = False,
+        device_eval_transforms: bool = False,
     ):
         assert mode in ("train", "validation", "test")
         self.mode = mode
@@ -123,6 +124,16 @@ class VideoClsDatasetSparse:
         # H2D bytes. Host-normalized fp32 (the reference pipeline) is the
         # parity default; interpolation then happens pre-quantization.
         self.device_normalize = device_normalize
+        # ship RAW decoded uint8 val frames; resize+crop+normalize run fused
+        # in the jitted eval step (ops/eval_transforms.py). Static-shape
+        # contract: every video must decode to the same raster — use a
+        # short_side-scaled reader (NativeVideoReader(short_side=...)) or a
+        # fixed-resolution source; _val_canvas enforces it with a clear error.
+        self.device_eval_transforms = device_eval_transforms
+        if device_eval_transforms and mode in ("validation", "test"):
+            # raw/cropped frames ship uint8; normalize always on device
+            self.device_normalize = True
+        self._val_canvas: Optional[tuple] = None
 
         self.samples, self.labels = load_annotations(anno_path, sep)
         if train_fraction < 1.0 and mode == "train":
@@ -178,6 +189,20 @@ class VideoClsDatasetSparse:
                     f"video {path} not correctly loaded ({self.mode}): {e!r}")
                 index = int(rng.integers(0, len(self)))
         raise RuntimeError("too many consecutive decode failures")
+
+    def _check_canvas(self, buffer: np.ndarray, path: str) -> np.ndarray:
+        """device_eval_transforms static-shape guard: every decoded val clip
+        must share one raster (one compiled eval program)."""
+        if self._val_canvas is None:
+            self._val_canvas = buffer.shape[1:]
+        elif buffer.shape[1:] != self._val_canvas:
+            raise RuntimeError(
+                f"--device_eval_transforms needs a fixed decode raster: "
+                f"{path} decoded to {buffer.shape[1:]} but the first video "
+                f"gave {self._val_canvas}. Use a short_side-scaled reader "
+                f"(NativeVideoReader(short_side=...)) or drop the flag for "
+                f"mixed-resolution sources.")
+        return buffer
 
     # -- augmentation ------------------------------------------------------
 
@@ -238,11 +263,27 @@ class VideoClsDatasetSparse:
 
         if self.mode == "validation":
             buffer, path, label, _, _ = self._load_with_retry(index, 0, rng)
-            clip = T.val_transform(buffer, self.short_side_size,
-                                   self.crop_size,
-                                   normalize=not self.device_normalize)
-            clip = clip.astype(
-                np.uint8 if self.device_normalize else np.float32)
+            if self.device_eval_transforms:
+                s = self.short_side_size
+                h, w = buffer.shape[1], buffer.shape[2]
+                if min(h, w) == s:
+                    # decoder-scaled path: slice the long side down to an
+                    # SxS canvas (pure view) with the offset chosen so the
+                    # device center-crop composes to EXACTLY the host
+                    # protocol's ceil((L-crop)/2) origin; the aspect mix
+                    # never reaches the static-shape check
+                    c = self.crop_size
+                    o1 = -(-(max(h, w) - c) // 2) - -(-(s - c) // 2)
+                    o1 = min(max(o1, 0), max(h, w) - s)
+                    buffer = (buffer[:, o1:o1 + s] if h >= w
+                              else buffer[:, :, o1:o1 + s])
+                clip = self._check_canvas(np.ascontiguousarray(buffer), path)
+            else:
+                clip = T.val_transform(buffer, self.short_side_size,
+                                       self.crop_size,
+                                       normalize=not self.device_normalize)
+                clip = clip.astype(
+                    np.uint8 if self.device_normalize else np.float32)
             vid = path.split("/")[-1].split(".")[0]
             if self.return_aug_for_val:
                 # milder policy for the stage-3 target stream (:174-182)
@@ -254,9 +295,18 @@ class VideoClsDatasetSparse:
         # test: short-side resize then strided spatial window (:186-208)
         buffer, path, label, split_nb, chunk_nb = self._load_with_retry(
             index, 0, rng)
-        buffer = T.resize_clip(
-            buffer if self.device_normalize else buffer.astype(np.float32),
-            self.short_side_size)
+        if (self.device_eval_transforms
+                and min(buffer.shape[1], buffer.shape[2])
+                == self.short_side_size):
+            # decoder already delivered the short side (NativeVideoReader
+            # short_side=) — the crops below are pure uint8 slices, so the
+            # whole host test pipeline is decode-only. See
+            # ops/eval_transforms.py for why the crop grid stays host-side.
+            pass
+        else:
+            buffer = T.resize_clip(
+                buffer if self.device_normalize else buffer.astype(np.float32),
+                self.short_side_size)
         h, w = buffer.shape[1], buffer.shape[2]
         long_side = max(h, w)
         if self.test_num_crop == 1:

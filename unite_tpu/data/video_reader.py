@@ -41,13 +41,22 @@ class NativeVideoReader(VideoReaderBase):
 
     C ABI (native/videodec.cpp):
       void* vd_open(const char* path);
+      void* vd_open_scaled(const char* path, int short_side);
       int   vd_num_frames(void* h);
       int   vd_width(void* h); int vd_height(void* h);
       int   vd_get_batch(void* h, const int64_t* idx, int n, uint8_t* out);
       void  vd_close(void* h);
+
+    ``short_side``: decode-time bilinear resize so frames arrive with the
+    short side already at the eval protocol's size — the swscale pass that
+    converts pix_fmt to RGB24 does the scaling for free, and the host
+    pipeline skips its cv2 resize (--device_eval_transforms input path).
     """
 
     _lib = None
+
+    def __init__(self, short_side: Optional[int] = None):
+        self.short_side = short_side
 
     @classmethod
     def load_library(cls):
@@ -59,6 +68,8 @@ class NativeVideoReader(VideoReaderBase):
                 lib = ctypes.CDLL(name)
                 lib.vd_open.restype = ctypes.c_void_p
                 lib.vd_open.argtypes = [ctypes.c_char_p]
+                lib.vd_open_scaled.restype = ctypes.c_void_p
+                lib.vd_open_scaled.argtypes = [ctypes.c_char_p, ctypes.c_int]
                 lib.vd_num_frames.restype = ctypes.c_int
                 lib.vd_num_frames.argtypes = [ctypes.c_void_p]
                 lib.vd_width.restype = ctypes.c_int
@@ -88,7 +99,10 @@ class NativeVideoReader(VideoReaderBase):
 
     def _open(self, path: str):
         lib = self.load_library()
-        handle = lib.vd_open(path.encode())
+        if getattr(self, "short_side", None):
+            handle = lib.vd_open_scaled(path.encode(), int(self.short_side))
+        else:
+            handle = lib.vd_open(path.encode())
         if not handle:
             raise FileNotFoundError(f"cannot open video: {path}")
         return lib, handle
@@ -120,6 +134,12 @@ class NativeVideoReader(VideoReaderBase):
 
 
 class CV2VideoReader(VideoReaderBase):
+    """OpenCV fallback; ``short_side`` resizes after decode (host-side —
+    no decode-time scaling in VideoCapture), keeping the reader contract."""
+
+    def __init__(self, short_side: Optional[int] = None):
+        self.short_side = short_side
+
     def num_frames(self, path: str) -> int:
         import cv2
 
@@ -150,7 +170,12 @@ class CV2VideoReader(VideoReaderBase):
                 if not ok:
                     raise RuntimeError(f"decode failed at frame {target}: {path}")
                 frames[target] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            return np.stack([frames[int(i)] for i in indices])
+            out = np.stack([frames[int(i)] for i in indices])
+            if getattr(self, "short_side", None):
+                from unite_tpu.data.transforms import resize_clip
+
+                out = resize_clip(out, int(self.short_side))
+            return out
         finally:
             cap.release()
 
@@ -195,7 +220,7 @@ class SyntheticVideoReader(VideoReaderBase):
         return out
 
 
-def default_reader() -> VideoReaderBase:
+def default_reader(short_side: Optional[int] = None) -> VideoReaderBase:
     if NativeVideoReader.available():
-        return NativeVideoReader()
-    return CV2VideoReader()
+        return NativeVideoReader(short_side=short_side)
+    return CV2VideoReader(short_side=short_side)

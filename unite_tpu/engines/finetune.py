@@ -81,13 +81,21 @@ def make_finetune_train_step(
     return train_step
 
 
-def make_eval_step(model, use_ema: bool = False) -> Callable:
-    """Validation step: returns per-batch (softmax probs, labels, top1/5)."""
+def make_eval_step(model, use_ema: bool = False,
+                   input_transform: Optional[Callable] = None) -> Callable:
+    """Validation step: returns per-batch (softmax probs, labels, top1/5).
+
+    ``input_transform`` (batch["videos"] → model input) replaces the plain
+    uint8 normalize — the ``--device_eval_transforms`` path passes
+    ops/eval_transforms.make_device_val_transform so the resize + center
+    crop + normalize chain runs fused inside this jitted step."""
+
+    transform = input_transform or normalize_videos
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         params = state.ema_params if use_ema and state.ema_params is not None \
             else state.params
-        logits = model.apply({"params": params}, normalize_videos(batch["videos"]), True)
+        logits = model.apply({"params": params}, transform(batch["videos"]), True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         acc1, acc5 = accuracy_topk(logits, batch["labels"])
         return {"probs": probs, "labels": batch["labels"],

@@ -336,18 +336,24 @@ def compare_model_predictions(student_logits, clip_similarities, target):
 
 
 def make_selftrain_eval_step(student, classifier, use_cls_token: bool = False,
-                             with_feats: bool = False):
+                             with_feats: bool = False,
+                             input_transform=None):
     """Validation forward (run_stage3.py:714-787): full-vis encoder + head.
 
     ``with_feats``: also return the pooled encoder features (fp32 [B, width])
     for the kNN representation probe — off by default so the per-epoch
     validation and multi-view test hot paths don't materialize an output
-    nobody reads."""
+    nobody reads.
+
+    ``input_transform``: replaces the plain uint8 normalize (the
+    --device_eval_transforms fused resize+crop+normalize path)."""
+
+    transform = input_transform or normalize_videos
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         x_vis, _ = student.apply(
             {"params": state.params["model"]},
-            normalize_videos(batch["videos"]), None, False, True,
+            transform(batch["videos"]), None, False, True,
         )
         pooled = pool_outputs(x_vis, use_cls_token)
         logits = classifier.apply(

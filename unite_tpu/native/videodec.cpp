@@ -213,6 +213,26 @@ void* vd_open(const char* path) {
   return d;
 }
 
+// Decode-time short-side scaling: same swscale pass that already converts
+// pix_fmt→RGB24 also resizes (SWS_BILINEAR), so scaled decode costs ~nothing
+// extra and the host pipeline can skip its cv2 resize entirely (the
+// --device_eval_transforms input path). Long-side rounding matches
+// data/transforms.py::resize_clip (truncating int(size*long/short)).
+void* vd_open_scaled(const char* path, int short_side) {
+  Decoder* d = (Decoder*)vd_open(path);
+  if (!d) return nullptr;
+  if (short_side > 0 && d->width > 0 && d->height > 0) {
+    if (d->width < d->height) {
+      d->height = (int)((int64_t)short_side * d->height / d->width);
+      d->width = short_side;
+    } else {
+      d->width = (int)((int64_t)short_side * d->width / d->height);
+      d->height = short_side;
+    }
+  }
+  return d;
+}
+
 int vd_num_frames(void* h) {
   return (int)((Decoder*)h)->num_frames;
 }

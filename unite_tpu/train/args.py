@@ -100,8 +100,19 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    help="ship uint8 clips and fuse /255+mean/std into the "
                         "jitted step (4x fewer H2D bytes; host-normalized "
                         "fp32 is the reference-parity default)")
+    p.add_argument("--device_eval_transforms", type=str2bool, default=False,
+                   help="val/test input path: decode at short_side (native "
+                        "decoder swscale), ship raw uint8 frames, and run "
+                        "resize+center-crop+normalize fused inside the "
+                        "jitted eval step (ops/eval_transforms.py) — host "
+                        "eval cost drops to decode-only")
     # optimizer / schedules
     p.add_argument("--opt", default="adamw")
+    p.add_argument("--mu_dtype", default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="adam-family first-moment storage dtype (bfloat16 "
+                        "halves its HBM traffic, ~+0.7%% step; fp32 state "
+                        "is the reference-parity default)")
     p.add_argument("--opt_eps", type=float, default=1e-8)
     p.add_argument("--opt_betas", type=float, nargs="+", default=[0.9, 0.95])
     p.add_argument("--momentum", type=float, default=0.9)

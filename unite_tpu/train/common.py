@@ -67,10 +67,31 @@ def setup_run(args):
     return mesh
 
 
-def reader_for(args):
+def reader_for(args, for_eval: bool = False):
+    """Decode backend for a dataset. ``for_eval`` + --device_eval_transforms
+    opens the native decoder with decode-time short-side scaling (swscale
+    does the resize for free) so the host eval pipeline is decode-only;
+    train datasets always get the unscaled reader (augmentation operates on
+    the native raster, reference kinetics_sparse.py:218-281)."""
+    scaled = (for_eval
+              and getattr(args, "device_eval_transforms", False))
     if getattr(args, "synthetic_data", False):
+        # fixed 256x320 raster: already a static canvas for the device path
         return SyntheticVideoReader(256, 320)
-    return default_reader()
+    return default_reader(
+        short_side=getattr(args, "short_side_size", 256) if scaled else None)
+
+
+def mu_dtype_for(args):
+    """--mu_dtype: storage dtype for the adam-family first moment (None =
+    fp32 reference parity; 'bfloat16' halves the m HBM traffic — measured
+    +0.7% stage-2 step, tools/stage2_probe.py)."""
+    name = getattr(args, "mu_dtype", None)
+    if not name or name == "float32":
+        return None
+    import jax.numpy as jnp
+
+    return jnp.dtype(name)
 
 
 def tp_ways(args) -> int:
@@ -240,11 +261,27 @@ class PreemptionGuard:
         self.steps_done = 0  # steps run by the last train_one_epoch call
         self._steps_seen = 0
         self._stop_after = int(stop_after_steps or 0)
+        self._prev_handler = None
         if install_signals:
             try:
-                _signal.signal(_signal.SIGTERM, self._on_signal)
+                self._prev_handler = _signal.signal(
+                    _signal.SIGTERM, self._on_signal)
             except ValueError:  # not the main thread
                 pass
+
+    def uninstall(self):
+        """Restore the pre-existing SIGTERM disposition. Entries call this
+        when the run completes: a handler left behind would be inherited by
+        any later fork (process-worker loaders) and swallow the
+        terminate() those pools rely on for shutdown."""
+        import signal as _signal
+
+        if self._prev_handler is not None:
+            try:
+                _signal.signal(_signal.SIGTERM, self._prev_handler)
+            except ValueError:
+                pass
+            self._prev_handler = None
 
     def _on_signal(self, signum, frame):
         print(f"PreemptionGuard: caught signal {signum}; "

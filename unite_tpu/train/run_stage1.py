@@ -177,6 +177,7 @@ def main(args):
     tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=sp, weight_decay=wd_tab,
         betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
+        mu_dtype=common.mu_dtype_for(args),
     )
     state = TrainState.create(sp, tx)
 
@@ -285,6 +286,7 @@ def main(args):
             ckpt_io.wait()
             print(f"Preempted after epoch {epoch}; exiting")
             return
+    guard.uninstall()  # don't leak the SIGTERM handler into later forks
     ckpt_io.wait()
     common.finish(start, wb)
 

@@ -134,10 +134,11 @@ def main(args):
     args.data_path = args.ann_file_train
     ds_train, args.nb_classes = build_dataset(
         "train", args, anno_path=args.ann_file_train, reader=reader)
+    eval_reader = common.reader_for(args, for_eval=True)
     ds_val, _ = build_dataset("validation", args,
-                              anno_path=args.ann_file_val, reader=reader)
+                              anno_path=args.ann_file_val, reader=eval_reader)
     ds_test, _ = build_dataset("test", args, anno_path=args.ann_file_test,
-                               reader=reader)
+                               reader=eval_reader)
     loader = common.make_loader(
         ds_train, args, args.batch_size,
         repetitions=max(1, getattr(args, "train_repetitions", 1)))
@@ -170,6 +171,7 @@ def main(args):
             num_layers=model.depth,
             layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
             trainable_mask=tmask,
+            mu_dtype=common.mu_dtype_for(args),
         )
         opt_groups.clear()
         opt_groups.update(groups)  # current phase's groups (meter scales)
@@ -225,7 +227,13 @@ def main(args):
             ema_decay=args.model_ema_decay if args.model_ema else None,
         ), mesh, state_shardings=layout,
     )
-    eval_fn = jax.jit(make_eval_step(model))
+    eval_tfm = None
+    if getattr(args, "device_eval_transforms", False):
+        from unite_tpu.ops.eval_transforms import make_device_val_transform
+
+        eval_tfm = make_device_val_transform(args.short_side_size,
+                                             args.input_size)
+    eval_fn = jax.jit(make_eval_step(model, input_transform=eval_tfm))
     if layout is not None:
         state = jax.device_put(state, layout)
     else:
@@ -363,6 +371,7 @@ def main(args):
             ckpt_io.wait()
             print(f"Preempted after epoch {epoch}; exiting")
             return
+    guard.uninstall()  # don't leak the SIGTERM handler into later forks
     ckpt_io.wait()  # checkpoint-best must be on disk before test_best reads it
 
     if args.test_best:

@@ -128,15 +128,21 @@ def main(args):
     args.return_aug_for_val = True
     ds_source, args.nb_classes = build_dataset(
         "train", args, anno_path=args.ann_file_train, reader=reader)
-    tgt_args = args
+    # the target stream feeds the TRAIN step (full-view clip + aug), so it
+    # keeps the host eval transform path even under --device_eval_transforms
+    import argparse as _argparse
+
+    tgt_args = _argparse.Namespace(**vars(args))
+    tgt_args.device_eval_transforms = False
     ds_target, _ = build_dataset(
         "validation", tgt_args, anno_path=args.ann_file_train_target,
         reader=reader)
+    eval_reader = common.reader_for(args, for_eval=True)
     ds_val, _ = build_dataset("validation", args, anno_path=args.ann_file_val,
-                              reader=reader)
+                              reader=eval_reader)
     ds_val.return_aug_for_val = False
     ds_test, _ = build_dataset("test", args, anno_path=args.ann_file_test,
-                               reader=reader)
+                               reader=eval_reader)
 
     # stream length-matching (run_stage3.py:1096-1146): the smaller target
     # is repeated by ceil(src/tgt); a larger-or-equal target repeats the
@@ -188,7 +194,7 @@ def main(args):
     tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
         betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
-        trainable_mask=tmask,
+        trainable_mask=tmask, mu_dtype=common.mu_dtype_for(args),
     )
     state = TrainState.create(params, tx)
 
@@ -231,8 +237,14 @@ def main(args):
         mesh, state_argnums=(0,), batch_argnums=(2,),
         state_shardings=layout,
     )
+    eval_tfm = None
+    if getattr(args, "device_eval_transforms", False):
+        from unite_tpu.ops.eval_transforms import make_device_val_transform
+
+        eval_tfm = make_device_val_transform(args.short_side_size,
+                                             args.input_size)
     eval_fn = jax.jit(make_selftrain_eval_step(
-        student, classifier, args.use_cls_token))
+        student, classifier, args.use_cls_token, input_transform=eval_tfm))
     tp = pmesh.replicate(tp, mesh)
     if layout is not None:
         state = jax.device_put(state, layout)
@@ -305,7 +317,8 @@ def main(args):
             # src.knn surface). Separate feats-returning step so the
             # regular eval path never materializes features.
             feats_fn = jax.jit(make_selftrain_eval_step(
-                student, classifier, args.use_cls_token, with_feats=True))
+                student, classifier, args.use_cls_token, with_feats=True,
+                input_transform=eval_tfm))
             # gallery = --ann_file_train_knn when the mapping provides one
             # (the *_sourceonly entries, dataset_mappings.yaml:9-12 in the
             # reference — its run_stage1.py:173 parses the key but never
@@ -314,7 +327,7 @@ def main(args):
             if getattr(args, "ann_file_train_knn", None):
                 ds_knn, _ = build_dataset(
                     "validation", args, anno_path=args.ann_file_train_knn,
-                    reader=reader)
+                    reader=eval_reader)
                 ds_knn.return_aug_for_val = False
             else:
                 ds_knn = ds_source
@@ -437,6 +450,7 @@ def main(args):
             ckpt_io.wait()
             print(f"Preempted after epoch {epoch}; exiting")
             return
+    guard.uninstall()  # don't leak the SIGTERM handler into later forks
     ckpt_io.wait()  # checkpoint-best must be on disk before test_best reads it
 
     if args.test_best:
