@@ -337,3 +337,59 @@ def test_zero1_sharded_optimizer_matches_replicated():
     specs = [str(leaf.sharding.spec) for leaf in jax.tree.leaves(s_z.opt_state)
              if hasattr(leaf, "sharding")]
     assert any("data" in s for s in specs), specs
+
+
+def test_fsdp_sharded_state_matches_replicated():
+    """FSDP (ZeRO-3) layout — params, EMA and moments all sharded over the
+    data axis — produces the same training trajectory as replicated DDP:
+    GSPMD's all-gather-at-use / reduce-scatter-grads is a placement
+    change, not a semantics change."""
+    from unite_tpu.parallel.mesh import (
+        data_parallel_jit,
+        fsdp_sharding_tree,
+        make_mesh,
+        shard_batch,
+        state_layout,
+    )
+
+    mesh = make_mesh()
+    model = tiny_model()
+    batch = synthetic_batch(16)
+
+    def make_state():
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(batch["videos"][:1]))["params"]
+        tx, _ = create_optimizer("adamw", lr=1e-2, params=params,
+                                 weight_decay=0.01)
+        return TrainState.create(params, tx, ema_decay=0.9)
+
+    rng = jax.random.PRNGKey(1)
+    sb = shard_batch(batch, mesh)
+
+    s_rep = make_state()
+    step_rep = data_parallel_jit(
+        make_finetune_train_step(model, ema_decay=0.9), mesh,
+        donate_state=False)
+    for _ in range(3):
+        s_rep, m_rep = step_rep(s_rep, sb, rng)
+
+    s_f = make_state()
+    layout = fsdp_sharding_tree(s_f, mesh)
+    s_f = jax.device_put(s_f, layout)
+    step_f = data_parallel_jit(
+        make_finetune_train_step(model, ema_decay=0.9), mesh,
+        donate_state=False, state_shardings=layout)
+    for _ in range(3):
+        s_f, m_f = step_f(s_f, sb, rng)
+
+    assert float(m_rep["loss"]) == pytest.approx(float(m_f["loss"]), rel=1e-5)
+    for key in ("params", "ema_params"):
+        a = np.asarray(getattr(s_rep, key)["head"]["kernel"])
+        b = np.asarray(getattr(s_f, key)["head"]["kernel"])
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=key)
+    # params themselves are sharded over 'data' (the ZeRO-3 property)
+    specs = [str(leaf.sharding.spec) for leaf in jax.tree.leaves(s_f.params)
+             if hasattr(leaf, "sharding")]
+    assert any("data" in s for s in specs), specs
+    # dispatch: --fsdp routes through state_layout
+    assert state_layout(make_state(), mesh, fsdp=True) is not None

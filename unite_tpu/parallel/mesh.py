@@ -240,6 +240,37 @@ def shard_state_zero1(state, mesh: Mesh, axis: str = "data"):
     return jax.device_put(state, layout)
 
 
+def fsdp_sharding_tree(state, mesh: Mesh, axis: str = "data"):
+    """ZeRO-3/FSDP-style layout: params, EMA AND optimizer moments all
+    shard over ``axis`` along their largest divisible dim (the same rule
+    as ZeRO-1's moments, _zero1_leaf_spec). GSPMD then materializes each
+    param by all-gather at its use sites inside the step and keeps the
+    gradient reduction as a reduce-scatter into the shard — the
+    torch-FSDP/ZeRO-3 communication pattern, expressed purely as a layout
+    annotation (no wrapper module, no hand-written collectives). Per-chip
+    state memory drops ~axis-ways (ViT-L fp32 p+m+v ≈ 3.6 GB → ~0.45 GB
+    at 8 ways), buying batch/sequence headroom; the trade is one
+    all-gather per param per step vs ZeRO-1's none.
+
+    Beyond-reference capability (SURVEY §2.3: the reference is DDP-only;
+    its DeepSpeed path is dead code). Trajectory parity vs replicated DDP
+    is pinned by the multichip dryrun (stage2+fsdp) and
+    tests/test_tensor_parallel.py.
+    """
+    leaf = _zero1_leaf_spec(mesh, axis)
+
+    def rep(_):
+        return NamedSharding(mesh, P())
+
+    return state.replace(
+        step=rep(state.step),
+        params=jax.tree.map(leaf, state.params),
+        opt_state=jax.tree.map(leaf, state.opt_state),
+        ema_params=(jax.tree.map(leaf, state.ema_params)
+                    if state.ema_params is not None else None),
+    )
+
+
 # Megatron-style tensor-parallel param layout for the transformer stack:
 # column-parallel input projections (qkv, mlp fc1 — output dim sharded) and
 # row-parallel output projections (attn proj, mlp fc2 — input dim sharded).
@@ -309,14 +340,21 @@ def tensor_parallel_sharding_tree(state, mesh: Mesh, axis: str = "model",
     )
 
 
-def state_layout(state, mesh: Mesh, tp: int = 1, zero1: bool = False):
+def state_layout(state, mesh: Mesh, tp: int = 1, zero1: bool = False,
+                 fsdp: bool = False):
     """The entries' one-stop layout: None (fully replicated), the ZeRO-1
-    tree, or the tensor-parallel tree (with ZeRO-1 moments when both are
-    requested). Pass the result to ``data_parallel_jit(state_shardings=...)``
-    and ``jax.device_put(state, ...)``."""
+    tree, the FSDP (ZeRO-3) tree, or the tensor-parallel tree (with ZeRO-1
+    moments when both are requested). Pass the result to
+    ``data_parallel_jit(state_shardings=...)`` and
+    ``jax.device_put(state, ...)``."""
     if tp > 1:
+        # fsdp composes with tp as 2-D sharding in principle, but the TP
+        # rules already shard the big kernels over 'model'; adding 'data'
+        # sharding of the remainder is ZeRO-1's job — keep the matrix simple
         return tensor_parallel_sharding_tree(
-            state, mesh, zero1_axis="data" if zero1 else None)
+            state, mesh, zero1_axis="data" if (zero1 or fsdp) else None)
+    if fsdp:
+        return fsdp_sharding_tree(state, mesh)
     if zero1:
         return zero1_sharding_tree(state, mesh)
     return None

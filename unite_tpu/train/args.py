@@ -150,6 +150,11 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--zero1", type=str2bool, default=False,
                    help="shard optimizer moments over the data axis "
                         "(ZeRO-1 layout; GSPMD inserts the collectives)")
+    p.add_argument("--fsdp", type=str2bool, default=False,
+                   help="ZeRO-3/FSDP layout: shard params, EMA and moments "
+                        "over the data axis; params all-gather at use, "
+                        "grads reduce-scatter (per-chip state memory "
+                        "drops ~world-ways)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways: shard the per-block qkv/proj/"
                         "mlp kernels over a 'model' mesh axis (Megatron "

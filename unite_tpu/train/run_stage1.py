@@ -196,7 +196,8 @@ def main(args):
                 if tgt_loader is not None else None)
 
     layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
-                                zero1=args.zero1)
+                                zero1=args.zero1,
+                                fsdp=getattr(args, "fsdp", False))
     step_fn = pmesh.data_parallel_jit(
         make_pretrain_train_step(
             student, teacher, num_patches=n_patch, frames=args.num_frames

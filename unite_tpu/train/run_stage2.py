@@ -219,7 +219,8 @@ def main(args):
         )
 
     layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
-                                zero1=args.zero1)
+                                zero1=args.zero1,
+                                fsdp=getattr(args, "fsdp", False))
     step_fn = pmesh.data_parallel_jit(
         make_finetune_train_step(
             model, mixup=mixup_fn, label_smoothing=args.smoothing,

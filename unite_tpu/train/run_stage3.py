@@ -215,7 +215,8 @@ def main(args):
     tgt_iter = cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
 
     layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
-                                zero1=args.zero1)
+                                zero1=args.zero1,
+                                fsdp=getattr(args, "fsdp", False))
     step_fn = pmesh.data_parallel_jit(
         make_selftrain_step(
             student, classifier, teacher, num_patches=n_patch,
