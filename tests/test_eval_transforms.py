@@ -187,3 +187,23 @@ def test_eval_step_end_to_end_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(out_d["probs"]),
                                np.asarray(out_h["probs"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_val_canvas_dense_family_inherits_device_path(tmp_path):
+    """VideoClsDatasetDense subclasses the Sparse item paths, so the device
+    eval transform contract holds for the dense dispatch too."""
+    from unite_tpu.data.datasets_extra import VideoClsDatasetDense
+
+    anno = tmp_path / "vald.csv"
+    anno.write_text("".join(f"v{i:03d}.mp4 {i % 3}\n" for i in range(3)))
+    common = dict(anno_path=str(anno), mode="validation", clip_len=2,
+                  crop_size=224, short_side_size=256, seed=0,
+                  frame_sample_rate=2,
+                  reader=SyntheticVideoReader(256, 320, frames=64))
+    ds_host = VideoClsDatasetDense(**common)
+    ds_dev = VideoClsDatasetDense(**common, device_eval_transforms=True)
+    canvas, label, vid = ds_dev[0]
+    assert canvas.dtype == np.uint8 and canvas.shape == (2, 256, 256, 3)
+    got = np.asarray(device_val_transform(
+        jnp.asarray(canvas), 256, 224, dtype=jnp.float32))
+    np.testing.assert_allclose(got, ds_host[0][0], rtol=0, atol=1e-6)

@@ -117,8 +117,7 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         extra = {"frame_sample_rate": getattr(args, "sampling_rate", 2) or 2}
     else:
         DS = VideoClsDatasetSparse
-        extra = {"device_eval_transforms": getattr(
-            args, "device_eval_transforms", False)}
+        extra = {}
 
     ds = DS(
         anno_path=anno_path,
@@ -142,6 +141,10 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         reader=reader,
         seed=getattr(args, "seed", None),
         device_normalize=getattr(args, "device_normalize", False),
+        # all four dataset families inherit the Sparse val/test item paths
+        # (or mirror their skip-resize condition), so the device eval
+        # transform contract holds across the dispatch
+        device_eval_transforms=getattr(args, "device_eval_transforms", False),
     )
     assert nb_classes > 0, "nb_classes must be resolved (build.py:254)"
     return ds, nb_classes

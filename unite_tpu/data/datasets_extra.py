@@ -275,9 +275,14 @@ class SSVideoClsDataset(VideoClsDatasetSparse):
         rng = _item_rng(self.seed, self.epoch, index)
         buffer, path, label, split_nb, chunk_nb = self._load_with_retry(
             index, 0, rng)
-        buffer = T.resize_clip(
-            buffer if self.device_normalize else buffer.astype(np.float32),
-            self.short_side_size)
+        if (self.device_eval_transforms
+                and min(buffer.shape[1], buffer.shape[2])
+                == self.short_side_size):
+            pass  # decoder already delivered the short side (see datasets.py)
+        else:
+            buffer = T.resize_clip(
+                buffer if self.device_normalize else buffer.astype(np.float32),
+                self.short_side_size)
         buffer = buffer[chunk_nb::2]  # temporal view (ssv2.py:475-481)
         h, w = buffer.shape[1], buffer.shape[2]
         long_side = max(h, w)
