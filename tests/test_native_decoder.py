@@ -156,3 +156,31 @@ def test_scaled_decode_noop_when_matching(video_file):
     a = NativeVideoReader(short_side=48).get_batch(video_file, idx)
     b = NativeVideoReader().get_batch(video_file, idx)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sized_decode_matches_host_resize(video_file):
+    """vd_open_sized: exact (w, h) aspect-squashing decode — decord's
+    VideoReader(width=, height=) / the dataset keep_aspect_ratio=False
+    branch (kinetics_sparse.py:329-338)."""
+    from unite_tpu.data.transforms import resize_clip
+
+    idx = [0, 20]
+    sized = NativeVideoReader(size=(40, 24)).get_batch(video_file, idx)
+    assert sized.shape == (2, 24, 40, 3)
+    host = resize_clip(NativeVideoReader().get_batch(video_file, idx),
+                       (24, 40))
+    diff = np.abs(sized.astype(np.int16) - host.astype(np.int16))
+    assert diff.mean() < 4.0, diff.mean()
+
+
+def test_dataset_keep_aspect_ratio_false(video_file, tmp_path):
+    from unite_tpu.data.datasets import VideoClsDatasetSparse
+
+    anno = tmp_path / "a.csv"
+    anno.write_text(f"{video_file} 0\n")
+    ds = VideoClsDatasetSparse(
+        anno_path=str(anno), mode="validation", clip_len=2, crop_size=16,
+        short_side_size=20, seed=0, reader=NativeVideoReader(),
+        keep_aspect_ratio=False, new_width=40, new_height=24)
+    clip, label, vid = ds[0]
+    assert clip.shape == (2, 16, 16, 3)  # val protocol on the 40x24 decode

@@ -100,6 +100,9 @@ class VideoClsDatasetSparse:
         seed: Optional[int] = None,
         device_normalize: bool = False,
         device_eval_transforms: bool = False,
+        keep_aspect_ratio: bool = True,
+        new_height: int = 256,
+        new_width: int = 340,
     ):
         assert mode in ("train", "validation", "test")
         self.mode = mode
@@ -117,6 +120,21 @@ class VideoClsDatasetSparse:
         self.return_aug_for_val = return_aug_for_val
         self.no_horizontal_flip = no_horizontal_flip
         self.reader = reader or default_reader()
+        if not keep_aspect_ratio:
+            # reference keep_aspect_ratio=False branch: decode at an exact
+            # aspect-squashing (new_width, new_height) raster — decord's
+            # VideoReader(width=, height=) (kinetics_sparse.py:329-338).
+            # Default True (native-res decode) everywhere, as upstream.
+            from unite_tpu.data.video_reader import (
+                CV2VideoReader,
+                NativeVideoReader,
+            )
+
+            if isinstance(self.reader, (NativeVideoReader, CV2VideoReader)):
+                self.reader = type(self.reader)(
+                    size=(int(new_width), int(new_height)))
+        self.keep_aspect_ratio = keep_aspect_ratio
+        self.new_height, self.new_width = int(new_height), int(new_width)
         self.seed = 0 if seed is None else int(seed)
         self.epoch = 0
         # uint8 output mode: keep frames uint8 through crop/flip/erase and

@@ -51,12 +51,17 @@ class NativeVideoReader(VideoReaderBase):
     short side already at the eval protocol's size — the swscale pass that
     converts pix_fmt to RGB24 does the scaling for free, and the host
     pipeline skips its cv2 resize (--device_eval_transforms input path).
+    ``size``: exact (width, height) decode — decord's
+    ``VideoReader(width=, height=)`` aspect-squashing semantics, the
+    dataset ``keep_aspect_ratio=False`` branch (kinetics_sparse.py:337).
     """
 
     _lib = None
 
-    def __init__(self, short_side: Optional[int] = None):
+    def __init__(self, short_side: Optional[int] = None,
+                 size: Optional[tuple] = None):
         self.short_side = short_side
+        self.size = size
 
     @classmethod
     def load_library(cls):
@@ -70,6 +75,9 @@ class NativeVideoReader(VideoReaderBase):
                 lib.vd_open.argtypes = [ctypes.c_char_p]
                 lib.vd_open_scaled.restype = ctypes.c_void_p
                 lib.vd_open_scaled.argtypes = [ctypes.c_char_p, ctypes.c_int]
+                lib.vd_open_sized.restype = ctypes.c_void_p
+                lib.vd_open_sized.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
                 lib.vd_num_frames.restype = ctypes.c_int
                 lib.vd_num_frames.argtypes = [ctypes.c_void_p]
                 lib.vd_width.restype = ctypes.c_int
@@ -99,7 +107,10 @@ class NativeVideoReader(VideoReaderBase):
 
     def _open(self, path: str):
         lib = self.load_library()
-        if getattr(self, "short_side", None):
+        if getattr(self, "size", None):
+            w, h = self.size
+            handle = lib.vd_open_sized(path.encode(), int(w), int(h))
+        elif getattr(self, "short_side", None):
             handle = lib.vd_open_scaled(path.encode(), int(self.short_side))
         else:
             handle = lib.vd_open(path.encode())
@@ -134,11 +145,14 @@ class NativeVideoReader(VideoReaderBase):
 
 
 class CV2VideoReader(VideoReaderBase):
-    """OpenCV fallback; ``short_side`` resizes after decode (host-side —
-    no decode-time scaling in VideoCapture), keeping the reader contract."""
+    """OpenCV fallback; ``short_side``/``size`` resize after decode
+    (host-side — no decode-time scaling in VideoCapture), keeping the
+    reader contract."""
 
-    def __init__(self, short_side: Optional[int] = None):
+    def __init__(self, short_side: Optional[int] = None,
+                 size: Optional[tuple] = None):
         self.short_side = short_side
+        self.size = size
 
     def num_frames(self, path: str) -> int:
         import cv2
@@ -171,7 +185,12 @@ class CV2VideoReader(VideoReaderBase):
                     raise RuntimeError(f"decode failed at frame {target}: {path}")
                 frames[target] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             out = np.stack([frames[int(i)] for i in indices])
-            if getattr(self, "short_side", None):
+            if getattr(self, "size", None):
+                from unite_tpu.data.transforms import resize_clip
+
+                w, h = self.size
+                out = resize_clip(out, (int(h), int(w)))
+            elif getattr(self, "short_side", None):
                 from unite_tpu.data.transforms import resize_clip
 
                 out = resize_clip(out, int(self.short_side))

@@ -233,6 +233,18 @@ void* vd_open_scaled(const char* path, int short_side) {
   return d;
 }
 
+// Exact-size decode (decord's VideoReader(width=, height=) semantics —
+// aspect-squashing): the swscale pass resizes straight to (w, h).
+void* vd_open_sized(const char* path, int width, int height) {
+  Decoder* d = (Decoder*)vd_open(path);
+  if (!d) return nullptr;
+  if (width > 0 && height > 0) {
+    d->width = width;
+    d->height = height;
+  }
+  return d;
+}
+
 int vd_num_frames(void* h) {
   return (int)((Decoder*)h)->num_frames;
 }
