@@ -114,7 +114,12 @@ def _outer_retry(argv) -> int:
             print(f"[bench] attempt {i + 1} killed after {int(window)}s "
                   "(compile/execute stalled); retrying with a larger window",
                   file=sys.stderr, flush=True)
-            last = (124, (e.stdout or ""), (e.stderr or ""))
+            # TimeoutExpired carries the partial reads as BYTES even under
+            # text=True — decode so the pass-through write below stays str
+            def _s(x):
+                return x.decode(errors="replace") if isinstance(x, bytes) \
+                    else (x or "")
+            last = (124, _s(e.stdout), _s(e.stderr))
             continue
         dt = time.perf_counter() - t0
         sys.stderr.write(r.stderr if isinstance(r.stderr, str)
@@ -677,7 +682,10 @@ def bench_loader_host_eval(B, workers, device_tfms: bool, frames=8,
 
     anno = os.path.join(tempfile.mkdtemp(), "val.csv")
     with open(anno, "w") as f:
-        for i in range(max(256, B * 4)):
+        # one epoch must cover warmup + the whole timed loop: re-iterating
+        # the loader re-creates its worker pool, and timing that start-up
+        # would bias the host clips/s low
+        for i in range(B * (iters + 2)):
             f.write(f"clip_{i:04d}.mp4 {i % 12}\n")
     ds = VideoClsDatasetSparse(
         anno_path=anno, mode="validation", clip_len=frames, crop_size=224,

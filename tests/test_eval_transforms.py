@@ -207,3 +207,18 @@ def test_val_canvas_dense_family_inherits_device_path(tmp_path):
     got = np.asarray(device_val_transform(
         jnp.asarray(canvas), 256, 224, dtype=jnp.float32))
     np.testing.assert_allclose(got, ds_host[0][0], rtol=0, atol=1e-6)
+
+
+def test_aug_stream_uses_full_raster_under_device_path(tmp_path):
+    """return_aug_for_val + device_eval_transforms: the stage-3 aug stream
+    must be built from the FULL decoded raster, not the SxS canvas slice
+    (ADVICE r4) — pinned bitwise against the host path's aug output."""
+    ds_host = _make_ds(tmp_path, device_normalize=True,
+                       return_aug_for_val=True)
+    ds_dev = _make_ds(tmp_path, device_eval_transforms=True,
+                      return_aug_for_val=True)
+    for i in range(len(ds_dev)):
+        _, aug_h, label_h, vid_h = ds_host[i]
+        _, aug_d, label_d, vid_d = ds_dev[i]
+        assert (label_d, vid_d) == (label_h, vid_h)
+        np.testing.assert_array_equal(aug_d, aug_h)

@@ -312,3 +312,99 @@ def test_mu_dtype_bf16_state_and_trajectory():
     got16 = _run_jax(tx16, params, grads)
     np.testing.assert_allclose(np.asarray(got16["w"]),
                                np.asarray(got32["w"]), rtol=0, atol=1e-4)
+
+
+def test_sgdp_wd_matches_timm_formula():
+    """timm sgdp.py applies p *= 1 - lr*wd*wd_ratio/(1-momentum) — the
+    1/(1-momentum) factor compensates the momentum-amplified step scale
+    (ADVICE r4). Pinned on a 2-D weight with g ∥ p so the projection never
+    fires (ratio=1) and the closed form is exact."""
+    lr, wd, mom = 0.05, 0.04, 0.9
+    w0 = np.array([[1.0, 2.0], [3.0, -1.0]], np.float32)
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("sgdp", lr=lr, params=params,
+                             weight_decay=wd, momentum=mom)
+    state = tx.init(params)
+    p, buf = w0.copy(), np.zeros_like(w0)
+    jp = params
+    for _ in range(3):
+        g = 0.1 * p  # parallel to p: cos=1, projection is a no-op
+        u, state = tx.update({"w": jnp.asarray(g)}, state, jp)
+        jp = jax.tree.map(lambda a, b: a + b, jp, u)
+        buf = mom * buf + g
+        d_p = g + mom * buf  # nesterov
+        p = p - lr * (d_p + wd / (1.0 - mom) * p)
+    np.testing.assert_allclose(np.asarray(jp["w"]), p, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["nadam", "adadelta", "adagrad"])
+def test_coupled_wd_equals_l2_in_grad(name):
+    """timm Nadam / torch Adadelta & Adagrad fold L2 into the gradient
+    BEFORE the moment statistics (ADVICE r4: these were decoupled). Pinned
+    structurally: wd=X must equal wd=0 with X*p added to the grads."""
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    wd = 0.05
+    params = {"w": jnp.asarray(w0)}
+    tx_wd, _ = create_optimizer(name, lr=0.1, params=params, weight_decay=wd)
+    tx_0, _ = create_optimizer(name, lr=0.1, params=params, weight_decay=0.0)
+    rng = np.random.default_rng(3)
+    gs = [rng.standard_normal(w0.shape).astype(np.float32) for _ in range(3)]
+
+    s_wd, s_0 = tx_wd.init(params), tx_0.init(params)
+    p_wd, p_0 = params, params
+    for g in gs:
+        u, s_wd = tx_wd.update({"w": jnp.asarray(g)}, s_wd, p_wd)
+        p_wd = jax.tree.map(lambda a, b: a + b, p_wd, u)
+        g0 = {"w": jnp.asarray(g) + wd * p_0["w"]}
+        u, s_0 = tx_0.update(g0, s_0, p_0)
+        p_0 = jax.tree.map(lambda a, b: a + b, p_0, u)
+    np.testing.assert_allclose(np.asarray(p_wd["w"]), np.asarray(p_0["w"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_adadelta_matches_torch():
+    """torch.optim.Adadelta golden parity incl. coupled L2 weight decay."""
+    w0 = np.array([[0.8, -1.5], [2.0, 0.3]], np.float32)
+    params = {"w": jnp.asarray(w0)}
+    tx, _ = create_optimizer("adadelta", lr=0.7, params=params,
+                             weight_decay=0.03, eps=1e-6)
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adadelta([tw], lr=0.7, rho=0.9, eps=1e-6,
+                               weight_decay=0.03)
+    rng = np.random.default_rng(5)
+    jp, state = params, tx.init(params)
+    for _ in range(4):
+        g = rng.standard_normal(w0.shape).astype(np.float32)
+        u, state = tx.update({"w": jnp.asarray(g)}, state, jp)
+        jp = jax.tree.map(lambda a, b: a + b, jp, u)
+        tw.grad = torch.tensor(g)
+        opt.step()
+    np.testing.assert_allclose(np.asarray(jp["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_novograd_betas_default_and_override():
+    """betas=None resolves to NovoGrad's canonical (0.95, 0.98) (reference
+    passes betas only when --opt_betas is set — optim_factory.py:146-147),
+    while an explicit pair overrides (ADVICE r4: the old sentinel treated
+    the CLI default (0.9, 0.95) as an override)."""
+    params = {"w": jnp.asarray(np.ones((2, 2), np.float32))}
+    g = [{"w": jnp.full((2, 2), 0.1)}] * 2
+    tx_none, _ = create_optimizer("novograd", lr=0.1, params=params)
+    tx_can, _ = create_optimizer("novograd", lr=0.1, params=params,
+                                 betas=(0.95, 0.98))
+    tx_ovr, _ = create_optimizer("novograd", lr=0.1, params=params,
+                                 betas=(0.5, 0.9))
+    a = _run_jax(tx_none, params, g)
+    b = _run_jax(tx_can, params, g)
+    c = _run_jax(tx_ovr, params, g)
+    np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+    assert not np.allclose(np.asarray(a["w"]), np.asarray(c["w"]))
+
+
+def test_args_opt_betas_default_is_none():
+    """args.py must mirror the reference argparse default (run_stage2.py:95
+    opt_betas=None); the shipped YAMLs supply the per-stage pairs."""
+    from unite_tpu.train.args import stage2_parser
+    a = stage2_parser().parse_args([])
+    assert a.opt_betas is None

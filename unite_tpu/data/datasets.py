@@ -133,6 +133,13 @@ class VideoClsDatasetSparse:
             if isinstance(self.reader, (NativeVideoReader, CV2VideoReader)):
                 self.reader = type(self.reader)(
                     size=(int(new_width), int(new_height)))
+            else:
+                warnings.warn(
+                    f"keep_aspect_ratio=False needs a decode-time-scaling "
+                    f"reader (NativeVideoReader/CV2VideoReader); "
+                    f"{type(self.reader).__name__} decodes at native "
+                    f"raster, so the reference's aspect-squash to "
+                    f"({new_width}x{new_height}) will NOT happen")
         self.keep_aspect_ratio = keep_aspect_ratio
         self.new_height, self.new_width = int(new_height), int(new_width)
         self.seed = 0 if seed is None else int(seed)
@@ -281,6 +288,8 @@ class VideoClsDatasetSparse:
 
         if self.mode == "validation":
             buffer, path, label, _, _ = self._load_with_retry(index, 0, rng)
+            raw = buffer  # full decoded raster: the aug stream below must
+            # see it, not the device-path SxS slice (host-path parity)
             if self.device_eval_transforms:
                 s = self.short_side_size
                 h, w = buffer.shape[1], buffer.shape[2]
@@ -304,8 +313,9 @@ class VideoClsDatasetSparse:
                     np.uint8 if self.device_normalize else np.float32)
             vid = path.split("/")[-1].split(".")[0]
             if self.return_aug_for_val:
-                # milder policy for the stage-3 target stream (:174-182)
-                aug = self._aug_frame(buffer, rng, aa="rand-m3-n2-mstd0.5-inc1",
+                # milder policy for the stage-3 target stream (:174-182);
+                # always from the full raster, never the device-path slice
+                aug = self._aug_frame(raw, rng, aa="rand-m3-n2-mstd0.5-inc1",
                                       reprob=0.0)
                 return clip, aug, label, vid
             return clip, label, vid

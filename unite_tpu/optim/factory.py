@@ -331,7 +331,9 @@ def sgdp_direction(momentum: float = 0.9, weight_decay: ScheduleLike = 0.0,
             buf_n = momentum * buf + g
             d_p = g + momentum * buf_n if nesterov else buf_n
             d_p, ratio = _projection(pf, g, d_p, delta, wd_ratio, eps)
-            u = d_p + wd_t * ratio * pf * jnp.float32(msk)
+            # timm sgdp.py decay: p *= 1 - lr*wd*ratio/(1-momentum) — the
+            # 1/(1-momentum) compensates the momentum-amplified step scale
+            u = d_p + wd_t * ratio / (1.0 - momentum) * pf * jnp.float32(msk)
             return u, buf_n
 
         out = jax.tree.map(leaf, grads, params, state.buf, mask)
@@ -501,7 +503,7 @@ def create_optimizer(
     params,
     weight_decay: ScheduleLike = 0.0,
     momentum: float = 0.9,
-    betas: Tuple[float, float] = (0.9, 0.999),
+    betas: Optional[Tuple[float, float]] = None,
     eps: float = 1e-8,
     skip_list: Sequence[str] = DEFAULT_SKIP_LIST,
     num_layers: Optional[int] = None,
@@ -535,6 +537,13 @@ def create_optimizer(
             "adahessian needs a second-order (Hutchinson) backward pass and "
             "is not supported on the TPU build; pick one of: "
             + SUPPORTED_OPTS)
+    if betas is None:
+        # reference semantics (optim_factory.py:146-147): betas enter
+        # opt_args only when --opt_betas is set, else each optimizer's own
+        # default applies — (0.95, 0.98) for timm NovoGrad/NvNovoGrad,
+        # (0.9, 0.999) for the torch adam family
+        betas = ((0.95, 0.98) if opt_lower in ("novograd", "nvnovograd")
+                 else (0.9, 0.999))
     # group-logging value only: callables (schedules) report 1.0
     wd_value = 1.0 if callable(weight_decay) else float(np.max(weight_decay))
     wd_mask, lr_scale, groups = param_group_metadata(
@@ -550,8 +559,6 @@ def create_optimizer(
     adam_dirs = {
         "adamw": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
                                              mu_dtype=mu_dtype),
-        "nadam": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
-                                             nesterov=True, mu_dtype=mu_dtype),
         "radam": lambda: optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps),
         "lamb": lambda: optax.chain(
             optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
@@ -559,8 +566,6 @@ def create_optimizer(
             optax.scale_by_trust_ratio(),
         ),
         "adabelief": lambda: optax.scale_by_belief(b1=betas[0], b2=betas[1], eps=eps),
-        "adagrad": lambda: optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps),
-        "adadelta": lambda: optax.scale_by_adadelta(eps=eps),
         "lion": lambda: optax.scale_by_lion(b1=betas[0], b2=betas[1]),
         # Adafactor: factored second moment (optax.scale_by_factored_rms);
         # wd decoupled like timm's Adafactor (optim_factory.py:176-179).
@@ -575,6 +580,13 @@ def create_optimizer(
     # reference's alpha=0.9 + momentum-buffer chain.
     l2_dirs = {
         "adam": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        # timm nadam.py / torch Adadelta & Adagrad fold L2 into the gradient
+        # BEFORE the moment statistics (coupled), unlike AdamW-style decay
+        "nadam": lambda: optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                                             nesterov=True, mu_dtype=mu_dtype),
+        "adadelta": lambda: optax.scale_by_adadelta(eps=eps),
+        "adagrad": lambda: optax.scale_by_rss(initial_accumulator_value=0.0,
+                                              eps=eps),
         "rmsprop": lambda: optax.chain(
             optax.scale_by_rms(decay=0.9, eps=eps, eps_in_sqrt=False),
             optax.trace(decay=momentum)),
@@ -601,11 +613,9 @@ def create_optimizer(
                                 wd_mask=wd_mask, eps=eps)
         decoupled = False
     elif opt_lower in ("novograd", "nvnovograd"):
-        # NovoGrad's canonical betas are (0.95, 0.98) (the reference's
-        # fusednovograd default, optim_factory.py:200-202); honor an
-        # explicit override, else use the canonical pair
-        nb = betas if betas != (0.9, 0.999) else (0.95, 0.98)
-        tx_dir = novograd_direction(b1=nb[0], b2=nb[1], eps=eps,
+        # betas=None already resolved to the canonical (0.95, 0.98) above;
+        # an explicit --opt_betas overrides, as in the reference
+        tx_dir = novograd_direction(b1=betas[0], b2=betas[1], eps=eps,
                                     weight_decay=masked_wd, wd_mask=wd_mask)
         decoupled = False
     elif opt_lower in l2_dirs:

@@ -351,6 +351,11 @@ def state_layout(state, mesh: Mesh, tp: int = 1, zero1: bool = False,
         # fsdp composes with tp as 2-D sharding in principle, but the TP
         # rules already shard the big kernels over 'model'; adding 'data'
         # sharding of the remainder is ZeRO-1's job — keep the matrix simple
+        if fsdp:
+            print("[mesh] --fsdp with --tp: params/EMA stay sharded by the "
+                  "TP rules only; full-state data-axis sharding downgrades "
+                  "to ZeRO-1 moment sharding (expect TP-level, not "
+                  "world-level, per-chip state memory)", flush=True)
         return tensor_parallel_sharding_tree(
             state, mesh, zero1_axis="data" if (zero1 or fsdp) else None)
     if fsdp:

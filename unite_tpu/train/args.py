@@ -114,7 +114,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                         "halves its HBM traffic, ~+0.7%% step; fp32 state "
                         "is the reference-parity default)")
     p.add_argument("--opt_eps", type=float, default=1e-8)
-    p.add_argument("--opt_betas", type=float, nargs="+", default=[0.9, 0.95])
+    # default None as in the reference (run_stage2.py:95): betas reach the
+    # optimizer only when set (CLI or YAML — every shipped config sets
+    # them); unset, each optimizer's own default applies (novograd: .95/.98)
+    p.add_argument("--opt_betas", type=float, nargs="+", default=None)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--lr", type=float, default=1.5e-4)
     p.add_argument("--min_lr", type=float, default=1e-5)

@@ -94,6 +94,14 @@ def mu_dtype_for(args):
     return jnp.dtype(name)
 
 
+def betas_for(args):
+    """--opt_betas → create_optimizer betas: None when unset (reference
+    run_stage2.py:95 default — each optimizer's own default then applies,
+    e.g. novograd's (0.95, 0.98)), else the explicit pair."""
+    b = getattr(args, "opt_betas", None)
+    return None if b is None else tuple(b)
+
+
 def tp_ways(args) -> int:
     """Tensor-parallel ways requested by --tp (1 = pure data parallel)."""
     return int(getattr(args, "tp", 1) or 1)

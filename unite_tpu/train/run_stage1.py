@@ -176,7 +176,8 @@ def main(args):
     print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
     tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=sp, weight_decay=wd_tab,
-        betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
+        betas=common.betas_for(args), eps=args.opt_eps,
+        momentum=args.momentum,
         mu_dtype=common.mu_dtype_for(args),
     )
     state = TrainState.create(sp, tx)

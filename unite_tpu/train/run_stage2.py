@@ -164,7 +164,7 @@ def main(args):
         tmask = trainable_mask(args, params, lp_phase=lp_phase)
         tx, groups = create_optimizer(
             args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
-            betas=tuple(args.opt_betas), eps=args.opt_eps,
+            betas=common.betas_for(args), eps=args.opt_eps,
             momentum=args.momentum,
             # the reference uses the model's own depth (run_stage2.py:615
             # model.get_num_layers()), not a name heuristic

@@ -193,7 +193,8 @@ def main(args):
              "classifier": jax.tree.map(lambda _: False, hp)}
     tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
-        betas=tuple(args.opt_betas), eps=args.opt_eps, momentum=args.momentum,
+        betas=common.betas_for(args), eps=args.opt_eps,
+        momentum=args.momentum,
         trainable_mask=tmask, mu_dtype=common.mu_dtype_for(args),
     )
     state = TrainState.create(params, tx)
