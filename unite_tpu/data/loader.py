@@ -168,15 +168,20 @@ class DataLoader:
             yield from self._iter_process(batches)
             return
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            # window caps in-flight batches AND decode concurrency (each
-            # task decodes one whole batch): must cover num_workers or
-            # excess pool threads sit idle (same fix as _iter_process)
-            window = max(self.prefetch_batches, self.num_workers)
+        pool = ThreadPoolExecutor(self.num_workers)
+        # window caps in-flight batches AND decode concurrency (each
+        # task decodes one whole batch): must cover num_workers or
+        # excess pool threads sit idle (same fix as _iter_process)
+        window = max(self.prefetch_batches, self.num_workers)
 
-            def load_batch(batch_idx: Sequence[int]):
-                return self.collate_fn([self.dataset[i] for i in batch_idx])
+        def load_batch(batch_idx: Sequence[int]):
+            return self.collate_fn([self.dataset[i] for i in batch_idx])
 
+        # mirror _iter_process's shutdown split: clean exhaustion waits;
+        # abandonment (step failure, mid-epoch preemption closing the
+        # generator) must NOT block on every in-flight batch decode — a
+        # preemption deadline can't afford joining `window` decodes
+        try:
             futures = [pool.submit(load_batch, b) for b in batches[:window]]
             next_submit = window
             for i in range(len(batches)):
@@ -186,6 +191,11 @@ class DataLoader:
                         load_batch, batches[next_submit]
                     )
                     next_submit += 1
+        except BaseException:
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
+        else:
+            pool.shutdown(wait=True)
 
     def _iter_process(self, batches: List[List[int]]) -> Iterator:
         # fork a fresh pool per iteration (≈ per epoch): children inherit
@@ -243,6 +253,13 @@ def cycle(loader: DataLoader, skip_batches: int = 0) -> Iterator:
     uninterrupted run would. Entries pass ``steps_already_run`` here; the
     reference sidesteps this by recreating its target iterator every epoch
     with a never-advanced sampler epoch (run_stage1.py:313-321)."""
+    if len(loader) == 0:
+        # e.g. a per-process target shard smaller than batch_size with
+        # drop_last: without this the resume path divides by zero and the
+        # normal path spins set_epoch forever inside the prefetch producer
+        raise ValueError(
+            "cycle() needs a loader that yields at least one batch per "
+            "epoch (dataset shard smaller than batch_size with drop_last?)")
     epoch = loader.epoch
     if skip_batches:
         n = len(loader)

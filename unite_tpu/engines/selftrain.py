@@ -122,6 +122,19 @@ def make_selftrain_step(
     )
     n_vote = (k - 1 if train_masked else k) if needs_votes else 0
     needs_committee = train_masked or n_vote > 0
+    if needs_committee and n_unmask_frame * k > patches_per_frame:
+        # greedy masks give member i only every k-th attention-sorted patch
+        # (ceil(N/k) max); asking for more visible tokens than that would
+        # make the fixed-width visible_indices gather silently pad with
+        # MASKED tokens — fail loudly instead (the reference would simply
+        # produce smaller visible sets, a geometry this static-shape build
+        # does not represent)
+        raise ValueError(
+            f"committee of k={k} disjoint masks cannot unmask "
+            f"{n_unmask_frame}/{patches_per_frame} patches per frame each "
+            f"(k*n_unmask > N); raise mask_ratio to at least "
+            f"{1 - patches_per_frame // k / patches_per_frame:.3f} or "
+            f"lower committee_size")
 
     from unite_tpu.engines.pretrain_umt import resize_for_teacher
 
@@ -135,6 +148,12 @@ def make_selftrain_step(
         videos_t_aug = normalize_videos(
             batch.get("videos_t_aug", batch["videos_t"]))
         b_t = videos_t.shape[0]
+        if "clip_sim" in batch and batch["clip_sim"].shape[-1] != nb_classes:
+            # trace-time check (shapes are static): a zero-shot table built
+            # for the wrong shift would silently mis-vote otherwise
+            raise ValueError(
+                f"clip_sim width {batch['clip_sim'].shape[-1]} != "
+                f"nb_classes {nb_classes}")
         drop_rng = jax.random.fold_in(rng, state.step)
 
         vis_idx_grad = vis_idx_vote = None
@@ -165,23 +184,29 @@ def make_selftrain_step(
 
         def forward_parts(params):
             model_p, head_p = params["model"], params["classifier"]
+            # one rng per forward: the reference's torch passes each draw
+            # stochastic depth independently; a shared rng would give the
+            # source/full-target/grad/vote forwards bitwise-identical
+            # DropPath patterns and bias committee agreement
+            rng_s, rng_t, rng_g, rng_v = jax.random.split(drop_rng, 4)
 
-            def encode_pool(videos, vis_idx=None):
+            def encode_pool(videos, vis_idx=None, *, frng):
                 x_vis, _ = student.apply(
                     {"params": model_p}, videos, vis_idx, False, False,
-                    rngs={"dropout": drop_rng},
+                    rngs={"dropout": frng},
                 )
                 return pool_outputs(x_vis, use_cls_token)
 
             def head(feat):
                 return classifier.apply({"params": head_p}, feat)
 
-            logits_full_s = head(encode_pool(videos_s))
+            logits_full_s = head(encode_pool(videos_s, frng=rng_s))
             # encoder stop-grad, classifier live (:480-483)
-            feat_t = jax.lax.stop_gradient(encode_pool(videos_t))
+            feat_t = jax.lax.stop_gradient(encode_pool(videos_t, frng=rng_t))
             logits_full_t = head(feat_t)
             # grad member (k-1): the pseudo-label CE input (:599-616)
-            logits_grad_t = (head(encode_pool(videos_t_aug, vis_idx_grad))
+            logits_grad_t = (head(encode_pool(videos_t_aug, vis_idx_grad,
+                                              frng=rng_g))
                              if train_masked else None)
             # vote members: argmax only — forward under stop_gradient
             logits_vote_t = None
@@ -189,7 +214,7 @@ def make_selftrain_step(
                 videos_tv = (jnp.concatenate([videos_t_aug] * n_vote, axis=0)
                              if n_vote > 1 else videos_t_aug)
                 logits_vote_t = jax.lax.stop_gradient(
-                    head(encode_pool(videos_tv, vis_idx_vote))
+                    head(encode_pool(videos_tv, vis_idx_vote, frng=rng_v))
                 ).reshape(n_vote, b_t, -1)
             return logits_full_s, logits_full_t, logits_grad_t, logits_vote_t
 

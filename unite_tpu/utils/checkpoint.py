@@ -60,6 +60,12 @@ def _atomic_write(path: str, blob: bytes) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
+        # fsync before the rename: without it a kernel crash/power loss
+        # shortly after os.replace can leave the NEW name truncated (data
+        # still in page cache when the rename journals), destroying the
+        # previous good checkpoint the rename was meant to protect
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
