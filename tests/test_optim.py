@@ -408,3 +408,38 @@ def test_args_opt_betas_default_is_none():
     from unite_tpu.train.args import stage2_parser
     a = stage2_parser().parse_args([])
     assert a.opt_betas is None
+
+
+def test_update_freq_clips_accumulated_gradient():
+    """--update_freq with --clip_grad must clip the AVERAGED gradient once
+    per optimizer step (reference engine_for_finetuning.py:109-126), not
+    each micro-batch: mean-of-clipped != clip-of-mean (ADVICE r4)."""
+    import optax
+    from unite_tpu.train.common import wrap_update_freq
+
+    lr, c = 0.1, 1.0
+    w0 = {"w": jnp.asarray([3.0, 4.0])}
+    # micro grads: one tiny, one huge — per-micro clipping would rescale
+    # only the huge one BEFORE averaging
+    g1 = {"w": jnp.asarray([0.0, 0.1])}
+    g2 = {"w": jnp.asarray([30.0, 40.0])}
+    tx = wrap_update_freq(optax.sgd(lr), update_freq=2, clip_grad=c)
+    state = tx.init(w0)
+    p = w0
+    for g in (g1, g2):
+        u, state = tx.update(g, state, p)
+        p = jax.tree.map(lambda a, b: a + b, p, u)
+    mean = (np.asarray(g1["w"]) + np.asarray(g2["w"])) / 2.0
+    clipped = mean * min(1.0, c / np.linalg.norm(mean))
+    np.testing.assert_allclose(np.asarray(p["w"]),
+                               np.asarray(w0["w"]) - lr * clipped,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_resume_best_acc_zero_survives():
+    """best_acc == 0.0 in the payload must resume as 0.0, not the -1.0
+    no-record sentinel (ADVICE r4 falsy-zero)."""
+    from unite_tpu.train.common import resume_best_acc
+    assert resume_best_acc({"extra": {"best_acc": 0.0}}) == 0.0
+    assert resume_best_acc({"extra": {}}) == -1.0
+    assert resume_best_acc(None) == -1.0

@@ -112,8 +112,6 @@ class CLIPTextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal_mask):
-        from unite_tpu.ops.attention import attention_xla
-
         b, n, c = x.shape
         head_dim = c // self.num_heads
         h = LayerNorm(epsilon=1e-5, name="ln_1")(x)
@@ -324,7 +322,18 @@ def compute_text_features(args) -> Optional[np.ndarray]:
     model = CLIPTextTransformer()
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1]))["params"]
     loaded = text_state_to_flax_params(load_torch_state(text_init, "state_dict|model"))
-    params, _, _ = merge_params(params, loaded, strict_shapes=False)
+    # strict: a geometry mismatch (e.g. an L/14 checkpoint, text width 768,
+    # against this B/16 tower) must raise, not skip-and-continue — silently
+    # random-init text features would hand stage 3 a meaningless zero-shot
+    # teacher, defeating run_stage3's deliberate hard-error on missing
+    # artifacts
+    params, missing, _ = merge_params(params, loaded, strict_shapes=True)
+    if missing:
+        raise ValueError(
+            f"--clip_text_init {text_init}: {len(missing)} text-tower "
+            f"params absent from the checkpoint "
+            f"(e.g. {['.'.join(k) for k in missing[:3]]}); not a full CLIP "
+            f"state_dict?")
     feats = np.asarray(model.apply({"params": params}, jnp.asarray(tokens)))
     return feats.astype(np.float32)
 

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from unite_tpu.config import dump_config, log_stats, prepare_output_dir
-from unite_tpu.data.loader import DataLoader, device_prefetch
-from unite_tpu.data.sharding import ShardedSampler, repetitions_to_match
+from unite_tpu.data.loader import DataLoader
+from unite_tpu.data.sharding import ShardedSampler
 from unite_tpu.data.video_reader import SyntheticVideoReader, default_reader
 from unite_tpu.engines.finetune import merge, write_preds_file
 from unite_tpu.parallel import mesh as pmesh
@@ -89,9 +89,27 @@ def mu_dtype_for(args):
     name = getattr(args, "mu_dtype", None)
     if not name or name == "float32":
         return None
-    import jax.numpy as jnp
 
     return jnp.dtype(name)
+
+
+def wrap_update_freq(tx, update_freq: int, clip_grad=None):
+    """Gradient accumulation wrapper (run_stage2.py's --update_freq).
+
+    The reference clips the ACCUMULATED gradient once per optimizer step
+    (engine_for_finetuning.py:109-126: NativeScaler clips at the
+    update_grad boundary after k micro-backwards summed into .grad), so
+    under accumulation the clip must live INSIDE optax.MultiSteps where it
+    sees the averaged gradient — clip-of-mean != mean-of-clipped whenever
+    a micro-batch norm exceeds clip_grad. The engine step then runs with
+    clip_grad=None (it still logs the per-micro-batch pre-clip norm)."""
+    import optax
+
+    if update_freq <= 1:
+        return tx
+    if clip_grad is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    return optax.MultiSteps(tx, every_k_schedule=update_freq)
 
 
 def betas_for(args):
@@ -238,7 +256,11 @@ def resume_best_acc(payload) -> float:
     best_acc also restarts at 0 on resume, run_stage2.py:751)."""
     if payload is None:
         return -1.0
-    return float((payload.get("extra") or {}).get("best_acc", -1.0) or -1.0)
+    v = (payload.get("extra") or {}).get("best_acc")
+    # explicit None check: a recorded best_acc of exactly 0.0 is falsy but
+    # must survive the resume (`or` would coerce it to -1.0 and let a
+    # 0.0-acc validation overwrite checkpoint-best)
+    return -1.0 if v is None else float(v)
 
 
 class PreemptionGuard:
@@ -411,7 +433,12 @@ def train_one_epoch(
                 host.update(_sched_values(sched, step_i))
             logger.update(**host)
             if tb_logger is not None:
-                tb_logger.update(head="train", step=step_i, **host)
+                # GLOBAL batch index (reference utils.py:426-447 keeps a
+                # persistent step): a per-epoch step_i would overwrite the
+                # previous epoch's curve at the same x-values
+                gstep = (sched["offset"] * sched["every_k"]
+                         + sched.get("phase", 0) + step_i) if sched else step_i
+                tb_logger.update(head="train", step=gstep, **host)
             if wandb_logger is not None:
                 wandb_logger.log({f"train/{k}": v for k, v in host.items()})
             last_metrics = host
@@ -464,6 +491,18 @@ def _local_host_array(v) -> np.ndarray:
     if isinstance(v, jax.Array) and not v.is_fully_addressable:
         parts = {}
         for s in v.addressable_shards:
+            if s.index:
+                # this reassembly only handles dim-0 (batch) sharding; a
+                # layout split along a later axis (GSPMD is free to pick
+                # one for an un-annotated jit output) would silently lose
+                # those columns if keyed on the dim-0 offset alone
+                for d, sl in enumerate(s.index[1:], start=1):
+                    if (sl.start or 0) != 0 or (
+                            sl.stop is not None and sl.stop != v.shape[d]):
+                        raise ValueError(
+                            f"eval output sharded along axis {d} "
+                            f"({s.index}); annotate the eval step's "
+                            f"out_shardings to batch-axis/replicated")
             start = (s.index[0].start or 0) if s.index else 0
             parts.setdefault(start, np.asarray(s.data))
         return np.concatenate([parts[k] for k in sorted(parts)])

@@ -175,8 +175,7 @@ def main(args):
         )
         opt_groups.clear()
         opt_groups.update(groups)  # current phase's groups (meter scales)
-        if args.update_freq > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
+        tx = common.wrap_update_freq(tx, args.update_freq, args.clip_grad)
         return tx
 
     # resolve the resume payload BEFORE building the optimizer so the LP/FT
@@ -224,7 +223,9 @@ def main(args):
     step_fn = pmesh.data_parallel_jit(
         make_finetune_train_step(
             model, mixup=mixup_fn, label_smoothing=args.smoothing,
-            clip_grad=args.clip_grad,
+            # under accumulation the clip lives inside MultiSteps (above);
+            # the step still logs the per-micro-batch pre-clip grad norm
+            clip_grad=args.clip_grad if args.update_freq == 1 else None,
             ema_decay=args.model_ema_decay if args.model_ema else None,
         ), mesh, state_shardings=layout,
     )

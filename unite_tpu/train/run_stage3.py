@@ -356,13 +356,19 @@ def main(args):
                 # shipped reference uses zero thresholds (run_stage3.py:1303)
                 "classwise_thresholds": np.zeros(args.nb_classes, np.float32),
             }
-            if zero_shot_fn is not None:
-                batch["clip_sim"] = np.asarray(zero_shot_fn(batch["videos_t"]))
-            else:
+            if zero_shot_fn is None:
                 batch["clip_sim"] = np.full(
                     (batch["videos_t"].shape[0], args.nb_classes),
                     1.0 / args.nb_classes, np.float32)
-            yield pmesh.shard_batch(pmesh.cast_videos_bf16(batch), mesh)
+            sharded = pmesh.shard_batch(pmesh.cast_videos_bf16(batch), mesh)
+            if zero_shot_fn is not None:
+                # on the already-sharded device clips: the old host
+                # round-trip (np.asarray(zero_shot_fn(host_videos))) shipped
+                # videos_t H2D a second time unsharded AND blocked the
+                # producer thread on a device read every batch — this stays
+                # a fully async device-side dispatch instead
+                sharded["clip_sim"] = zero_shot_fn(sharded["videos_t"])
+            yield sharded
 
     def wrapped_step(state, batch, rng):
         return step_fn(state, tp, batch, rng)
