@@ -349,3 +349,23 @@ def test_flops_tool_smoke():
     params_m, gflops, gb = (float(v) for v in row[0].split()[1:])
     assert 80 < params_m < 90  # ViT-B
     assert gflops > 0 and gb > 0
+
+
+def test_yaml_values_coerced_through_argparse_types(tmp_path):
+    """YAML bypasses argparse, so values must be run through the flag's
+    registered type: YAML-1.1 parses `lr: 1e-3` as a STRING (ADVICE r4) —
+    it must arrive as float — and a bad choices value must be rejected at
+    load time with the config key named."""
+    from unite_tpu.config import parse_with_config
+    from unite_tpu.train.args import stage2_parser
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("lr: 1e-3\nopt_betas: ['9e-1', '9.5e-1']\n")
+    a = parse_with_config(stage2_parser(), ["--config", str(cfg)])
+    assert isinstance(a.lr, float) and a.lr == 1e-3
+    assert a.opt_betas == [0.9, 0.95]
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("overwrite: wrong\n")
+    with pytest.raises(ValueError, match="overwrite"):
+        parse_with_config(stage2_parser(), ["--config", str(bad)])

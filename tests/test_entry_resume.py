@@ -13,6 +13,8 @@ per-(seed, epoch, index) Generators.
 import json
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -289,3 +291,38 @@ def test_stage2_reset_train_dataset_resume_bitwise(tmp_path):
     got = _read_epoch_stats(str(tmp_path / "rb"))
     for e in (0, 1, 2):
         assert got[e] == ref[e], f"epoch {e}: {got[e]} != {ref[e]}"
+
+
+@pytest.mark.slow
+def test_stage1_unused_blocks_survive_training(tmp_path):
+    """clip_return_layers below depth-1: blocks above max(return_layers)
+    must (a) EXIST in the stage-1 checkpoint — initializing the student
+    with clip_only=True used to drop them from the param tree entirely,
+    silently discarding their pretrained weights (ADVICE r4) — and (b)
+    pass through training bitwise untouched (the reference leaves their
+    .grad None, so torch AdamW neither steps nor decays them)."""
+    from tests.test_preemption import _stage1_args
+    from unite_tpu.train.run_stage1 import main
+    from unite_tpu.utils import checkpoint as ck
+
+    args = _stage1_args(tmp_path, tmp_path / "ub", 2, with_target=False)
+    args.clip_return_layers = [0]  # depth 2 -> block 1 never runs
+    args.weight_decay = 0.1       # decay would visibly move unfrozen params
+    args.save_ckpt_freq = 1       # numbered ckpt at epoch 0 too
+    main(args)
+    p0 = ck.load_checkpoint(str(tmp_path / "ub" / "checkpoint-0.msgpack"))
+    p1 = ck.load_checkpoint(
+        str(tmp_path / "ub" / "checkpoint-latest.msgpack"))
+    assert "blocks_1" in p0["model"]["encoder"], \
+        sorted(p0["model"]["encoder"])
+    b0 = p0["model"]["encoder"]["blocks_1"]
+    b1 = p1["model"]["encoder"]["blocks_1"]
+    flat0 = jax.tree_util.tree_leaves(b0)
+    flat1 = jax.tree_util.tree_leaves(b1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the LIVE block must have moved (training actually happened)
+    l0 = jax.tree_util.tree_leaves(p0["model"]["encoder"]["blocks_0"])
+    l1 = jax.tree_util.tree_leaves(p1["model"]["encoder"]["blocks_0"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(l0, l1))

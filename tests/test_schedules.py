@@ -57,3 +57,21 @@ def test_scaled_lr():
     # lr * total_batch * num_sample / 256 (run_stage1.py:796-800)
     assert scaled_lr(1.5e-4, 256) == pytest.approx(1.5e-4)
     assert scaled_lr(1.5e-4, 64 * 4, 2) == pytest.approx(3e-4)
+
+
+def test_warmup_steps_without_warmup_epochs():
+    """--warmup_steps with warmup_epochs=0 must produce a real warmup ramp
+    (the reference's guard on warmup_epochs builds an empty warmup and
+    trips the length assert — latent defect, fixed here; ADVICE r4)."""
+    from unite_tpu.utils.schedules import cosine_scheduler, step_scheduler
+
+    s = cosine_scheduler(1.0, 0.1, epochs=4, niter_per_ep=50,
+                         warmup_epochs=0, start_warmup_value=0.0,
+                         warmup_steps=30)
+    assert len(s) == 200
+    assert s[0] == 0.0 and abs(s[29] - 1.0) < 1e-12  # linspace endpoints
+    assert s[30] <= 1.0 and s[-1] >= 0.1 - 1e-12
+
+    t = step_scheduler(1.0, 0.1, epochs=4, niter_per_ep=50,
+                       warmup_epochs=0, warmup_steps=30, steps=[2])
+    assert len(t) == 200 and t[0] == 0.0 and t[-1] == 0.1

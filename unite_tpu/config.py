@@ -17,7 +17,6 @@ Also replaces the reference's *interactive* experiment-dir overwrite prompt
 from __future__ import annotations
 
 import argparse
-import copy
 import json
 import os
 from pathlib import Path
@@ -57,6 +56,38 @@ def apply_dataset_mapping(args: argparse.Namespace, mappings_path: str) -> None:
         setattr(args, k, v)
 
 
+def _coerce_yaml(action, key, value, cfg_path):
+    """Run a YAML value through the flag's argparse type + choices check.
+
+    YAML bypasses argparse entirely, so without this a YAML-1.1 scalar like
+    ``lr: 1e-3`` (a STRING — no dot in the mantissa) survives until it
+    crashes deep in schedule math with no pointer to the config key, and a
+    bad ``choices`` value is never rejected. Only string values are
+    coerced (YAML already delivered typed ints/floats/bools/lists); list
+    values coerce per element for nargs flags."""
+    if action is None:
+        return value
+
+    def one(v):
+        return (action.type(v)
+                if action.type is not None and isinstance(v, str) else v)
+
+    try:
+        out = [one(v) for v in value] if isinstance(value, list) else one(value)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"{cfg_path}: key {key!r}: cannot convert {value!r} via "
+            f"{getattr(action.type, '__name__', action.type)}: {e}") from e
+    if action.choices is not None:
+        vals = out if isinstance(out, list) else [out]
+        for v in vals:
+            if v not in action.choices:
+                raise ValueError(
+                    f"{cfg_path}: key {key!r}: {v!r} not in "
+                    f"{sorted(action.choices)}")
+    return out
+
+
 def parse_with_config(
     parser: argparse.ArgumentParser,
     argv: Optional[List[str]] = None,
@@ -73,9 +104,10 @@ def parse_with_config(
     if cfg_path:
         yaml_vals = load_yaml(cfg_path)
         known = set(vars(first))
+        types = {a.dest: a for a in parser._actions}
         for k, v in yaml_vals.items():
             if k in known:
-                setattr(ns, k, v)
+                setattr(ns, k, _coerce_yaml(types.get(k), k, v, cfg_path))
         # CLI re-parse so explicitly-passed flags beat YAML.
         ns = parser.parse_args(argv, namespace=ns)
 
@@ -123,6 +155,3 @@ def log_stats(stats: dict, output_dir: str, filename: str = "log.txt") -> None:
     with open(os.path.join(output_dir, filename), "a") as f:
         f.write(json.dumps(stats) + "\n")
 
-
-def namespace_copy(args: argparse.Namespace) -> argparse.Namespace:
-    return copy.deepcopy(args)

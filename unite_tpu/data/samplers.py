@@ -25,6 +25,17 @@ from typing import List, Optional
 import numpy as np
 
 
+def _require_rng(rng):
+    """Repo convention (CLAUDE.md): every stochastic op takes an explicit
+    PRNG — an ambient default_rng() fallback would be silently
+    irreproducible. Deterministic branches never reach this."""
+    if rng is None:
+        raise ValueError(
+            "this sampling branch draws randomly: pass an explicit "
+            "np.random.Generator (no ambient RNG by convention)")
+    return rng
+
+
 def sparse_frame_indices(
     video_size: int,
     num_frames: int,
@@ -38,7 +49,7 @@ def sparse_frame_indices(
     max_frame = int(video_size) - 1
     seq = []
     if clip_idx == -1:
-        rng = rng or np.random.default_rng()
+        rng = _require_rng(rng)
         for i in range(num_frames):
             start = int(np.round(seg_size * i))
             end = int(np.round(seg_size * (i + 1)))
@@ -63,7 +74,7 @@ def dense_frame_indices(
     max_frame = int(video_size) - 1
     if start is None:
         hi = max(0, max_frame - num_frames * skip_frames)
-        rng = rng or np.random.default_rng()
+        rng = _require_rng(rng)
         start = int(rng.integers(0, hi + 1))
     seq = list(range(start, start + num_frames * skip_frames, skip_frames))
     return [min(i, max_frame) for i in seq]
@@ -116,7 +127,7 @@ def dense_segment_indices(
             if mode == "validation":
                 end_idx = (seg_len - converted_len) // 2
             else:
-                rng = rng or np.random.default_rng()
+                rng = _require_rng(rng)
                 end_idx = int(rng.integers(converted_len, seg_len))
             str_idx = end_idx - converted_len
             index = np.linspace(str_idx, end_idx, num=clip_len)
@@ -140,7 +151,6 @@ def ssv2_segment_indices(
     * test: sorted centers + starts (two interleaved temporal views;
       __getitem__ slices ``[chunk_nb::2]``), repeat-padded.
     """
-    rng = rng or np.random.default_rng()
     if mode == "test":
         tick = video_size / float(num_segment)
         idx = ([int(tick / 2.0 + tick * x) for x in range(num_segment)]
@@ -149,6 +159,7 @@ def ssv2_segment_indices(
     if mode == "validation":
         tick = video_size / float(num_segment)
         return [int(tick / 2.0 + tick * x) for x in range(num_segment)]
+    rng = _require_rng(rng)
     avg = video_size // num_segment
     if avg > 0:
         idx = (np.multiply(list(range(num_segment)), avg)
@@ -172,12 +183,17 @@ def pretrain_segment_indices(
 
     Returns 0-based frame ids of length num_segments * (skip_length//new_step).
     """
-    rng = rng or np.random.default_rng()
     average_duration = (num_video_frames - skip_length + 1) // num_segments
     if average_duration > 0:
+        # always draw (even when average_duration == 1 and the draw is a
+        # constant 0): the reference consumes one randint here, and the
+        # shared per-item rng stream must advance identically
+        rng = _require_rng(rng)
         offsets = np.arange(num_segments) * average_duration
-        offsets = offsets + rng.integers(0, average_duration, size=num_segments)
+        offsets = offsets + rng.integers(0, average_duration,
+                                         size=num_segments)
     elif num_video_frames > max(num_segments, skip_length):
+        rng = _require_rng(rng)
         offsets = np.sort(
             rng.integers(0, num_video_frames - skip_length + 1, size=num_segments)
         )
@@ -187,7 +203,7 @@ def pretrain_segment_indices(
 
     steps = skip_length // new_step
     if temporal_jitter:
-        skip_offsets = rng.integers(0, new_step, size=steps)
+        skip_offsets = _require_rng(rng).integers(0, new_step, size=steps)
     else:
         skip_offsets = np.zeros(steps, dtype=int)
 

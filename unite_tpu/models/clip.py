@@ -200,13 +200,24 @@ class CLIPVisionTransformer(nn.Module):
           cls  [B*T', width] last-layer CLS tokens (when return_cls)
         """
         b = x.shape[0]
+        if x.shape[-3:-1] != (self.input_resolution, self.input_resolution):
+            # loud, at trace time: a mismatched raster whose token count
+            # happens to divide the configured grid would otherwise fold
+            # frames into one spatial grid silently (t is derived from the
+            # CONFIGURED resolution below)
+            raise ValueError(
+                f"teacher expects {self.input_resolution}x"
+                f"{self.input_resolution} frames, got "
+                f"{x.shape[-3]}x{x.shape[-2]} — resize the clip "
+                f"(clip_input_resolution) or build the teacher with "
+                f"input_resolution matching the input")
         x = PatchEmbed(
             embed_dim=self.width, patch_size=self.patch_size,
             tubelet_size=self.kernel_size, use_bias=False, dtype=self.dtype,
             name="conv1",
         )(x.astype(self.dtype))  # [B, T'*HW, width]
-        t = x.shape[1] // ((self.input_resolution // self.patch_size) ** 2)
         hw = (self.input_resolution // self.patch_size) ** 2
+        t = x.shape[1] // hw
         x = x.reshape(b * t, hw, self.width)
 
         class_embedding = self.param(

@@ -35,6 +35,29 @@ from unite_tpu.utils import torch_import as ti
 from unite_tpu.utils.registry import create_model
 
 
+def unused_block_mask(params, max_ret: int):
+    """trainable_mask freezing encoder blocks above ``max_ret``.
+
+    Under clip_only training those blocks never run; the reference leaves
+    their .grad None and torch AdamW skips None-grad params (no step, no
+    decay), so the checkpoint carries their loaded weights bitwise. An
+    optax update would instead see ZERO grads and still apply decoupled
+    weight decay — freezing reproduces the torch semantics exactly."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    mask = {}
+    for keypath, _ in flat:
+        path = tuple(k.key for k in keypath)
+        live = True
+        if (len(path) >= 2 and path[0] == "encoder"
+                and path[1].startswith("blocks_")):
+            live = int(path[1].split("_")[1]) <= max_ret
+        node = mask
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = live
+    return mask
+
+
 def build_student(args):
     """run_stage1.py:273-292 get_model."""
     return create_model(
@@ -59,6 +82,14 @@ def build_student(args):
 
 def build_teacher(args):
     """run_stage1.py:782-789: frozen CLIP teacher with attention output."""
+    if not args.clip_return_attn:
+        # the stage-1 engine unconditionally consumes (taps, attn) — and
+        # attention masking cannot exist without attn; fail here with the
+        # cause instead of a tuple-unpack error at trace time
+        raise ValueError(
+            "--clip_return_attn false is incompatible with stage-1: the "
+            "engine needs the teacher's CLS-row attention for the masking "
+            "path (run_stage1.py:379-387)")
     return create_model(
         args.clip_teacher,
         input_resolution=args.clip_input_resolution,
@@ -164,8 +195,14 @@ def main(args):
                          args.mask_ratio, args.mask_type)
     example = jnp.zeros(
         (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+    # init with clip_only=False: the clip_only forward stops creating
+    # blocks above max(clip_return_layers), so initializing with True
+    # would DROP those blocks from the param tree — their pretrained
+    # weights would be discarded at import and missing from the stage-1
+    # checkpoint (the reference's early exit skips execution only,
+    # modeling_adaptation.py:165-166; its checkpoints keep every block)
     sp = student.init(jax.random.PRNGKey(args.seed), example,
-                      jnp.zeros((1, nv), jnp.int32), True)["params"]
+                      jnp.zeros((1, nv), jnp.int32), False)["params"]
     sp = load_student(args, sp)
     tp = load_clip_teacher_params(args, teacher, example)
     nparams = sum(x.size for x in jax.tree.leaves(sp))
@@ -178,6 +215,12 @@ def main(args):
         args.opt, lr=lr_tab, params=sp, weight_decay=wd_tab,
         betas=common.betas_for(args), eps=args.opt_eps,
         momentum=args.momentum,
+        # blocks above max(clip_return_layers) never run under clip_only
+        # training: the reference leaves their .grad None so torch AdamW
+        # skips them entirely (no update, no decay) — freeze them so the
+        # checkpointed weights pass through bitwise
+        trainable_mask=unused_block_mask(
+            sp, max(int(i) for i in args.clip_return_layers)),
         mu_dtype=common.mu_dtype_for(args),
     )
     state = TrainState.create(sp, tx)

@@ -32,7 +32,11 @@ def cosine_scheduler(
     if warmup_steps > 0:
         warmup_iters = warmup_steps
     warmup_schedule = np.array([])
-    if warmup_epochs > 0:
+    # guard on warmup_ITERS, not warmup_epochs: the reference's guard on
+    # warmup_epochs makes --warmup_steps with warmup_epochs=0 shorten the
+    # decay segment while building an EMPTY warmup, tripping the length
+    # assert (utils.py:650-655 latent defect, fixed not replicated)
+    if warmup_iters > 0:
         warmup_schedule = np.linspace(start_warmup_value, base_value, warmup_iters)
 
     n_decay = epochs * niter_per_ep - warmup_iters
@@ -68,15 +72,22 @@ def step_scheduler(
     branch builds a FULL-length table and still concatenates warmup in
     front, so 'step' + warmup trips its own length assert (utils.py:679-685);
     (b) run_stage2.py:663-667 passes the scalar ``args.step_fraction`` where
-    this indexes ``step_fraction[i]`` — a scalar is accepted and broadcast.
-    Where the reference works (steps without warmup, or constant), the
-    values are identical.
+    this indexes ``step_fraction[i]`` — a scalar is accepted and broadcast;
+    (c) the reference's steps branch never multiplies ``base_value`` into
+    its table (utils.py:679-681 builds np.ones and applies fractions only),
+    so its step-schedule LR ignores the configured base LR — here
+    ``base_value`` applies, so step-schedule values deliberately differ
+    from the reference's defective branch ('constant' is identical).
     """
     warmup_iters = warmup_epochs * niter_per_ep
     if warmup_steps > 0:
         warmup_iters = warmup_steps
     warmup_schedule = np.array([])
-    if warmup_epochs > 0:
+    # guard on warmup_ITERS, not warmup_epochs: the reference's guard on
+    # warmup_epochs makes --warmup_steps with warmup_epochs=0 shorten the
+    # decay segment while building an EMPTY warmup, tripping the length
+    # assert (utils.py:650-655 latent defect, fixed not replicated)
+    if warmup_iters > 0:
         warmup_schedule = np.linspace(start_warmup_value, base_value, warmup_iters)
 
     schedule = np.ones(epochs * niter_per_ep - warmup_iters) * base_value
