@@ -222,3 +222,25 @@ def test_aug_stream_uses_full_raster_under_device_path(tmp_path):
         _, aug_d, label_d, vid_d = ds_dev[i]
         assert (label_d, vid_d) == (label_h, vid_h)
         np.testing.assert_array_equal(aug_d, aug_h)
+
+
+def test_bicubic_resize_matches_torch():
+    """Teacher resize parity (run_stage1.py:365-373): torch F.interpolate
+    bicubic (a=-0.75, align_corners=False, no antialias) vs our separable
+    weight-matrix resize — jax.image.resize('bicubic') deviates by ~1.0 on
+    N(0,1) frames at 224→196 (antialias + a=-0.5), which shifted the
+    frozen teacher's inputs off the reference (ADVICE r4)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from unite_tpu.ops.eval_transforms import bicubic_resize_square
+
+    rng = np.random.default_rng(0)
+    for s, d in ((224, 196), (196, 224), (64, 48)):
+        x = rng.standard_normal((2, 2, s, s, 3)).astype(np.float32)
+        got = np.asarray(bicubic_resize_square(jnp.asarray(x), d))
+        ref = F.interpolate(
+            torch.tensor(x).permute(0, 1, 4, 2, 3).reshape(-1, 3, s, s),
+            size=(d, d), mode="bicubic", align_corners=False,
+        ).reshape(2, 2, 3, d, d).permute(0, 1, 3, 4, 2).numpy()
+        np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)

@@ -13,13 +13,14 @@ import jax.numpy as jnp
 
 
 def cross_entropy(logits, labels, label_smoothing: float = 0.0,
-                  reduction: str = "mean", weights=None):
+                  reduction: str = "mean"):
     """CE over int labels with optional smoothing (torch semantics).
 
-    ``weights``: optional per-sample weights (stage-3 confidence weighting,
-    run_stage3.py:608-613 — `weight` multiplies each sample's CE before the
-    mean over the *selected* samples; pass the weights and normalizer the
-    caller wants via reduction='none').
+    Per-sample weighting (stage-3 confidence weighting, run_stage3.py:
+    608-613) is deliberately NOT a parameter: the weighted mean there
+    normalizes over the *selected* samples, so callers take
+    reduction='none' and apply their own weights + normalizer
+    (engines/selftrain.py does exactly this).
     """
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -30,8 +31,6 @@ def cross_entropy(logits, labels, label_smoothing: float = 0.0,
         loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     else:
         loss = nll
-    if weights is not None:
-        loss = loss * weights
     if reduction == "mean":
         return loss.mean()
     if reduction == "sum":

@@ -33,6 +33,7 @@ from unite_tpu.models.clip import project_clip_taps
 from unite_tpu.ops.normalize import normalize_videos
 from unite_tpu.ops.masking import (
     attention_multinomial_mask,
+    frame_mask_to_video,
     n_visible,
     visible_indices,
 )
@@ -40,15 +41,17 @@ from unite_tpu.train.train_state import TrainState, clip_by_global_norm
 
 
 def resize_for_teacher(videos, clip_input_resolution: int):
-    """Bicubic resize to the teacher's resolution (run_stage1.py:365-373)."""
-    b, t, h, w, c = videos.shape
-    if h == clip_input_resolution and w == clip_input_resolution:
+    """Bicubic resize to the teacher's resolution (run_stage1.py:365-373).
+
+    torch-parity kernel (a=-0.75, no antialias, border-clamped taps) —
+    jax.image.resize('bicubic') antialiases with a=-0.5 and deviates by
+    ~1.0 on N(0,1) frames at 224→196, which would shift the frozen
+    teacher's attention masks and alignment targets off the reference."""
+    from unite_tpu.ops.eval_transforms import bicubic_resize_square
+
+    if videos.shape[-3] == videos.shape[-2] == clip_input_resolution:
         return videos
-    return jax.image.resize(
-        videos,
-        (b, t, clip_input_resolution, clip_input_resolution, c),
-        method="bicubic",
-    )
+    return bicubic_resize_square(videos, clip_input_resolution)
 
 
 def make_pretrain_train_step(
@@ -102,6 +105,17 @@ def make_pretrain_train_step(
                 f"grid ({patches_per_frame}/frame); set "
                 f"clip_input_resolution so teacher_res/teacher_patch == "
                 f"student_res/student_patch (196 for L/14 teachers)")
+        if z_raw.shape[2] != num_patches:
+            # temporal mismatch the spatial check above cannot see: e.g.
+            # --tubelet_size 2 against the kernel_size=1 clip_b16 teacher
+            # gives T teacher frames vs T/2 student frames — vis_idx would
+            # then index past z_raw and take_along_axis SILENTLY fills
+            # out-of-range gathers under jit (NaN loss, no error)
+            raise ValueError(
+                f"teacher token count ({z_raw.shape[2]}) != student patches "
+                f"({num_patches}): teacher frames x grid must equal the "
+                f"student's num_frames/tubelet_size x grid (tubelet_size>1 "
+                f"needs a tubelet-matched teacher)")
 
         if "vis_idx" in batch:
             # injection hook: tube/random data-side masks, or externally
@@ -110,7 +124,7 @@ def make_pretrain_train_step(
             vis_idx = batch["vis_idx"]
         elif mask_type == "attention":
             mask_bt = attention_multinomial_mask(mask_rng, attn, mask_ratio)
-            mask = mask_bt.reshape(b, -1)  # [B, T*HW]
+            mask = frame_mask_to_video(mask_bt, b)  # [B, T*HW]
             vis_idx = visible_indices(mask, nv_total)
         else:
             raise ValueError(
@@ -128,9 +142,9 @@ def make_pretrain_train_step(
 
         def loss_fn(params):
             x_clip = student.apply(
-                {"params": params}, videos, vis_idx, True, False,
-                rngs={"dropout": drop_rng},
-            )  # clip_only → [K, B, N_vis, C]
+                {"params": params}, videos, vis_idx, clip_only=True,
+                deterministic=False, rngs={"dropout": drop_rng},
+            )  # [K, B, N_vis, C]
             t = targets_clip
             o = x_clip
             if clip_loss_data == "mixed":

@@ -166,7 +166,7 @@ class PretrainUMT(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
-            init_values=self.init_values if self.init_values else None,
+            init_values=self.init_values,
             num_frames=self.num_frames, tubelet_size=self.tubelet_size,
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             return_index=return_index, norm_eps=self.norm_eps,

@@ -165,7 +165,7 @@ class PretrainVideoMAE(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
-            init_values=self.init_values if self.init_values else None,
+            init_values=self.init_values,
             num_frames=self.num_frames, tubelet_size=self.tubelet_size,
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             norm_eps=self.norm_eps, dtype=self.dtype,
@@ -204,7 +204,7 @@ class PretrainVideoMAE(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
-            init_values=self.init_values if self.init_values else None,
+            init_values=self.init_values,
             norm_eps=self.norm_eps, dtype=self.dtype,
             use_pallas=self.use_pallas, name="decoder",
         )(x_full, n_mask, deterministic)

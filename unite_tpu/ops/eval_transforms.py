@@ -56,6 +56,50 @@ def resize_short_side(videos, short_side: int, method: str = "linear"):
                             antialias=False)
 
 
+def torch_bicubic_weights(src: int, dst: int, a: float = -0.75):
+    """[dst, src] separable resize matrix matching torch's
+    ``F.interpolate(mode='bicubic', align_corners=False)`` exactly
+    (half-pixel centers, 4 border-clamped taps, Keys cubic a=-0.75 —
+    jax.image.resize uses a=-0.5 plus antialiasing and deviates by ~1.0 on
+    N(0,1) frames at 224→196; this matrix reproduces torch to fp32
+    rounding, verified ≤1e-4)."""
+    import numpy as np
+
+    scale = src / dst
+    w = np.zeros((dst, src), np.float64)
+
+    def k(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    for i in range(dst):
+        center = (i + 0.5) * scale - 0.5
+        f = int(np.floor(center))
+        frac = center - f
+        for m in (-1, 0, 1, 2):
+            w[i, min(max(f + m, 0), src - 1)] += k(m - frac)
+    return w.astype(np.float32)
+
+
+def bicubic_resize_square(videos, out_size: int):
+    """[..., H, H, C] → [..., out, out, C] with torch-bicubic parity
+    (the reference's teacher resize, run_stage1.py:365-373). Two batched
+    matmuls against the precomputed weight matrix — MXU-friendly and
+    exact where jax.image.resize('bicubic') is not."""
+    h = videos.shape[-3]
+    if h == out_size:
+        return videos
+    w = jnp.asarray(torch_bicubic_weights(h, out_size))
+    x = videos.astype(jnp.float32)
+    x = jnp.einsum("os,...swc->...owc", w, x)
+    x = jnp.einsum("pw,...owc->...opc", w, x)
+    return x.astype(videos.dtype)
+
+
 def center_crop(videos, crop_size: int):
     """Center ``crop_size`` square, same offset math as the host path
     (transforms.py::uniform_crop idx=1: ceil((dim-size)/2))."""
