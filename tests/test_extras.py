@@ -125,6 +125,40 @@ def test_set_schedule_count():
     np.testing.assert_allclose(float(-updates["w"][0, 0]), 0.01, rtol=1e-6)
 
 
+def test_set_schedule_count_internally_coupled_wd():
+    """AdamP/SGDP/NovoGrad couple the decay lookup inside their direction
+    state (no .inner): after an LP-FT rebuild, set_schedule_count must
+    fast-forward their wd-table index via the wd_base offset WITHOUT
+    touching count — count drives bias correction / moment bootstrap,
+    which a rebuilt torch optimizer restarts at zero (ADVICE r4)."""
+    from unite_tpu.optim.factory import create_optimizer, set_schedule_count
+
+    params = {"w": jnp.ones((2, 2))}
+    wd_table = np.array([0.5, 0.4, 0.3, 0.2], np.float32)
+    g = {"w": jnp.full((2, 2), 0.3)}
+    for name in ("sgdp", "adamp", "novograd"):
+        tx, _ = create_optimizer(name, lr=1.0, params=params,
+                                 weight_decay=wd_table, momentum=0.9)
+        st = tx.init(params)
+        ff = set_schedule_count(st, 3)
+        # a fresh optimizer whose wd table was REWRITTEN to start at index
+        # 3 is the semantics torch LP-FT gets (external per-step wd writes)
+        tx_ref, _ = create_optimizer(name, lr=1.0, params=params,
+                                     weight_decay=wd_table[3:],
+                                     momentum=0.9)
+        u_ff, st2 = tx_ref.update(g, tx_ref.init(params), params)
+        u_got, got2 = tx.update(g, ff, params)
+        np.testing.assert_allclose(np.asarray(u_got["w"]),
+                                   np.asarray(u_ff["w"]), rtol=1e-6,
+                                   err_msg=name)
+        # and the offset persists across steps
+        u_got2, _ = tx.update(g, got2, params)
+        u_ff2, _ = tx_ref.update(g, st2, params)
+        np.testing.assert_allclose(np.asarray(u_got2["w"]),
+                                   np.asarray(u_ff2["w"]), rtol=1e-6,
+                                   err_msg=name)
+
+
 def test_sched_values_mid_accumulation_phase():
     """Schedule meters on a mid-accumulation resume: make_sched(phase=
     skip0 % k) must index the tables by floor((skip0 + step_i)/k) — the

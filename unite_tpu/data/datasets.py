@@ -125,6 +125,14 @@ class VideoClsDatasetSparse:
             # aspect-squashing (new_width, new_height) raster — decord's
             # VideoReader(width=, height=) (kinetics_sparse.py:329-338).
             # Default True (native-res decode) everywhere, as upstream.
+            # NOTE: the reference hardcodes keep_aspect_ratio=True at every
+            # construction site (build.py:143,180,212,244) — no CLI flag
+            # reaches this branch in either framework; it exists for
+            # dataset-API parity and is covered by tests only
+            # (test_native_decoder.py::test_dataset_keep_aspect_ratio_false).
+            # An exact (w, h) raster supersedes any short_side setting a
+            # caller-provided reader carried (decode size is fully
+            # determined), so reconstructing without it is intentional.
             from unite_tpu.data.video_reader import (
                 CV2VideoReader,
                 NativeVideoReader,

@@ -242,6 +242,32 @@ class DataLoader:
             pool.shutdown(wait=True)
 
 
+def echo_batches(it: Iterable, k: int, skip_echoes: int = 0) -> Iterator:
+    """Batch-level data echoing (Choi et al., arXiv:1907.05550): yield each
+    batch ``k`` times so an input-bound host can feed the accelerator at
+    line rate. Entries apply this AFTER shard_batch, so the repeats are
+    device-resident — echoed steps cost zero host decode and zero H2D
+    bytes, the TPU-idiomatic placement of the echo stage (the paper echoes
+    before augmentation; echoing the uploaded batch maximises the rate
+    multiplier on a weak host). The step PRNG still advances per step
+    (train_one_epoch folds the step counter), so dropout/droppath differ
+    across echoes of the same batch.
+
+    ``skip_echoes``: echoes of the FIRST batch already consumed by a
+    preempted run (entries resume with ``loader.skip_next_batches(skip//k)``
+    host batches plus ``skip % k`` echoes) — keeps mid-epoch resume replay
+    exact under echoing."""
+    if k <= 1 and not skip_echoes:
+        yield from it
+        return
+    for b in it:
+        for _ in range(k):
+            if skip_echoes:
+                skip_echoes -= 1
+                continue
+            yield b
+
+
 def cycle(loader: DataLoader, skip_batches: int = 0) -> Iterator:
     """Infinite re-iteration (run_stage1.py:313-321 target-stream cycling).
     Bumps the epoch on wrap so shuffles differ (the reference reuses the

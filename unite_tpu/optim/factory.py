@@ -205,9 +205,18 @@ def scheduled_optimizer(
 def set_schedule_count(opt_state, step: int):
     """Recursively set every ScheduledState/L2/SGD count to ``step`` —
     used when an optimizer is rebuilt mid-run (LP-FT switch) so the LR/WD
-    tables continue from the global step instead of restarting."""
+    tables continue from the global step instead of restarting.
+
+    States with an internally-coupled decay lookup but no ``inner``
+    (AdamPState/SGDPState/NovoState) carry a separate ``wd_base`` offset:
+    their ``count`` drives bias correction / moment bootstrap, which a
+    rebuilt torch optimizer RESTARTS at zero, while the wd table index must
+    continue from the global step — setting count=step there would skip
+    the bias-correction warmup of the fresh moments."""
     import jax.numpy as _jnp
 
+    if hasattr(opt_state, "wd_base") and not hasattr(opt_state, "inner"):
+        return opt_state._replace(wd_base=_jnp.asarray(step, _jnp.int32))
     if hasattr(opt_state, "count") and hasattr(opt_state, "inner"):
         return opt_state._replace(
             count=_jnp.asarray(step, _jnp.int32),
@@ -267,17 +276,19 @@ def adamp_direction(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         count: jnp.ndarray
         m: Any
         v: Any
+        wd_base: jnp.ndarray  # LP-FT wd-table offset (set_schedule_count)
 
     def init(params):
         z = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
-        return AdamPState(jnp.zeros([], jnp.int32), z(), z())
+        return AdamPState(jnp.zeros([], jnp.int32), z(), z(),
+                          jnp.zeros([], jnp.int32))
 
     def update(grads, state, params=None):
         assert params is not None
         t = state.count + 1
         bias1 = 1 - b1 ** t.astype(jnp.float32)
         bias2 = 1 - b2 ** t.astype(jnp.float32)
-        wd_t = wd_fn(state.count)
+        wd_t = wd_fn(state.wd_base + state.count)
         mask = (wd_mask if wd_mask is not None
                 else jax.tree.map(lambda _: True, params))
 
@@ -300,7 +311,7 @@ def adamp_direction(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                          is_leaf=lambda x: isinstance(x, tuple))
         v = jax.tree.map(lambda o: o[2], out,
                          is_leaf=lambda x: isinstance(x, tuple))
-        return u, AdamPState(t, m, v)
+        return u, AdamPState(t, m, v, state.wd_base)
 
     return optax.GradientTransformation(init, update)
 
@@ -314,14 +325,16 @@ def sgdp_direction(momentum: float = 0.9, weight_decay: ScheduleLike = 0.0,
     class SGDPState(NamedTuple):
         count: jnp.ndarray
         buf: Any
+        wd_base: jnp.ndarray  # LP-FT wd-table offset (set_schedule_count)
 
     def init(params):
         return SGDPState(jnp.zeros([], jnp.int32),
-                         jax.tree.map(jnp.zeros_like, params))
+                         jax.tree.map(jnp.zeros_like, params),
+                         jnp.zeros([], jnp.int32))
 
     def update(grads, state, params=None):
         assert params is not None
-        wd_t = wd_fn(state.count)
+        wd_t = wd_fn(state.wd_base + state.count)
         mask = (wd_mask if wd_mask is not None
                 else jax.tree.map(lambda _: True, params))
 
@@ -341,7 +354,7 @@ def sgdp_direction(momentum: float = 0.9, weight_decay: ScheduleLike = 0.0,
                          is_leaf=lambda x: isinstance(x, tuple))
         buf = jax.tree.map(lambda o: o[1], out,
                            is_leaf=lambda x: isinstance(x, tuple))
-        return u, SGDPState(state.count + 1, buf)
+        return u, SGDPState(state.count + 1, buf, state.wd_base)
 
     return optax.GradientTransformation(init, update)
 
@@ -360,17 +373,19 @@ def novograd_direction(b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
         count: jnp.ndarray
         m: Any
         v: Any
+        wd_base: jnp.ndarray  # LP-FT wd-table offset (set_schedule_count)
 
     def init(params):
         return NovoState(
             jnp.zeros([], jnp.int32),
             jax.tree.map(jnp.zeros_like, params),
             jax.tree.map(lambda _: jnp.zeros([], jnp.float32), params),
+            jnp.zeros([], jnp.int32),
         )
 
     def update(grads, state, params=None):
         assert params is not None
-        wd_t = wd_fn(state.count)
+        wd_t = wd_fn(state.wd_base + state.count)
         first = state.count == 0
         mask = (wd_mask if wd_mask is not None
                 else jax.tree.map(lambda _: True, params))
@@ -393,7 +408,7 @@ def novograd_direction(b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
                          is_leaf=lambda x: isinstance(x, tuple))
         v = jax.tree.map(lambda o: o[2], out,
                          is_leaf=lambda x: isinstance(x, tuple))
-        return u, NovoState(state.count + 1, m, v)
+        return u, NovoState(state.count + 1, m, v, state.wd_base)
 
     return optax.GradientTransformation(init, update)
 

@@ -100,6 +100,12 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    help="ship uint8 clips and fuse /255+mean/std into the "
                         "jitted step (4x fewer H2D bytes; host-normalized "
                         "fp32 is the reference-parity default)")
+    p.add_argument("--data_echo", type=int, default=1,
+                   help="batch-level data echoing factor (arXiv:1907.05550):"
+                        " repeat each device-resident train batch N times so"
+                        " an input-bound host can feed the chip at line rate"
+                        " (echoed steps cost no decode/H2D; step PRNG still"
+                        " advances). 1 = off (reference parity)")
     p.add_argument("--device_eval_transforms", type=str2bool, default=False,
                    help="val/test input path: decode at short_side (native "
                         "decoder swscale), ship raw uint8 frames, and run "

@@ -21,7 +21,7 @@ import numpy as np
 
 from unite_tpu.config import parse_with_config
 from unite_tpu.data.build import build_pretraining_dataset
-from unite_tpu.data.loader import cycle, device_prefetch
+from unite_tpu.data.loader import cycle, device_prefetch, echo_batches
 from unite_tpu.data.sharding import repetitions_to_match
 from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
 from unite_tpu.ops.masking import n_visible_total, visible_indices
@@ -185,7 +185,8 @@ def main(args):
         reps = repetitions_to_match(len(ds_target), len(ds_source))
         tgt_loader = common.make_loader(ds_target, args, b_t,
                                         repetitions=reps, seed=args.seed + 7)
-    niter_per_ep = len(src_loader)
+    echo_k = max(1, getattr(args, "data_echo", 1) or 1)
+    niter_per_ep = len(src_loader) * echo_k
 
     student = build_student(args)
     teacher = build_teacher(args)
@@ -235,8 +236,10 @@ def main(args):
             state = ck.restore_train_state(state, payload)
             start_epoch, skip0 = common.resume_position(payload)
     # fast-forward the cycled target stream past everything already consumed
-    # (one target batch per step) so resume replays an uninterrupted run
-    tgt_iter = (cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
+    # (one target HOST batch per echo_k steps) so resume replays an
+    # uninterrupted run
+    tgt_iter = (cycle(tgt_loader,
+                      (start_epoch * niter_per_ep + skip0) // echo_k)
                 if tgt_loader is not None else None)
 
     layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
@@ -266,7 +269,7 @@ def main(args):
     def batches(epoch):
         src_loader.set_epoch(epoch)
         if epoch == start_epoch and skip0:
-            src_loader.skip_next_batches(skip0)
+            src_loader.skip_next_batches(skip0 // echo_k)
         for item in src_loader:
             videos, mask, _ = item
             src_mask = None
@@ -299,7 +302,11 @@ def main(args):
     for epoch in range(start_epoch, args.epochs):
         state, stats, _ = common.train_one_epoch(
             state, wrapped_step,
-            device_prefetch(batches(epoch), lambda b: b, depth=2),
+            device_prefetch(echo_batches(
+                batches(epoch), echo_k,
+                skip_echoes=(skip0 % echo_k
+                             if epoch == start_epoch else 0)),
+                lambda b: b, depth=2),
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,

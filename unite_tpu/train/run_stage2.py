@@ -22,7 +22,7 @@ import optax
 
 from unite_tpu.config import parse_with_config
 from unite_tpu.data.build import build_dataset
-from unite_tpu.data.loader import device_prefetch
+from unite_tpu.data.loader import device_prefetch, echo_batches
 from unite_tpu.engines.finetune import make_eval_step, make_finetune_train_step
 from unite_tpu.ops.mixup import Mixup
 from unite_tpu.optim.factory import create_optimizer
@@ -144,7 +144,8 @@ def main(args):
         repetitions=max(1, getattr(args, "train_repetitions", 1)))
     val_loader = common.make_loader(
         ds_val, args, args.batch_size_val, shuffle=False, drop_last=False)
-    niter_per_ep = max(1, len(loader) // args.update_freq)
+    echo_k = max(1, getattr(args, "data_echo", 1) or 1)
+    niter_per_ep = max(1, len(loader) * echo_k // args.update_freq)
 
     model = build_model(args)
     example = jnp.zeros(
@@ -260,7 +261,7 @@ def main(args):
     def batches(epoch):
         loader.set_epoch(epoch)
         if epoch == start_epoch and skip0:
-            loader.skip_next_batches(skip0)
+            loader.skip_next_batches(skip0 // echo_k)
         for clips, labels, _, _ in loader:
             yield pmesh.shard_batch(pmesh.cast_videos_bf16(
                 {"videos": common.as_video_array(clips),
@@ -317,7 +318,11 @@ def main(args):
             state = pmesh.replicate(new_state, mesh)
         state, stats, _ = common.train_one_epoch(
             state, step_fn,
-            device_prefetch(batches(epoch), lambda b: b, depth=2),
+            device_prefetch(echo_batches(
+                batches(epoch), echo_k,
+                skip_echoes=(skip0 % echo_k
+                             if epoch == start_epoch else 0)),
+                lambda b: b, depth=2),
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
@@ -334,7 +339,8 @@ def main(args):
         # done counts batches; MultiSteps' mid-accumulation state is part
         # of opt_state and restores with it
         if common.preempted_mid_epoch(guard, ckpt_io, args, state, epoch,
-                                      done, len(loader), args.save_ckpt,
+                                      done, len(loader) * echo_k,
+                                      args.save_ckpt,
                                       extra={"best_acc": best_acc}):
             return
         epoch_stats = {f"train_{k}": v for k, v in stats.items()}

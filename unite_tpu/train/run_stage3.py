@@ -27,7 +27,7 @@ import numpy as np
 
 from unite_tpu.config import parse_with_config
 from unite_tpu.data.build import build_dataset
-from unite_tpu.data.loader import cycle, device_prefetch
+from unite_tpu.data.loader import cycle, device_prefetch, echo_batches
 from unite_tpu.data.sharding import repetitions_to_match
 from unite_tpu.engines.selftrain import (
     make_selftrain_eval_step,
@@ -159,7 +159,8 @@ def main(args):
                                     repetitions=reps, seed=args.seed + 7)
     val_loader = common.make_loader(ds_val, args, args.batch_size_val,
                                     shuffle=False, drop_last=False)
-    niter_per_ep = len(src_loader)
+    echo_k = max(1, getattr(args, "data_echo", 1) or 1)
+    niter_per_ep = len(src_loader) * echo_k
 
     student = build_student(args)
     teacher = build_teacher(args)
@@ -213,7 +214,8 @@ def main(args):
             start_epoch, skip0 = common.resume_position(payload)
     # fast-forward the cycled target stream past everything already consumed
     # (one target batch per step) so resume replays an uninterrupted run
-    tgt_iter = cycle(tgt_loader, start_epoch * niter_per_ep + skip0)
+    tgt_iter = cycle(tgt_loader,
+                     (start_epoch * niter_per_ep + skip0) // echo_k)
 
     layout = pmesh.state_layout(state, mesh, tp=common.tp_ways(args),
                                 zero1=args.zero1,
@@ -344,7 +346,7 @@ def main(args):
     def batches(epoch):
         src_loader.set_epoch(epoch)
         if epoch == start_epoch and skip0:
-            src_loader.skip_next_batches(skip0)
+            src_loader.skip_next_batches(skip0 // echo_k)
         for clips_s, labels_s, _, _ in src_loader:
             clean_t, aug_t, labels_t, _names = next(tgt_iter)
             batch = {
@@ -380,7 +382,11 @@ def main(args):
         arrays = {}
         state, stats, _ = common.train_one_epoch(
             state, wrapped_step,
-            device_prefetch(batches(epoch), lambda b: b, depth=2),
+            device_prefetch(echo_batches(
+                batches(epoch), echo_k,
+                skip_echoes=(skip0 % echo_k
+                             if epoch == start_epoch else 0)),
+                lambda b: b, depth=2),
             epoch, args.log_freq,
             rng=jax.random.PRNGKey(args.seed + 1000),
             profile_dir=args.profile_dir or None, tb_logger=tb,
