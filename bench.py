@@ -524,6 +524,10 @@ def bench_stage3(B=8, frames=8, img=224):
         make_selftrain_step(
             student, classifier, teacher, num_patches=n_patch, frames=frames,
             mask_ratio=mask_ratio, selection_strategy="clip_matchORconf",
+            # A/B knob for the pass-structure experiment (VERDICT r4 #5):
+            # one [B_s+B_t] full-vis pass vs the two split ones
+            merge_full_passes=bool(int(
+                os.environ.get("UNITE_STAGE3_MERGE", "0"))),
         ),
         donate_argnums=(0,),
     )

@@ -138,6 +138,20 @@ def _install_timm():
                         model_v = msd[k].detach()
                         ema_v.copy_(ema_v * self.decay
                                     + (1.0 - self.decay) * model_v)
+
+            def state_dict(self):
+                # legacy timm ModelEma proxies the shadow module's
+                # state_dict (utils.get_state_dict(model_ema) at
+                # save_latest_model, reference utils.py:729)
+                return self.ema.state_dict()
+
+            def _load_checkpoint(self, checkpoint_path):
+                # legacy timm resume path: _load_checkpoint_for_ema wraps
+                # the saved EMA weights as {'state_dict_ema': sd} in a
+                # BytesIO (reference utils.py:458-464)
+                ckpt = torch.load(checkpoint_path, map_location="cpu",
+                                  weights_only=False)
+                self.ema.load_state_dict(ckpt.get("state_dict_ema", ckpt))
         utils.ModelEma = ModelEma
 
     loss_mod = _ensure("timm.loss")

@@ -213,6 +213,27 @@ def test_stage3_matchORconf_diagnostics():
     )
 
 
+@pytest.mark.parametrize("strategy", ["conf", "clip_matchORconf", "cons"])
+def test_stage3_merged_full_pass_parity(strategy):
+    """merge_full_passes=True batches the source + clean-target full-vis
+    encoder forwards into one [B_s+B_t] pass with row-wise stop_gradient —
+    per-sample compute only (LN, per-row attention), so at drop_path=0 the
+    step must reproduce the split-pass metrics and updated params exactly
+    (fp32 CPU). A TPU pass-structure experiment (VERDICT r4 #5)."""
+    state, tp, batch, step = _stage3_setup(strategy)
+    _, _, _, merged = _stage3_setup(strategy, merge_full_passes=True)
+    rng = jax.random.PRNGKey(9)
+    s_a, m_a = step(state, tp, batch, rng)
+    s_b, m_b = merged(state, tp, batch, rng)
+    for k in m_a:
+        np.testing.assert_allclose(np.asarray(m_a[k]), np.asarray(m_b[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_a.params, s_b.params)
+
+
 def test_stage3_full_oracle_uses_gt():
     state, tp, batch, step = _stage3_setup("oracle", full_oracle=True)
     _, m = step(state, tp, batch, jax.random.PRNGKey(9))

@@ -87,6 +87,7 @@ def make_selftrain_step(
     clip_grad: Optional[float] = None,
     clip_input_resolution: int = 224,
     nb_classes: int = 12,
+    merge_full_passes: bool = False,
 ) -> Callable:
     """Build the stage-3 jitted step.
 
@@ -200,10 +201,29 @@ def make_selftrain_step(
             def head(feat):
                 return classifier.apply({"params": head_p}, feat)
 
-            logits_full_s = head(encode_pool(videos_s, frng=rng_s))
-            # encoder stop-grad, classifier live (:480-483)
-            feat_t = jax.lax.stop_gradient(encode_pool(videos_t, frng=rng_t))
-            logits_full_t = head(feat_t)
+            if merge_full_passes:
+                # single [B_s+B_t] full-vis encoder pass instead of two
+                # B-sized ones: row-independent per-sample compute (LN,
+                # per-row attention/matmuls — no cross-batch stats), so
+                # slicing + row-wise stop_gradient reproduces the split
+                # passes exactly at drop_path=0. The target rows' zero
+                # cotangent still flows through the combined backward
+                # (extra bwd FLOPs) — whether merged pass structure wins
+                # at B=8 is an empirical TPU question (bench --stage3).
+                b_s = videos_s.shape[0]
+                feats = encode_pool(
+                    jnp.concatenate([videos_s, videos_t], axis=0),
+                    frng=rng_s)
+                logits_full_s = head(feats[:b_s])
+                # encoder stop-grad, classifier live (:480-483)
+                feat_t = jax.lax.stop_gradient(feats[b_s:])
+                logits_full_t = head(feat_t)
+            else:
+                logits_full_s = head(encode_pool(videos_s, frng=rng_s))
+                # encoder stop-grad, classifier live (:480-483)
+                feat_t = jax.lax.stop_gradient(
+                    encode_pool(videos_t, frng=rng_t))
+                logits_full_t = head(feat_t)
             # grad member (k-1): the pseudo-label CE input (:599-616)
             logits_grad_t = (head(encode_pool(videos_t_aug, vis_idx_grad,
                                               frng=rng_g))

@@ -113,6 +113,13 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                         "jitted eval step (ops/eval_transforms.py) — host "
                         "eval cost drops to decode-only")
     # optimizer / schedules
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="model compute dtype. bfloat16 (default) is the "
+                        "TPU production path (MXU-rate matmuls, half the "
+                        "HBM/H2D bytes); float32 exists for CPU parity "
+                        "harnesses (main-vs-main vs the reference) and "
+                        "numerics debugging")
     p.add_argument("--opt", default="adamw")
     p.add_argument("--mu_dtype", default=None,
                    choices=[None, "float32", "bfloat16"],

@@ -82,6 +82,14 @@ def reader_for(args, for_eval: bool = False):
         short_side=getattr(args, "short_side_size", 256) if scaled else None)
 
 
+def compute_dtype(args):
+    """--compute_dtype: model compute dtype (bf16 production default;
+    fp32 for CPU main-vs-main parity harnesses). Entries also gate the
+    H2D bf16 video cast on this — fp32 runs ship/consume fp32 exactly."""
+    name = getattr(args, "compute_dtype", "bfloat16") or "bfloat16"
+    return jnp.dtype(name)
+
+
 def mu_dtype_for(args):
     """--mu_dtype: storage dtype for the adam-family first moment (None =
     fp32 reference parity; 'bfloat16' halves the m HBM traffic — measured
@@ -157,15 +165,23 @@ def make_loader(dataset, args, batch_size, shuffle=True, drop_last=True,
     )
 
 
-def lr_tables(args, niter_per_ep: int, num_sample: int = 1):
-    """Per-step LR/WD tables with the linear scaling rule
-    (run_stage1.py:796-800, utils.py:646-663)."""
+def lr_tables(args, niter_per_ep: int, num_sample: int = 1,
+              scale_rule: bool = True):
+    """Per-step LR/WD tables, with the linear scaling rule when
+    ``scale_rule`` (run_stage1.py:796-800, run_stage3.py:1235-1237,
+    utils.py:646-663). The reference applies lr*total_batch*num_sample/256
+    in stages 1 and 3 ONLY — stage 2 consumes --lr verbatim
+    (run_stage2.py:604 'args.lr = args.lr'), so run_stage2 passes
+    scale_rule=False (caught by tools/main_parity.py)."""
     total_batch = args.batch_size * jax.device_count() \
         // max(1, jax.process_count()) * jax.process_count() \
         // tp_ways(args)
-    lr = scaled_lr(args.lr, total_batch, num_sample)
-    min_lr = scaled_lr(args.min_lr, total_batch, num_sample)
-    warmup_lr = scaled_lr(args.warmup_lr, total_batch, num_sample)
+    if scale_rule:
+        lr = scaled_lr(args.lr, total_batch, num_sample)
+        min_lr = scaled_lr(args.min_lr, total_batch, num_sample)
+        warmup_lr = scaled_lr(args.warmup_lr, total_batch, num_sample)
+    else:
+        lr, min_lr, warmup_lr = args.lr, args.min_lr, args.warmup_lr
     family = getattr(args, "lr_schedule", "cosine")
     if family == "cosine":
         lr_tab = cosine_scheduler(

@@ -71,7 +71,7 @@ def build_student(args):
         clip_output_dim=args.clip_output_dim,
         clip_norm_type=args.clip_norm_type,
         clip_return_layers=tuple(args.clip_return_layers),
-        dtype=jnp.bfloat16,
+        dtype=common.compute_dtype(args),
         remat=args.use_checkpoint,
         remat_num=getattr(args, "checkpoint_num", -1),
         # Pallas calls have no GSPMD partitioning rule; under --tp the
@@ -96,7 +96,7 @@ def build_teacher(args):
         clip_norm_type=args.clip_norm_type,
         return_attn=args.clip_return_attn,
         return_index=tuple(args.clip_return_layers),
-        dtype=jnp.bfloat16,
+        dtype=common.compute_dtype(args),
         use_pallas=False if common.tp_ways(args) > 1 else None,
     )
 
@@ -194,8 +194,9 @@ def main(args):
         args.num_frames // args.tubelet_size)
     nv = n_visible_total(n_patch, args.num_frames // args.tubelet_size,
                          args.mask_ratio, args.mask_type)
+    cdtype = common.compute_dtype(args)
     example = jnp.zeros(
-        (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+        (1, args.num_frames, args.input_size, args.input_size, 3), cdtype)
     # init with clip_only=False: the clip_only forward stops creating
     # blocks above max(clip_return_layers), so initializing with True
     # would DROP those blocks from the param tree — their pretrained
@@ -292,7 +293,9 @@ def main(args):
                     videos.shape[0], -1)
                 batch["vis_idx"] = np.asarray(
                     visible_indices(jnp.asarray(bool_mask), nv))
-            yield pmesh.shard_batch(pmesh.cast_videos_bf16(batch), mesh)
+            if cdtype == jnp.bfloat16:
+                batch = pmesh.cast_videos_bf16(batch)
+            yield pmesh.shard_batch(batch, mesh)
 
     def wrapped_step(state, batch, rng):
         return step_fn(state, tp, batch, rng)

@@ -50,7 +50,7 @@ def build_model(args):
         init_scale=args.init_scale,
         classifier_type=args.head_type,
         classifier_hidden_dim=args.head_hidden_dim,
-        dtype=jnp.bfloat16,
+        dtype=common.compute_dtype(args),
         remat=args.use_checkpoint,
         remat_num=getattr(args, "checkpoint_num", -1),
         # Pallas calls have no GSPMD partitioning rule; under --tp the
@@ -148,15 +148,19 @@ def main(args):
     niter_per_ep = max(1, len(loader) * echo_k // args.update_freq)
 
     model = build_model(args)
+    cdtype = common.compute_dtype(args)
     example = jnp.zeros(
-        (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+        (1, args.num_frames, args.input_size, args.input_size, 3), cdtype)
     params = model.init(jax.random.PRNGKey(args.seed), example)["params"]
     params = load_finetune_ckpt(args, model, params)
     nparams = sum(x.size for x in jax.tree.leaves(params))
     print(f"model: {args.model}, params: {nparams / 1e6:.1f}M")
 
+    # NO linear-scaling rule in stage 2: the reference consumes --lr
+    # verbatim here (run_stage2.py:604), unlike stages 1/3
     lr_tab, wd_tab, peak_lr = common.lr_tables(args, niter_per_ep,
-                                               args.num_sample)
+                                               args.num_sample,
+                                               scale_rule=False)
     print(f"peak lr {peak_lr:.2e}, steps/epoch {niter_per_ep}")
 
     opt_groups = {}
@@ -249,7 +253,7 @@ def main(args):
         # does record the merged accuracies to log.txt + wandb (:694-699).
         stats = common.run_final_test(
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-            args.output_dir, cast_bf16=True)
+            args.output_dir, cast_bf16=cdtype == jnp.bfloat16)
         print(stats)
         common.save_epoch_stats(args, args.epochs, stats)
         if wb is not None and stats:
@@ -263,9 +267,11 @@ def main(args):
         if epoch == start_epoch and skip0:
             loader.skip_next_batches(skip0 // echo_k)
         for clips, labels, _, _ in loader:
-            yield pmesh.shard_batch(pmesh.cast_videos_bf16(
-                {"videos": common.as_video_array(clips),
-                 "labels": np.asarray(labels, np.int32)}), mesh)
+            host = {"videos": common.as_video_array(clips),
+                    "labels": np.asarray(labels, np.int32)}
+            if cdtype == jnp.bfloat16:
+                host = pmesh.cast_videos_bf16(host)
+            yield pmesh.shard_batch(host, mesh)
 
     best_acc = common.resume_best_acc(payload)
     ckpt_io = ck.AsyncCheckpointer()  # epoch N+1 overlaps epoch N's write
@@ -354,7 +360,7 @@ def main(args):
                 and (epoch + 1) % args.eval_freq == 0):
             val_stats = common.run_validation(
                 state, eval_fn, val_loader, mesh, args.batch_size_val,
-                header=f"Val [{epoch}]", cast_bf16=True)
+                header=f"Val [{epoch}]", cast_bf16=cdtype == jnp.bfloat16)
             epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
             if wb is not None and val_stats:
                 # val/acc1, val/acc5, val/ece, val/loss (run_stage2.py:786-790)
@@ -393,7 +399,7 @@ def main(args):
             state = state.replace(params=pmesh.replicate(payload["model"], mesh))
     test_stats = common.run_final_test(
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-        args.output_dir, cast_bf16=True)
+        args.output_dir, cast_bf16=cdtype == jnp.bfloat16)
     common.save_epoch_stats(args, args.epochs, test_stats)
     if wb is not None and test_stats:
         # final merged accuracies (run_stage2.py:846-847)

@@ -167,8 +167,9 @@ def main(args):
     classifier = build_classifier(args)
     n_patch = (args.input_size // args.patch_size) ** 2 * (
         args.num_frames // args.tubelet_size)
+    cdtype = common.compute_dtype(args)
     example = jnp.zeros(
-        (1, args.num_frames, args.input_size, args.input_size, 3), jnp.bfloat16)
+        (1, args.num_frames, args.input_size, args.input_size, 3), cdtype)
     sp = student.init(jax.random.PRNGKey(args.seed), example)["params"]
     sp = load_student(args, sp)
     # classifier input dim == encoder width (run_stage3.py:1191 uses
@@ -262,7 +263,7 @@ def main(args):
         # directory via load_classifier_head (:1212-1219)
         test_stats = common.run_final_test(
             state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-            args.output_dir, cast_bf16=True)
+            args.output_dir, cast_bf16=cdtype == jnp.bfloat16)
         common.save_epoch_stats(args, args.epochs, test_stats)
         if wb is not None and test_stats:
             wb.log({"test/acc1": test_stats["test_acc1"],
@@ -307,7 +308,7 @@ def main(args):
     if args.initial_validation and start_epoch == 0 and skip0 == 0:
         init_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
-            header="Initial val", cast_bf16=True,
+            header="Initial val", cast_bf16=cdtype == jnp.bfloat16,
             save_preds_path=(os.path.join(args.save_preds_path, "initial")
                              if args.save_preds_path else None))
         if wb is not None and init_stats:
@@ -341,7 +342,7 @@ def main(args):
             common.run_knn_probe(
                 state, feats_fn, knn_src, val_loader, mesh,
                 args.batch_size_val, args.nb_classes, k=args.knn_k,
-                max_videos=args.knn_max_videos, cast_bf16=True)
+                max_videos=args.knn_max_videos, cast_bf16=cdtype == jnp.bfloat16)
 
     def batches(epoch):
         src_loader.set_epoch(epoch)
@@ -362,7 +363,9 @@ def main(args):
                 batch["clip_sim"] = np.full(
                     (batch["videos_t"].shape[0], args.nb_classes),
                     1.0 / args.nb_classes, np.float32)
-            sharded = pmesh.shard_batch(pmesh.cast_videos_bf16(batch), mesh)
+            if cdtype == jnp.bfloat16:
+                batch = pmesh.cast_videos_bf16(batch)
+            sharded = pmesh.shard_batch(batch, mesh)
             if zero_shot_fn is not None:
                 # on the already-sharded device clips: the old host
                 # round-trip (np.asarray(zero_shot_fn(host_videos))) shipped
@@ -434,7 +437,7 @@ def main(args):
             epoch_stats.update({f"cmp_{k}": v for k, v in cmp.items()})
         val_stats = common.run_validation(
             state, eval_fn, val_loader, mesh, args.batch_size_val,
-            header=f"Val [{epoch}]", cast_bf16=True,
+            header=f"Val [{epoch}]", cast_bf16=cdtype == jnp.bfloat16,
             save_preds_path=(os.path.join(args.save_preds_path, f"epoch{epoch}")
                              if args.save_preds_path else None))
         epoch_stats.update({f"val_{k}": v for k, v in val_stats.items()})
@@ -476,7 +479,7 @@ def main(args):
             pass
     test_stats = common.run_final_test(
         state, eval_fn, ds_test, args, mesh, args.batch_size_val,
-        args.output_dir, cast_bf16=True)
+        args.output_dir, cast_bf16=cdtype == jnp.bfloat16)
     common.save_epoch_stats(args, args.epochs, test_stats)
     if wb is not None and test_stats:
         # final merged accuracies (run_stage3.py:1412-1413)
