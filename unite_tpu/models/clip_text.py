@@ -350,15 +350,23 @@ def build_zero_shot_fn(args, teacher, teacher_params):
     tf = text_features / np.linalg.norm(text_features, axis=-1, keepdims=True)
     tf = jnp.asarray(tf)
 
+    # teacher params enter as a jit ARGUMENT, not a closure capture: a
+    # captured tree is baked into the program as constants — at clip_b16
+    # scale that embeds ~350MB of weights in the serialized HLO (the
+    # tunneled compile service rejects the request with HTTP 413, and any
+    # backend pays the duplicate weight storage in the executable)
     @jax.jit
-    def zero_shot(videos):
+    def zero_shot(tp, videos):
         from unite_tpu.ops.normalize import normalize_videos
 
-        feats = teacher.apply({"params": teacher_params},
+        feats = teacher.apply({"params": tp},
                               normalize_videos(videos), None, True)
         b = videos.shape[0]
         feats = feats.reshape(b, -1, feats.shape[-1])  # [B, T, D]
         logits = 100.0 * jnp.einsum("btd,cd->btc", feats.astype(jnp.float32), tf)
         return jax.nn.softmax(logits, axis=-1).mean(axis=1)
 
-    return zero_shot
+    def call(videos, tp=teacher_params):
+        return zero_shot(tp, videos)
+
+    return call
