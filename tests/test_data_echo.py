@@ -37,6 +37,25 @@ def test_echo_batches_expansion_and_skip():
     assert list(echo_batches(iter(items), 1)) == items
 
 
+def test_check_echo_resume_guard():
+    """Mid-epoch resume under a DIFFERENT --data_echo must fail loudly
+    (the epoch_step replay arithmetic is in echoed-step units); epoch-
+    boundary checkpoints resume under any echo."""
+    from unite_tpu.train.common import check_echo_resume
+
+    mid = {"extra": {"epoch_step": 5}, "args": {"data_echo": 2}}
+    check_echo_resume(mid, 2)  # matching echo: fine
+    with pytest.raises(ValueError, match="data_echo"):
+        check_echo_resume(mid, 1)
+    # epoch boundary: echo-independent
+    check_echo_resume({"extra": {"epoch_step": 0},
+                       "args": {"data_echo": 2}}, 1)
+    # legacy checkpoint without a recorded echo factor == echo 1
+    with pytest.raises(ValueError, match="data_echo"):
+        check_echo_resume({"extra": {"epoch_step": 3}, "args": {}}, 4)
+    check_echo_resume(None, 4)
+
+
 @pytest.mark.slow
 def test_stage1_echo_steps_and_midecho_preemption_resume_bitwise(tmp_path):
     """32 source samples / host batch 8 = 4 host batches; echo 2 -> 8 steps

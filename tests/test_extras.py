@@ -159,6 +159,57 @@ def test_set_schedule_count_internally_coupled_wd():
                                    err_msg=name)
 
 
+def test_restore_migrates_grown_optimizer_state():
+    """A checkpoint written before AdamPState/SGDPState/NovoState gained
+    the wd_base field must still restore its moments: restore_train_state
+    forward-migrates missing NamedTuple entries from the fresh init
+    instead of silently falling back to schedule-only (zeroed moments)."""
+    from flax import serialization as ser
+
+    from unite_tpu.optim.factory import create_optimizer
+    from unite_tpu.train.train_state import TrainState
+    from unite_tpu.utils.checkpoint import restore_train_state
+
+    params = {"w": jnp.ones((2, 2))}
+    g = {"w": jnp.full((2, 2), 0.3)}
+    for name in ("sgdp", "adamp", "novograd"):
+        tx, _ = create_optimizer(name, lr=1e-2, params=params,
+                                 weight_decay=0.05, momentum=0.9)
+        state = TrainState.create(params, tx)
+        state = state.apply_gradients(g)  # non-trivial moments
+        sd = ser.to_state_dict(state.opt_state)
+
+        def strip(d):
+            if isinstance(d, dict):
+                return {k: strip(v) for k, v in d.items() if k != "wd_base"}
+            return d
+
+        old_payload = {"model": params, "optimizer": strip(sd),
+                       "extra": {"step": 1}}
+        fresh = TrainState.create(params, tx)
+        restored = restore_train_state(fresh, old_payload)
+        new_sd = ser.to_state_dict(restored.opt_state)
+
+        def leaves(d, out):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    leaves(v, out)
+                else:
+                    out[len(out)] = (k, np.asarray(v))
+
+        want, got = {}, {}
+        leaves(strip(sd), want)
+        leaves(strip(new_sd), got)
+        for i in want:
+            np.testing.assert_array_equal(want[i][1], got[i][1],
+                                          err_msg=f"{name}:{want[i][0]}")
+        # a payload with UNKNOWN keys still takes the schedule fallback
+        bad = {"model": params, "extra": {"step": 3},
+               "optimizer": {**strip(sd), "bogus": np.zeros(1)}}
+        rb = restore_train_state(TrainState.create(params, tx), bad)
+        assert int(rb.step) == 3  # restored step, schedule-only path
+
+
 def test_sched_values_mid_accumulation_phase():
     """Schedule meters on a mid-accumulation resume: make_sched(phase=
     skip0 % k) must index the tables by floor((skip0 + step_i)/k) — the

@@ -18,6 +18,10 @@ persistent cache makes re-runs fast). Prints ms/step per variant.
 ``--stage3`` probes the self-training step instead (variants: base,
 sgdopt — the update traffic question is the same; the rest of that step
 is attention+matmuls already decomposed by DESIGN.md).
+``--large`` probes the ViT-L fine-tune step (bench --large2: 1024x24,
+heads 16, B=8) — VERDICT r5 item 3: same surgical variants, plus
+``xlaattn`` (use_pallas=False: packed-kernel win/loss at L width) and
+``remat`` (use_checkpoint: trade recompute for VMEM/HBM pressure).
 """
 
 import os
@@ -35,6 +39,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B, FRAMES, IMG = 8, 8, 224
+LARGE = False
 
 
 def build_stage3(variant: str):
@@ -90,16 +95,19 @@ def build(variant: str):
     from unite_tpu.optim.factory import create_optimizer
     from unite_tpu.train.train_state import TrainState, clip_by_global_norm
 
+    name = "vit_large_patch16_224" if LARGE else "vit_base_patch16_224"
     model = create_model(
-        "vit_base_patch16_224", num_classes=12, all_frames=FRAMES,
+        name, num_classes=12, all_frames=FRAMES,
         tubelet_size=1, dtype=jnp.bfloat16, use_mean_pooling=True,
+        use_pallas=False if variant == "xlaattn" else None,
+        remat=variant == "remat",
     )
     videos = jax.device_put(
         jnp.zeros((B, FRAMES, IMG, IMG, 3), jnp.bfloat16))
     labels = jax.device_put(jnp.zeros((B,), jnp.int32))
     params = model.init(jax.random.PRNGKey(0), videos)["params"]
 
-    if variant == "sgdopt":
+    if variant in ("sgdopt",):
         tx = optax.sgd(2.5e-5)
     elif variant in ("mubf16", "mvbf16"):
         nu = jnp.bfloat16 if variant == "mvbf16" else None
@@ -179,8 +187,15 @@ def run(variant: str, stage3: bool = False) -> float:
 
 if __name__ == "__main__":
     stage3 = "--stage3" in sys.argv
+    if "--large" in sys.argv:
+        LARGE = True
+    for a in list(sys.argv):
+        if a.startswith("--b="):
+            B = int(a.split("=")[1])
     variants = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         "base", "noopt", "nonorm", "sgdopt", "mubf16", "gradbf16"]
+    if LARGE and len([a for a in sys.argv[1:] if not a.startswith("--")]) == 0:
+        variants += ["xlaattn", "remat"]
     out = {}
     for v in variants:
         out[v] = run(v, stage3=stage3)

@@ -99,6 +99,16 @@ def make_selftrain_step(
     back to videos_t when absent), labels_t (diagnostics only), optional
     clip_sim [B_t, nb_classes], optional classwise_thresholds [nb_classes].
     """
+    if merge_full_passes and getattr(student, "drop_path_rate", 0.0):
+        # the merged [B_s+B_t] pass draws ONE stochastic-depth pattern
+        # where the split passes draw two independent ones (rng_s/rng_t)
+        # — at drop_path > 0 the "semantics-preserving" claim (and the
+        # parity test) no longer holds; fail loudly instead of silently
+        # changing pseudo-label selections
+        raise ValueError(
+            "merge_full_passes requires drop_path_rate == 0 (the merged "
+            "forward shares one DropPath draw across source+target rows; "
+            f"student has drop_path_rate={student.drop_path_rate})")
     patches_per_frame = num_patches // frames
     n_unmask_frame = patches_per_frame - int(patches_per_frame * mask_ratio)
     nv_committee = n_unmask_frame * frames

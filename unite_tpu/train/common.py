@@ -248,6 +248,29 @@ def _sched_values(sched: Dict, step_i: int) -> Dict:
                 sched["wd_tab"][min(g, len(sched["wd_tab"]) - 1)])}
 
 
+def check_echo_resume(payload, echo_k: int):
+    """A mid-epoch checkpoint's ``epoch_step`` counts ECHOED steps; the
+    resume arithmetic (host batches = step // k, residual = step % k, and
+    the target-stream fast-forward) is only exact when the resuming run
+    uses the SAME --data_echo the checkpoint was written under. Epoch-
+    boundary resumes are echo-independent (step units only feed the
+    schedule offset there). Fail loudly instead of silently replaying the
+    wrong batches."""
+    if payload is None:
+        return
+    extra = payload.get("extra", {}) or {}
+    if int(extra.get("epoch_step", 0) or 0) <= 0:
+        return
+    saved = (payload.get("args") or {}).get("data_echo", 1) or 1
+    if int(saved) != int(echo_k):
+        raise ValueError(
+            f"mid-epoch resume with --data_echo {echo_k}, but the "
+            f"checkpoint was written under --data_echo {saved}: the "
+            "epoch_step replay arithmetic would skip the wrong host "
+            "batches. Resume with the original echo factor (or restart "
+            "from the last epoch boundary).")
+
+
 def resume_position(payload, default_start_epoch: int = 0):
     """(start_epoch, epoch_step) from a restored checkpoint payload.
 

@@ -236,6 +236,7 @@ def main(args):
             # mid-epoch (preempted) checkpoints replay the rest of the epoch
             state = ck.restore_train_state(state, payload)
             start_epoch, skip0 = common.resume_position(payload)
+            common.check_echo_resume(payload, echo_k)
     # fast-forward the cycled target stream past everything already consumed
     # (one target HOST batch per echo_k steps) so resume replays an
     # uninterrupted run

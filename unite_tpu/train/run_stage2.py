@@ -202,6 +202,7 @@ def main(args):
             # mid-epoch (preempted) checkpoints replay the rest of the epoch;
             # skip0 counts BATCHES (micro-steps under update_freq)
             start_epoch, skip0 = common.resume_position(payload)
+            common.check_echo_resume(payload, echo_k)
 
     tx = build_tx(lp_phase=start_epoch < args.lp_ft_epochs)
     state = TrainState.create(

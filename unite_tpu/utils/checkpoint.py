@@ -255,6 +255,24 @@ class AsyncCheckpointer:
         self._thread.start()
 
 
+def _fill_missing_entries(target_sd, payload_sd):
+    """Recursive union for the optimizer forward-migration path: every key
+    of ``target_sd`` (the current state's serialized form) takes the
+    payload's value when present, else keeps the target's (fresh-init)
+    value. Raises KeyError if the payload carries a key the target lacks —
+    that is a genuine structure mismatch, not a grown NamedTuple."""
+    if isinstance(target_sd, dict):
+        if not isinstance(payload_sd, dict):
+            raise ValueError("node kind mismatch")
+        extra = set(payload_sd) - set(target_sd)
+        if extra:
+            raise KeyError(f"payload has unknown entries {sorted(extra)}")
+        return {k: (_fill_missing_entries(v, payload_sd[k])
+                    if k in payload_sd else v)
+                for k, v in target_sd.items()}
+    return payload_sd
+
+
 def restore_train_state(state, payload: Dict[str, Any],
                         sched_every_k: int = 1):
     """Restore a payload into a TrainState created with the SAME optimizer.
@@ -283,8 +301,26 @@ def restore_train_state(state, payload: Dict[str, Any],
                 state.opt_state, payload["optimizer"]))
             restored_opt = True
         except (KeyError, ValueError, TypeError) as e:
-            print(f"WARNING: optimizer state not restored ({e}); "
-                  "continuing schedule only")
+            # forward-migration attempt: an optimizer state whose
+            # NamedTuples GREW a trailing field since the checkpoint was
+            # written (e.g. AdamPState/SGDPState/NovoState gained wd_base)
+            # serializes as an index-keyed dict missing the new entries —
+            # fill only those from the freshly-initialized state (their
+            # init values) and keep every saved leaf. A payload with keys
+            # the current state lacks is a genuine mismatch (LP-FT
+            # rebuild) and still takes the schedule-only fallback.
+            try:
+                merged = _fill_missing_entries(
+                    _ser.to_state_dict(state.opt_state),
+                    payload["optimizer"])
+                state = state.replace(opt_state=_ser.from_state_dict(
+                    state.opt_state, merged))
+                restored_opt = True
+                print("optimizer state restored with forward-migrated "
+                      "missing fields (new state entries kept at init)")
+            except (KeyError, ValueError, TypeError):
+                print(f"WARNING: optimizer state not restored ({e}); "
+                      "continuing schedule only")
     if not restored_opt and step:
         from unite_tpu.optim.factory import set_schedule_count
 
