@@ -13,7 +13,11 @@ Run on the TPU:  python tools/matmul_rates.py          # prints table + JSON
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -36,30 +40,47 @@ def timeit(fn, *args, iters=30, warmup=3):
     return best
 
 
-@jax.jit
-def dot2(x, w):
-    return jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+# Rates are measured with R data-dependent GEMM pairs chained INSIDE one
+# jitted program (x -> x@w1 -> (.)@w2 -> ...): a single dispatched dot
+# through the ~30ms-RTT tunnel is floored by per-call overhead for the
+# small per-step shapes (B=8 modes), which is NOT how the real fused step
+# executes them. The chain reports the average rate of the (k,m)+(m,k)
+# pair — both transposes appear in every mode's fwd+bwd mix anyway.
+R = 8
 
 
 @jax.jit
-def bdot(q, k):  # [B, N, D] x [B, D, M] batched
-    return jax.lax.dot_general(
-        q, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+def chain2(x, w1, w2):
+    for _ in range(R):
+        x = jax.lax.dot(x, w1).astype(jnp.bfloat16)
+        x = jax.lax.dot(x, w2).astype(jnp.bfloat16)
+    return x[0, 0].astype(jnp.float32)
+
+
+@jax.jit
+def chain_b(q, k, v):
+    for _ in range(R):
+        p = jax.lax.dot_general(q, k, (((2,), (1,)), ((0,), (0,))))
+        q = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v,
+            (((2,), (1,)), ((0,), (0,)))).astype(jnp.bfloat16)
+    return q[0, 0, 0].astype(jnp.float32)
 
 
 def rate2(n, k, m):
     x = jax.random.normal(jax.random.PRNGKey(0), (n, k), jnp.bfloat16)
-    w = jax.random.normal(jax.random.PRNGKey(1), (k, m), jnp.bfloat16)
-    dt = timeit(dot2, x, w)
-    return 2 * n * k * m / dt
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (k, m), jnp.bfloat16) * 0.02
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (m, k), jnp.bfloat16) * 0.02
+    dt = timeit(chain2, x, w1, w2, iters=10)
+    return R * (2 * n * k * m + 2 * n * m * k) / dt
 
 
 def rate_b(b, n, d, m):
     q = jax.random.normal(jax.random.PRNGKey(0), (b, n, d), jnp.bfloat16)
-    k = jax.random.normal(jax.random.PRNGKey(1), (b, d, m), jnp.bfloat16)
-    dt = timeit(bdot, q, k)
-    return 2 * b * n * d * m / dt
+    kk = jax.random.normal(jax.random.PRNGKey(1), (b, d, m), jnp.bfloat16) * 0.02
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, m, d), jnp.bfloat16) * 0.02
+    dt = timeit(chain_b, q, kk, v, iters=10)
+    return R * (2 * b * n * d * m + 2 * b * n * m * d) / dt
 
 
 # GEMM mixes per mode. Tokens: stage-1 student 64x320 vis (+ teacher
@@ -109,7 +130,7 @@ def main():
     seen = {}
     for mode, shapes in MODES.items():
         for (label, n, k, m) in shapes:
-            key = (n, k, m)
+            key = (n,) + tuple(sorted((k, m)))
             if key not in seen:
                 seen[key] = rate2(n, k, m)
             r = seen[key]
@@ -129,7 +150,7 @@ def main():
     ceilings = {}
     for mode, shapes in MODES.items():
         tot_f = sum(2 * n * k * m for (_, n, k, m) in shapes)
-        tot_t = sum(2 * n * k * m / seen[(n, k, m)]
+        tot_t = sum(2 * n * k * m / seen[(n,) + tuple(sorted((k, m)))]
                     for (_, n, k, m) in shapes)
         ceilings[mode] = tot_f / tot_t / peak
         print(f"  {mode:16s} {tot_f / tot_t / 1e12:6.1f} TF/s "
