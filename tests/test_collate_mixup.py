@@ -27,7 +27,9 @@ def test_elem_mixup_blend_is_rint_uint8():
     twin = FastCollateMixup(mixup_alpha=0.8, cutmix_alpha=0.0, prob=1.0,
                             mode="elem", label_smoothing=0.0, num_classes=4,
                             seed=3)
-    lam, use_cut = twin._params_per_elem(len(items))
+    trng = twin._batch_rng([it[0] for it in items],
+                           [it[1] for it in items])
+    lam, use_cut = twin._params_per_elem(len(items), trng)
     assert not use_cut.any()
     batch, targets = mix(items)
     assert batch.dtype == np.uint8 and batch.shape == (8, 2, 16, 16, 3)
@@ -52,10 +54,12 @@ def test_batch_cutmix_pastes_one_shared_box():
                             mode="batch", label_smoothing=0.0, num_classes=4,
                             seed=11)
     items = _items(b=4)
-    lam0, use_cut = twin._params_per_batch()
+    trng = twin._batch_rng([it[0] for it in items],
+                           [it[1] for it in items])
+    lam0, use_cut = twin._params_per_batch(trng)
     assert use_cut
     (yl, yh, xl, xh), lam = _cutmix_box_and_lam(
-        twin.rng, 16, 16, lam0, None, True)
+        trng, 16, 16, lam0, None, True)
     batch, targets = mix(items)
     for i in range(4):
         j = 3 - i
@@ -126,6 +130,32 @@ def test_minmax_boxes_force_cutmix_and_fit():
         from_i = batch[i] == items[i][0]
         from_j = batch[i] == items[j][0]
         assert np.all(from_i | from_j)
+
+
+def test_batch_rng_is_order_and_worker_independent():
+    """Mixup draws are a pure function of (seed, batch content): collation
+    happens inside pool workers (threads interleave; forked processes
+    inherit identical rng copies), so a mutable shared generator would
+    make draws depend on scheduling. Collating the same batches in any
+    order, on any instance, must be bitwise identical."""
+    a = _items(b=4, seed=0)
+    b = _items(b=4, seed=1)
+    m1 = FastCollateMixup(mixup_alpha=0.8, mode="elem", num_classes=4,
+                          label_smoothing=0.0, seed=2)
+    m2 = FastCollateMixup(mixup_alpha=0.8, mode="elem", num_classes=4,
+                          label_smoothing=0.0, seed=2)
+    xa1, ya1 = m1(a)
+    xb1, yb1 = m1(b)
+    xb2, yb2 = m2(b)  # different instance, different call order
+    xa2, ya2 = m2(a)
+    np.testing.assert_array_equal(xa1, xa2)
+    np.testing.assert_array_equal(xb1, xb2)
+    np.testing.assert_allclose(ya1, ya2)
+    np.testing.assert_allclose(yb1, yb2)
+    # and a different seed still changes the draw
+    m3 = FastCollateMixup(mixup_alpha=0.8, mode="elem", num_classes=4,
+                          label_smoothing=0.0, seed=3)
+    assert not np.array_equal(m3(a)[0], xa1)
 
 
 def test_loader_integration():

@@ -117,7 +117,7 @@ def test_group_multiscale_crop():
 
     frames = [Image.fromarray(np.zeros((120, 160, 3), np.uint8))] * 4
     crop = T.GroupMultiScaleCrop(64)
-    out = crop(frames)
+    out = crop(frames, np.random.default_rng(2))
     assert len(out) == 4
     assert out[0].size == (64, 64)
 
@@ -200,8 +200,27 @@ def test_rand_augment_runs_all_ops():
     assert aug.num_layers == 4
     for op in aug.ops:  # every op must run without error at full magnitude
         op.prob = 1.0
-        out = op(frames)
+        out = op(frames, np.random.default_rng(7))
         assert out[0].size == (32, 32)
+
+
+def test_rand_augment_affine_ops_honor_resample():
+    """shear/translate must warp with the CONFIGURED interpolation, not
+    PIL's default NEAREST (reference rand_augment.py:84-111 passes
+    resample into img.transform via _check_args_tf)."""
+    from PIL import Image
+
+    from unite_tpu.data import rand_augment as ra
+
+    img = Image.fromarray(np.random.default_rng(1).integers(
+        0, 255, (32, 32, 3)).astype(np.uint8))
+    for op in (lambda im, **kw: ra.shear_x(im, 0.3, **kw),
+               lambda im, **kw: ra.shear_y(im, 0.3, **kw),
+               lambda im, **kw: ra.translate_x_rel(im, 0.137, **kw),
+               lambda im, **kw: ra.translate_y_rel(im, 0.137, **kw)):
+        near = np.asarray(op(img, resample=Image.NEAREST))
+        bic = np.asarray(op(img, resample=Image.BICUBIC))
+        assert not np.array_equal(near, bic)
 
 
 def test_rand_augment_policy_parse():
@@ -214,14 +233,20 @@ def test_rand_augment_policy_parse():
 def test_random_erasing():
     clip = np.zeros((4, 32, 32, 3), np.float32)
     erase = RandomErasing(probability=1.0, mode="pixel", cube=True)
-    out = erase(clip)
+    out = erase(clip, np.random.default_rng(3))
     assert out.shape == clip.shape
     changed = np.abs(out).sum(axis=(1, 2, 3))
-    assert (changed > 0).all()  # same cube across every frame
-    # erased region identical across frames (cube=True)
+    assert (changed > 0).all()  # same BOX across every frame
+    # erased BOX identical across frames (cube shares placement) but the
+    # pixel noise redraws per frame (reference _erase_cube calls
+    # _get_pixels inside the frame loop, random_erasing.py:159-168)
     mask = np.abs(out[0]).sum(-1) > 0
+    noise_differs = False
     for t in range(1, 4):
         np.testing.assert_array_equal(np.abs(out[t]).sum(-1) > 0, mask)
+        if not np.array_equal(out[t][mask], out[0][mask]):
+            noise_differs = True
+    assert noise_differs
 
 
 # --- datasets ---------------------------------------------------------------
@@ -233,6 +258,63 @@ def anno_file(tmp_path):
     p = tmp_path / "train.csv"
     p.write_text("\n".join(lines))
     return str(p)
+
+
+def test_cls_dataset_skip_strategy_sampling_rate(anno_file):
+    """--sampling_rate > 0 on the sparse family switches EVERY mode to the
+    reference's fixed-stride 'skip strategy' (kinetics_sparse.py:282 gates
+    on skip_frames before the clip_idx branch — test views too)."""
+    from unite_tpu.data.video_reader import SyntheticVideoReader
+
+    for mode in ("train", "validation"):
+        ds = VideoClsDatasetSparse(
+            anno_file, mode=mode, clip_len=4, crop_size=64,
+            short_side_size=80, reader=SyntheticVideoReader(96, 128),
+            frame_sample_rate=3, seed=5)
+        reader = ds.reader
+        seen = []
+        orig = reader.get_batch
+
+        def spy(path, idx, _orig=orig):
+            seen.append(list(idx))
+            return _orig(path, idx)
+
+        reader.get_batch = spy
+        ds[0]
+        assert seen, mode
+        idx = seen[0]
+        # fixed stride 3, contiguous window
+        diffs = {b - a for a, b in zip(idx, idx[1:])}
+        assert diffs == {3}, (mode, idx)
+
+
+def test_pretrain_color_jitter_reference_semantics(anno_file):
+    """The pretrain jitter passes the CONFIGURED strength through
+    (reference build.py:41 GroupColorJitter(args.color_jitter)), applies
+    no grayscale stage, and redraws per frame (transforms.py:114-116
+    applies a fresh torchvision ColorJitter per img)."""
+    from PIL import Image
+
+    from unite_tpu.data.transforms import GroupColorJitter
+
+    ds = VideoMAEPretrainDataset(
+        anno_file, num_segments=2, skip_length=1, input_size=64,
+        color_jitter=0.2, reader=None, seed=1)
+    assert isinstance(ds.color_jitter, GroupColorJitter)
+    assert ds.color_jitter.size == 0.2
+    assert not hasattr(ds, "gray")
+
+    rng = np.random.default_rng(0)
+    base = np.full((32, 32, 3), 128, np.uint8)
+    frames = [Image.fromarray(base) for _ in range(4)]
+    out = GroupColorJitter(0.5)(frames, rng)
+    arrs = [np.asarray(f).astype(np.int32) for f in out]
+    # per-frame redraw: at least two frames got different factors
+    assert any(not np.array_equal(arrs[0], a) for a in arrs[1:])
+    # strength bounds: brightness-only change of a uniform gray image
+    # stays within 1 +/- 0.5 of the base (contrast/saturation fix gray)
+    for a in arrs:
+        assert a.max() <= int(128 * 1.5) + 2 and a.min() >= 128 // 2 - 2
 
 
 def test_cls_dataset_train(anno_file):

@@ -57,6 +57,57 @@ def test_videomae_train_step():
     assert losses[-1] < losses[0]
 
 
+def test_ssv2_raw_frame_index_arithmetic():
+    """Exact reference arithmetic (ssv2.py:277-322), hand-computed:
+    validation = arange(T)*avg + avg//2; test = the sorted tick grid over
+    ALL test segments (NOT the kinetics TSN math the class used to
+    inherit: for 100 frames / 8 segments val is [6,18,30,...], not the
+    round-based [6,18,31,...])."""
+    from unite_tpu.data.samplers import ssv2_raw_frame_indices
+
+    val = ssv2_raw_frame_indices(100, 8, "validation")
+    assert val == [12 * i + 6 for i in range(8)]
+    # test grid: tick = 100/8 = 12.5; t_seg in {0,1}
+    got = ssv2_raw_frame_indices(100, 8, "test", test_num_segment=2)
+    want = sorted([int(t * 12.5 / 2 + 12.5 * x)
+                   for t in range(2) for x in range(8)])
+    assert got == want
+    # short video: zero-padded ramp
+    assert ssv2_raw_frame_indices(3, 8, "validation") == [0] * 5 + [0, 1, 2]
+    # train randint(avg) offsets stay inside their segments
+    rng = np.random.default_rng(0)
+    tr = ssv2_raw_frame_indices(100, 8, "train", rng=rng)
+    assert all(12 * i <= v < 12 * i + 12 for i, v in enumerate(tr))
+
+
+def test_ssv2_raw_frames_test_protocol(tmp_path):
+    """Raw-frame TEST views slice the full tick grid temporally
+    ([chunk_nb::test_num_segment]) and window spatially (ssv2.py:179-210)
+    — the decord-ssv2 protocol shape, not the kinetics (chunk,crop)
+    re-decode."""
+    import cv2
+
+    from unite_tpu.data.datasets_extra import SSRawFrameClsDataset
+
+    d = tmp_path / "vid1"
+    d.mkdir()
+    for i in range(1, 21):
+        cv2.imwrite(str(d / f"img_{i:05}.jpg"),
+                    np.full((48, 64, 3), i * 10 % 255, np.uint8))
+    anno = tmp_path / "anno.csv"
+    anno.write_text(f"{d} 20 1\n")
+    ds = SSRawFrameClsDataset(
+        str(anno), sep=" ", mode="test", clip_len=4, crop_size=32,
+        short_side_size=40, test_num_segment=2, test_num_crop=3)
+    assert len(ds) == 2 * 3 * 1
+    clip, label, vid, ck, cp = ds[0]
+    # grid has 2*4 frames; view = every 2nd -> clip_len frames
+    assert clip.shape[0] == 4 and label == 1
+    assert clip.shape[1] == 40 and clip.shape[2] == 40
+    views = {(it[3], it[4]) for it in (ds[i] for i in range(len(ds)))}
+    assert views == {(c, p) for c in range(2) for p in range(3)}
+
+
 def test_dense_dataset(tmp_path):
     from unite_tpu.data.datasets_extra import VideoClsDatasetDense
 

@@ -114,7 +114,7 @@ def main():
     # per-stage echo factors sized to the 1-core host + 33MB/s H2D tunnel:
     # stage-1 ships 77MB uint8 per host batch (B=64) = ~2.3s vs ~250ms
     # device step -> echo 12+; stages 2/3 are smaller but share the host
-    echo = {"stage1": 16, "stage2": 8, "stage3": 8}
+    echo = {"stage1": 16, "stage2": 16, "stage3": 32}
 
     prev = {}
     prev_path = os.path.join(REPO, "E2E_r05.json")
@@ -149,7 +149,7 @@ def main():
             "--ann_file_val", ann["s2_val"],
             "--ann_file_test", ann["s2_test"],
             "--batch_size", 8, "--batch_size_val", 32,
-            "--epochs", 2, "--warmup_epochs", 1, "--log_freq", 8,
+            "--epochs", 2, "--warmup_epochs", 1, "--log_freq", 16,
             "--test_num_segment", 2, "--test_num_crop", 3,
             "--device_eval_transforms", "true",
             "--output_dir", s2_out, "--data_echo", echo["stage2"],
@@ -175,7 +175,7 @@ def main():
             "--ann_file_val", ann["s3_val"],
             "--ann_file_test", ann["s3_test"],
             "--batch_size", 8, "--batch_size_val", 32,
-            "--epochs", 1, "--log_freq", 8,
+            "--epochs", 1, "--log_freq", 32,
             "--test_num_segment", 2, "--test_num_crop", 3,
             "--device_eval_transforms", "true",
             "--initial_validation", "true",

@@ -64,7 +64,7 @@ def build_pretraining_dataset(args, anno_path: Optional[str] = None,
         skip_length=skip_length,
         new_step=new_step,
         input_size=args.input_size,
-        color_jitter=getattr(args, "color_jitter", 0) > 0,
+        color_jitter=float(getattr(args, "color_jitter", 0) or 0),
         flip=getattr(args, "flip", False),
         num_sample=getattr(args, "num_sample", 1),
         fraction=getattr(args, "fraction", 1.0),
@@ -117,7 +117,12 @@ def build_dataset(mode: str, args, anno_path: Optional[str] = None,
         extra = {"frame_sample_rate": getattr(args, "sampling_rate", 2) or 2}
     else:
         DS = VideoClsDatasetSparse
-        extra = {}
+        # the reference's sparse family ALSO honors --sampling_rate: any
+        # value > 0 switches every mode to the fixed-stride "skip
+        # strategy" (kinetics_sparse.py:138 frame_sample_rate=args.
+        # sampling_rate, :282 'skip_frames <= 0' gate); shipped configs
+        # use 0 (TSN sparse)
+        extra = {"frame_sample_rate": getattr(args, "sampling_rate", 0) or 0}
 
     ds = DS(
         anno_path=anno_path,

@@ -119,12 +119,31 @@ class FastCollateMixup:
         self.correct_lam = correct_lam
         self.label_smoothing = label_smoothing
         self.num_classes = num_classes
-        self.rng = np.random.default_rng(seed)
+        self.seed = int(seed)
+
+    def _batch_rng(self, clips, labels) -> np.random.Generator:
+        """One Generator per BATCH, derived from (seed, batch content).
+
+        Collation runs inside pool workers (threads or forked processes,
+        data/loader.py): a mutable shared rng would interleave draws
+        non-deterministically across threads, and forked workers would
+        inherit identical copies (duplicate lam/box draws per worker,
+        replayed every re-forked epoch). Clips are already deterministic
+        functions of (seed, epoch, index), so a content-derived rng makes
+        every mixup draw a pure function of the batch — order-independent,
+        worker-independent, and bitwise-equal across pool modes."""
+        import zlib
+
+        h = 0
+        for c, l in zip(clips, labels):
+            c = np.ascontiguousarray(c)
+            h = zlib.crc32(c[0].tobytes()[:8192], h)
+            h = zlib.crc32(str(int(l)).encode(), h)
+        return np.random.default_rng([self.seed, h])
 
     # -- parameter draws (mixup.py:136-176, rng threaded) ------------------
 
-    def _params_per_elem(self, n: int):
-        rng = self.rng
+    def _params_per_elem(self, n: int, rng: np.random.Generator):
         lam = np.ones(n, np.float32)
         use_cutmix = np.zeros(n, bool)
         if self.mixup_alpha > 0.0 and self.cutmix_alpha > 0.0:
@@ -142,8 +161,7 @@ class FastCollateMixup:
                        lam_mix.astype(np.float32), lam)
         return lam, use_cutmix
 
-    def _params_per_batch(self):
-        rng = self.rng
+    def _params_per_batch(self, rng: np.random.Generator):
         lam, use_cutmix = 1.0, False
         if rng.random() < self.prob:
             if self.mixup_alpha > 0.0 and self.cutmix_alpha > 0.0:
@@ -159,11 +177,12 @@ class FastCollateMixup:
 
     # -- mode bodies (mixup.py:247-318) ------------------------------------
 
-    def _mix_elem(self, clips: List[np.ndarray], half: bool):
+    def _mix_elem(self, clips: List[np.ndarray], half: bool,
+                  rng: np.random.Generator):
         b = len(clips)
         num_elem = b // 2 if half else b
         h, w = clips[0].shape[1:3]
-        lam_batch, use_cutmix = self._params_per_elem(num_elem)
+        lam_batch, use_cutmix = self._params_per_elem(num_elem, rng)
         out = []
         for i in range(num_elem):
             j = b - i - 1
@@ -173,7 +192,7 @@ class FastCollateMixup:
                 if use_cutmix[i]:
                     mixed = mixed.copy()
                     (yl, yh, xl, xh), lam = _cutmix_box_and_lam(
-                        self.rng, h, w, lam, self.cutmix_minmax,
+                        rng, h, w, lam, self.cutmix_minmax,
                         self.correct_lam)
                     mixed[:, yl:yh, xl:xh] = clips[j][:, yl:yh, xl:xh]
                     lam_batch[i] = lam
@@ -187,10 +206,11 @@ class FastCollateMixup:
                 [lam_batch, np.ones(num_elem, np.float32)])
         return out, lam_batch[:, None]
 
-    def _mix_pair(self, clips: List[np.ndarray]):
+    def _mix_pair(self, clips: List[np.ndarray],
+                  rng: np.random.Generator):
         b = len(clips)
         h, w = clips[0].shape[1:3]
-        lam_batch, use_cutmix = self._params_per_elem(b // 2)
+        lam_batch, use_cutmix = self._params_per_elem(b // 2, rng)
         out = [c for c in clips]
         for i in range(b // 2):
             j = b - i - 1
@@ -198,7 +218,7 @@ class FastCollateMixup:
             if lam < 1.0:
                 if use_cutmix[i]:
                     (yl, yh, xl, xh), lam = _cutmix_box_and_lam(
-                        self.rng, h, w, lam, self.cutmix_minmax,
+                        rng, h, w, lam, self.cutmix_minmax,
                         self.correct_lam)
                     ci, cj = clips[i].copy(), clips[j].copy()
                     patch = ci[:, yl:yh, xl:xh].copy()
@@ -217,14 +237,15 @@ class FastCollateMixup:
         lam_batch = np.concatenate([lam_batch, lam_batch[::-1]])
         return out, lam_batch[:, None]
 
-    def _mix_batch(self, clips: List[np.ndarray]):
+    def _mix_batch(self, clips: List[np.ndarray],
+                   rng: np.random.Generator):
         b = len(clips)
         h, w = clips[0].shape[1:3]
-        lam, use_cutmix = self._params_per_batch()
+        lam, use_cutmix = self._params_per_batch(rng)
         box = None
         if use_cutmix and lam != 1.0:
             box, lam = _cutmix_box_and_lam(
-                self.rng, h, w, lam, self.cutmix_minmax, self.correct_lam)
+                rng, h, w, lam, self.cutmix_minmax, self.correct_lam)
         out = []
         for i in range(b):
             j = b - i - 1
@@ -249,13 +270,14 @@ class FastCollateMixup:
         assert b % 2 == 0, "FastCollateMixup needs an even batch"
         clips = [np.asarray(it[0]) for it in items]
         labels = [int(it[1]) for it in items]
+        rng = self._batch_rng(clips, labels)
         half = self.mode == "half"
         if self.mode in ("elem", "half"):
-            mixed, lam = self._mix_elem(clips, half=half)
+            mixed, lam = self._mix_elem(clips, half=half, rng=rng)
         elif self.mode == "pair":
-            mixed, lam = self._mix_pair(clips)
+            mixed, lam = self._mix_pair(clips, rng=rng)
         else:
-            mixed, lam = self._mix_batch(clips)
+            mixed, lam = self._mix_batch(clips, rng=rng)
         targets = host_mixup_target(
             labels, self.num_classes, lam, self.label_smoothing)
         out_b = b // 2 if half else b

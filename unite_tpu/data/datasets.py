@@ -27,6 +27,7 @@ from unite_tpu.data import transforms as T
 from unite_tpu.data.rand_augment import rand_augment_transform
 from unite_tpu.data.random_erasing import RandomErasing
 from unite_tpu.data.samplers import (
+    dense_frame_indices,
     pretrain_segment_indices,
     sparse_frame_indices,
 )
@@ -103,6 +104,7 @@ class VideoClsDatasetSparse:
         keep_aspect_ratio: bool = True,
         new_height: int = 256,
         new_width: int = 340,
+        frame_sample_rate: int = 0,
     ):
         assert mode in ("train", "validation", "test")
         self.mode = mode
@@ -117,6 +119,7 @@ class VideoClsDatasetSparse:
         self.remode = remode
         self.recount = recount
         self.num_sample = num_sample
+        self.frame_sample_rate = int(frame_sample_rate or 0)
         self.return_aug_for_val = return_aug_for_val
         self.no_horizontal_flip = no_horizontal_flip
         self.reader = reader or default_reader()
@@ -174,11 +177,10 @@ class VideoClsDatasetSparse:
                 self.samples, self.labels, train_fraction, self.seed)
 
         if mode == "test":
-            self.test_items = []
-            for ck in range(test_num_segment):
-                for cp in range(test_num_crop):
-                    for i in range(len(self.samples)):
-                        self.test_items.append((ck, cp, i))
+            from unite_tpu.data.samplers import enumerate_test_views
+
+            self.test_items = enumerate_test_views(
+                len(self.samples), test_num_segment, test_num_crop)
 
     def __len__(self):
         if self.mode == "test":
@@ -197,11 +199,19 @@ class VideoClsDatasetSparse:
         n = self.reader.num_frames(path)
         if n <= 0:
             raise RuntimeError(f"empty video {path}")
-        nseg = self.test_num_segment if self.mode == "test" else 1
-        idx = sparse_frame_indices(
-            n, self.clip_len, clip_idx=chunk_nb, test_num_segment=nseg,
-            rng=rng,
-        )
+        if self.frame_sample_rate > 0:
+            # the reference's "skip strategy": a random fixed-stride
+            # window in EVERY mode — the skip_frames gate precedes the
+            # clip_idx branch, so even test views ignore chunk_nb
+            # (kinetics_sparse.py:282,305-311)
+            idx = dense_frame_indices(
+                n, self.clip_len, self.frame_sample_rate, rng=rng)
+        else:
+            nseg = self.test_num_segment if self.mode == "test" else 1
+            idx = sparse_frame_indices(
+                n, self.clip_len, clip_idx=chunk_nb, test_num_segment=nseg,
+                rng=rng,
+            )
         return self.reader.get_batch(path, idx)
 
     def _load_with_retry(self, index: int, chunk_nb: int,
@@ -375,7 +385,7 @@ class VideoMAEPretrainDataset:
         new_step: int = 1,
         input_size: int = 224,
         scales=(1.0, 0.875, 0.75, 0.66),
-        color_jitter: bool = False,
+        color_jitter: float = 0.0,
         flip: bool = False,
         temporal_jitter: bool = False,
         num_sample: int = 1,
@@ -400,10 +410,13 @@ class VideoMAEPretrainDataset:
         self.num_sample = num_sample
         self.reader = reader or default_reader()
 
-        # build.py:36-54 pipeline
+        # build.py:36-54 pipeline: MultiScaleCrop [+ ColorJitter(strength)
+        # when color_jitter > 0] [+ flip] — the reference applies NO
+        # grayscale stage and passes the CONFIGURED strength through
+        # (build.py:38-46, transforms.py:108-116)
         self.crop = T.GroupMultiScaleCrop(input_size, scales)
-        self.color_jitter = T.GroupColorJitter() if color_jitter else None
-        self.gray = T.GroupGrayScale(0.2) if color_jitter else None
+        self.color_jitter = (T.GroupColorJitter(float(color_jitter))
+                             if color_jitter else None)
         self.flip = T.GroupRandomHorizontalFlip(0.5) if flip else None
 
     def __len__(self):
@@ -430,8 +443,7 @@ class VideoMAEPretrainDataset:
 
     def _transform(self, clip: np.ndarray,
                    rng: np.random.Generator) -> np.ndarray:
-        if (self.device_normalize and self.color_jitter is None
-                and self.gray is None):
+        if self.device_normalize and self.color_jitter is None:
             # uint8 fast path: identical geometry draws (same _sample_crop
             # rng calls), numpy slice + SIMD cv2 resize instead of per-frame
             # PIL objects; /255 + mean/std fuse into the jitted step
@@ -454,8 +466,6 @@ class VideoMAEPretrainDataset:
         frames = self.crop(frames, rng)
         if self.color_jitter is not None:
             frames = self.color_jitter(frames, rng)
-        if self.gray is not None:
-            frames = self.gray(frames, rng)
         if self.flip is not None:
             frames = self.flip(frames, rng)
         if self.device_normalize:

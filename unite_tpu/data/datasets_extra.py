@@ -31,8 +31,11 @@ class VideoClsDatasetDense(VideoClsDatasetSparse):
     samplers.dense_segment_indices (kinetics.py:281-320)."""
 
     def __init__(self, *args, frame_sample_rate: int = 2, **kwargs):
-        self.frame_sample_rate = frame_sample_rate
+        # set AFTER super().__init__: the Sparse base now also accepts a
+        # frame_sample_rate (its skip-strategy knob, default 0) and would
+        # otherwise overwrite the dense stride with 0
         super().__init__(*args, **kwargs)
+        self.frame_sample_rate = frame_sample_rate
 
     def _load_clip(self, path: str, chunk_nb: int,
                    rng: np.random.Generator) -> np.ndarray:
@@ -203,7 +206,13 @@ class SSRawFrameClsDataset(VideoClsDatasetSparse):
     """Something-Something raw-frame dataset (ssv2.py:46-341): annotation
     lines are ``dir<sep>num_frames<sep>label`` (frame count explicit, so no
     directory listing per sample); horizontal flip disabled (ssv2 temporal
-    semantics, kinetics_sparse.py:258)."""
+    semantics, kinetics_sparse.py:258).
+
+    Index arithmetic is the raw-frame port (samplers.ssv2_raw_frame_
+    indices — average_duration offsets for train/val, the tick grid for
+    test), NOT kinetics TSN; the test item slices temporal view
+    ``buffer[chunk_nb::test_num_segment]`` out of the full sorted grid and
+    takes the strided spatial window (ssv2.py:179-210)."""
 
     def __init__(self, anno_path: str, sep: str = " ",
                  name_pattern: str = "img_{:05}.jpg", **kwargs):
@@ -219,17 +228,59 @@ class SSRawFrameClsDataset(VideoClsDatasetSparse):
                 if len(parts) >= 3:
                     self._frame_counts[parts[0]] = int(parts[1])
 
-    def _load_clip(self, path: str, chunk_nb: int,
-                   rng: np.random.Generator) -> np.ndarray:
-        from unite_tpu.data.samplers import sparse_frame_indices
-
+    def _total_frames(self, path: str) -> int:
         count = self._frame_counts.get(path, -1)
         if count <= 0:
             count = self.reader.num_frames(path)
-        nseg = self.test_num_segment if self.mode == "test" else 1
-        idx = sparse_frame_indices(count, self.clip_len, clip_idx=chunk_nb,
-                                   test_num_segment=nseg, rng=rng)
+        return count
+
+    def _load_clip(self, path: str, chunk_nb: int,
+                   rng: np.random.Generator) -> np.ndarray:
+        from unite_tpu.data.samplers import ssv2_raw_frame_indices
+
+        idx = ssv2_raw_frame_indices(
+            self._total_frames(path), self.clip_len, self.mode,
+            test_num_segment=self.test_num_segment, rng=rng)
         return self.reader.get_batch(path, idx)
+
+    def __getitem__(self, index: int):
+        if self.mode != "test":
+            return super().__getitem__(index)
+        # raw-frame test protocol (ssv2.py:179-210): decode the FULL
+        # sorted tick grid, temporal view = [chunk_nb::test_num_segment],
+        # then the strided spatial window along the long side
+        from unite_tpu.data.datasets import _item_rng
+
+        rng = _item_rng(self.seed, self.epoch, index)
+        buffer, path, label, split_nb, chunk_nb = self._load_with_retry(
+            index, 0, rng)
+        if (self.device_eval_transforms
+                and min(buffer.shape[1], buffer.shape[2])
+                == self.short_side_size):
+            pass  # decoder already delivered the short side
+        else:
+            buffer = T.resize_clip(
+                buffer if self.device_normalize else buffer.astype(np.float32),
+                self.short_side_size)
+        buffer = buffer[chunk_nb::self.test_num_segment]
+        h, w = buffer.shape[1], buffer.shape[2]
+        long_side = max(h, w)
+        if self.test_num_crop == 1:
+            start = int((long_side - self.short_side_size) / 2)
+        else:
+            step = ((long_side - self.short_side_size)
+                    / (self.test_num_crop - 1))
+            start = int(split_nb * step)
+        if h >= w:
+            buffer = buffer[:, start:start + self.short_side_size, :, :]
+        else:
+            buffer = buffer[:, :, start:start + self.short_side_size, :]
+        vid = path.split("/")[-1].split(".")[0]
+        if self.device_normalize:
+            clip = np.ascontiguousarray(buffer).astype(np.uint8)
+        else:
+            clip = T.tensor_normalize(buffer).astype(np.float32)
+        return clip, label, vid, chunk_nb, split_nb
 
 
 class SSVideoClsDataset(VideoClsDatasetSparse):
@@ -250,12 +301,11 @@ class SSVideoClsDataset(VideoClsDatasetSparse):
         self.num_segment = num_segment
         if self.mode == "test":
             # two temporal views regardless of the sparse default
-            self.test_items = [
-                (ck, cp, i)
-                for ck in range(min(self.test_num_segment, 2))
-                for cp in range(self.test_num_crop)
-                for i in range(len(self.samples))
-            ]
+            from unite_tpu.data.samplers import enumerate_test_views
+
+            self.test_items = enumerate_test_views(
+                len(self.samples), min(self.test_num_segment, 2),
+                self.test_num_crop)
 
     def _load_clip(self, path: str, chunk_nb: int,
                    rng: np.random.Generator) -> np.ndarray:

@@ -17,6 +17,13 @@ import re
 from typing import List, Optional
 
 import numpy as np
+
+
+def _require_stochastic_rng(rng):
+    # repo convention: explicit PRNG everywhere (see samplers._require_rng)
+    from unite_tpu.data.samplers import _require_rng
+
+    return _require_rng(rng)
 from PIL import Image, ImageEnhance, ImageOps
 
 _MAX_LEVEL = 10.0
@@ -26,7 +33,7 @@ _FILL = (124, 116, 104)  # round(255 * imagenet mean)
 def _interpolation(kwargs, rng: Optional[np.random.Generator] = None):
     interp = kwargs.pop("resample", Image.BILINEAR)
     if isinstance(interp, (list, tuple)):
-        rng = rng if rng is not None else np.random.default_rng()
+        rng = _require_stochastic_rng(rng)
         return interp[int(rng.integers(len(interp)))]
     return interp
 
@@ -82,24 +89,31 @@ def sharpness(img, factor, **__):
 
 
 def shear_x(img, factor, **kwargs):
+    # resample flows into every affine warp (reference rand_augment.py:
+    # 84-111 via _check_args_tf) — dropping it would silently warp with
+    # PIL's default NEAREST instead of the configured interpolation
     return img.transform(img.size, Image.AFFINE, (1, factor, 0, 0, 1, 0),
+                         resample=_interpolation(dict(kwargs)),
                          fillcolor=kwargs.get("fillcolor", _FILL))
 
 
 def shear_y(img, factor, **kwargs):
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, factor, 1, 0),
+                         resample=_interpolation(dict(kwargs)),
                          fillcolor=kwargs.get("fillcolor", _FILL))
 
 
 def translate_x_rel(img, pct, **kwargs):
     pixels = pct * img.size[0]
     return img.transform(img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0),
+                         resample=_interpolation(dict(kwargs)),
                          fillcolor=kwargs.get("fillcolor", _FILL))
 
 
 def translate_y_rel(img, pct, **kwargs):
     pixels = pct * img.size[1]
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels),
+                         resample=_interpolation(dict(kwargs)),
                          fillcolor=kwargs.get("fillcolor", _FILL))
 
 
@@ -239,7 +253,7 @@ class AugmentOp:
     def __call__(self, frames: List[Image.Image],
                  rng: Optional[np.random.Generator] = None
                  ) -> List[Image.Image]:
-        rng = rng if rng is not None else np.random.default_rng()
+        rng = _require_stochastic_rng(rng)
         if self.prob < 1.0 and rng.random() > self.prob:
             return frames
         magnitude = self.magnitude
@@ -265,7 +279,7 @@ class RandAugment:
     def __call__(self, frames: List[Image.Image],
                  rng: Optional[np.random.Generator] = None
                  ) -> List[Image.Image]:
-        rng = rng if rng is not None else np.random.default_rng()
+        rng = _require_stochastic_rng(rng)
         for i in rng.integers(0, len(self.ops), size=self.num_layers):
             frames = self.ops[int(i)](frames, rng)
         return frames

@@ -15,6 +15,13 @@ from typing import Optional
 import numpy as np
 
 
+def _require_stochastic_rng(rng):
+    # repo convention: explicit PRNG everywhere (see samplers._require_rng)
+    from unite_tpu.data.samplers import _require_rng
+
+    return _require_rng(rng)
+
+
 class RandomErasing:
     def __init__(self, probability: float = 0.25, min_area: float = 0.02,
                  max_area: float = 1 / 3, min_aspect: float = 0.3,
@@ -61,7 +68,10 @@ class RandomErasing:
         count = (self.min_count if self.min_count == self.max_count
                  else int(rng.integers(self.min_count, self.max_count + 1)))
         for _ in range(count):
-            for _attempt in range(10):
+            # 100 placement attempts like the reference (_erase_cube,
+            # random_erasing.py:148) — 10 would quietly lower the
+            # effective erase rate for extreme area/aspect draws
+            for _attempt in range(100):
                 target_area = rng.uniform(
                     self.min_area, self.max_area
                 ) * area / count
@@ -71,22 +81,22 @@ class RandomErasing:
                 if ew < w and eh < h:
                     top = int(rng.integers(0, h - eh + 1))
                     left = int(rng.integers(0, w - ew + 1))
-                    if self.cube:
-                        fill = self._fill((eh, ew, c), rng, uint8)
-                        for ti in range(t):
-                            clip[ti, top : top + eh, left : left + ew] = fill
-                    else:
-                        for ti in range(t):
-                            clip[ti, top : top + eh, left : left + ew] = (
-                                self._fill((eh, ew, c), rng, uint8)
-                            )
+                    # the reference's cube mode shares the BOX across
+                    # frames but calls _get_pixels per frame
+                    # (random_erasing.py:159-168): pixel-mode noise
+                    # flickers temporally. cube=False additionally
+                    # redraws — identical here; kept for API compat.
+                    for ti in range(t):
+                        clip[ti, top : top + eh, left : left + ew] = (
+                            self._fill((eh, ew, c), rng, uint8)
+                        )
                     break
         return clip
 
     def __call__(self, clip: np.ndarray,
                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """clip: float32 [T, H, W, C] normalized; modified copy returned."""
-        rng = rng if rng is not None else np.random.default_rng()
+        rng = _require_stochastic_rng(rng)
         if rng.random() >= self.probability:
             return clip
         return self._erase_cube(clip.copy(), rng)

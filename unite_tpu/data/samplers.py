@@ -171,6 +171,50 @@ def ssv2_segment_indices(
     return [0] * num_segment
 
 
+def ssv2_raw_frame_indices(
+    total_frames: int,
+    num_segment: int,
+    mode: str,
+    test_num_segment: int = 2,
+    rng: Optional[np.random.Generator] = None,
+) -> List[int]:
+    """EXACT port of SSRawFrameClsDataset.load_frame's index arithmetic
+    (ssv2.py:277-322) — DIFFERENT from both the kinetics-sparse TSN math
+    and the decord-ssv2 variant:
+
+    * test: the full sorted tick grid over ALL test segments,
+      ``int(t_seg * tick / test_num_segment + tick * x)`` (the caller
+      slices temporal view ``chunk_nb`` as ``buffer[chunk_nb::
+      test_num_segment]``);
+    * train: ``arange(T) * avg + randint(avg, size=T)`` with
+      ``avg = total // T`` (sorted random when avg == 0 and the video is
+      long enough; zero-padded ramp when shorter than T);
+    * validation: ``arange(T) * avg + avg // 2`` (deterministic segment
+      centers; plain ``range(T)`` / zero-pad fallbacks).
+    """
+    if mode == "test":
+        tick = total_frames / float(num_segment)
+        idx: List[int] = []
+        for t_seg in range(test_num_segment):
+            idx.extend(int(t_seg * tick / test_num_segment + tick * x)
+                       for x in range(num_segment))
+        return np.sort(np.array(idx)).tolist()
+    avg = total_frames // num_segment
+    if avg > 0:
+        if mode == "validation":
+            off = np.full(num_segment, avg // 2, dtype=int)
+        else:
+            off = _require_rng(rng).integers(0, avg, size=num_segment)
+        return [int(i) for i in
+                np.multiply(list(range(num_segment)), avg) + off]
+    if total_frames > num_segment:
+        if mode == "validation":
+            return list(range(num_segment))
+        return np.sort(_require_rng(rng).integers(
+            0, total_frames, size=num_segment)).tolist()
+    return [0] * (num_segment - total_frames) + list(range(total_frames))
+
+
 def pretrain_segment_indices(
     num_video_frames: int,
     num_segments: int,

@@ -31,7 +31,12 @@ from PIL import Image
 
 
 def _rng_or_default(rng: Optional[np.random.Generator]) -> np.random.Generator:
-    return rng if rng is not None else np.random.default_rng()
+    # repo convention (CLAUDE.md: every stochastic op takes an explicit
+    # PRNG; samplers._require_rng enforces the same): an ambient
+    # default_rng() fallback would be silently irreproducible
+    from unite_tpu.data.samplers import _require_rng
+
+    return _require_rng(rng)
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -103,46 +108,34 @@ class GroupRandomHorizontalFlip:
         return frames
 
 
-class GroupGrayScale:
-    def __init__(self, prob: float = 0.2):
-        self.prob = prob
-
-    def __call__(self, frames: List[Image.Image],
-                 rng: Optional[np.random.Generator] = None):
-        if _rng_or_default(rng).random() < self.prob:
-            return [f.convert("L").convert("RGB") for f in frames]
-        return frames
-
-
 class GroupColorJitter:
-    """Brightness/contrast/saturation/hue jitter, same draw for all frames."""
+    """The reference's GroupColorJitter (transforms.py:108-116): a
+    torchvision ColorJitter(brightness=s, contrast=s, saturation=s) —
+    NO hue — applied per frame, so factors AND op order redraw for every
+    frame (torchvision draws uniform(max(0, 1-s), 1+s) per factor and a
+    random op permutation per call)."""
 
-    def __init__(self, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
-        self.params = (brightness, contrast, saturation, hue)
+    def __init__(self, size: float = 0.4):
+        self.size = float(size)
 
-    def __call__(self, frames: List[Image.Image],
-                 rng: Optional[np.random.Generator] = None):
+    def _jitter_one(self, img, rng: np.random.Generator):
         from PIL import ImageEnhance
 
+        s = self.size
+        ops = [
+            lambda im, f: ImageEnhance.Brightness(im).enhance(f),
+            lambda im, f: ImageEnhance.Contrast(im).enhance(f),
+            lambda im, f: ImageEnhance.Color(im).enhance(f),  # saturation
+        ]
+        for i in rng.permutation(3):
+            f = rng.uniform(max(0.0, 1.0 - s), 1.0 + s)
+            img = ops[int(i)](img, f)
+        return img
+
+    def __call__(self, frames: List[Image.Image],
+                 rng: Optional[np.random.Generator] = None):
         rng = _rng_or_default(rng)
-        b, c, s, h = self.params
-        fb = 1.0 + rng.uniform(-b, b)
-        fc = 1.0 + rng.uniform(-c, c)
-        fs = 1.0 + rng.uniform(-s, s)
-        fh = rng.uniform(-h, h)
-
-        def jitter(img):
-            img = ImageEnhance.Brightness(img).enhance(fb)
-            img = ImageEnhance.Contrast(img).enhance(fc)
-            img = ImageEnhance.Color(img).enhance(fs)
-            if fh != 0.0:
-                hsv = np.asarray(img.convert("HSV")).copy()
-                hsv[..., 0] = (hsv[..., 0].astype(np.int16)
-                               + int(fh * 255)) % 256
-                img = Image.fromarray(hsv, "HSV").convert("RGB")
-            return img
-
-        return [jitter(f) for f in frames]
+        return [self._jitter_one(f, rng) for f in frames]
 
 
 class GroupMultiScaleCrop:
@@ -245,14 +238,14 @@ def random_short_side_scale_jitter(clip: np.ndarray, min_size: int,
                                    rng: Optional[np.random.Generator] = None
                                    ) -> np.ndarray:
     """video_transforms.py:63-103: uniform short-side in [min, max]."""
-    rng = rng or np.random.default_rng()
+    rng = _rng_or_default(rng)
     size = int(round(rng.uniform(min_size, max_size)))
     return resize_clip(clip, size)
 
 
 def random_crop(clip: np.ndarray, size: int,
                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    rng = rng or np.random.default_rng()
+    rng = _rng_or_default(rng)
     t, h, w, c = clip.shape
     y = int(rng.integers(0, h - size + 1))
     x = int(rng.integers(0, w - size + 1))
@@ -274,7 +267,7 @@ def uniform_crop(clip: np.ndarray, size: int, spatial_idx: int) -> np.ndarray:
 
 def horizontal_flip(clip: np.ndarray, prob: float = 0.5,
                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    rng = rng or np.random.default_rng()
+    rng = _rng_or_default(rng)
     if rng.random() < prob:
         return clip[:, :, ::-1]
     return clip
@@ -286,9 +279,16 @@ def center_crop(clip: np.ndarray, size: int) -> np.ndarray:
 
 def tensor_normalize(clip: np.ndarray, mean=IMAGENET_MEAN,
                      std=IMAGENET_STD) -> np.ndarray:
-    """uint8/float [T,H,W,C] → /255 → (x-mean)/std (kinetics_sparse.py:434)."""
+    """uint8/float [T,H,W,C] → /255 → (x-mean)/std (kinetics_sparse.py:434).
+
+    The /255 rescale keys on DTYPE exactly like the reference
+    (kinetics_sparse.py:442 ``tensor.dtype == torch.uint8``) — a value
+    heuristic (max() > 1) would silently mis-normalize an all-dark uint8
+    clip (every pixel 0/1: black intro frames, H.264 black level) by
+    skipping the rescale."""
+    is_uint8 = clip.dtype == np.uint8
     clip = clip.astype(np.float32)
-    if clip.max() > 1.0 + 1e-3:
+    if is_uint8:
         clip = clip / 255.0
     return (clip - mean) / std
 
@@ -301,7 +301,7 @@ def random_resized_crop(clip: np.ndarray, target_h: int, target_w: int,
     center-crop fallback."""
     import math
 
-    rng = rng or np.random.default_rng()
+    rng = _rng_or_default(rng)
     t, h, w, c = clip.shape
     area = h * w
     for _ in range(10):

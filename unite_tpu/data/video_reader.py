@@ -29,7 +29,24 @@ _NATIVE_LIB_NAMES = (
 
 
 class VideoReaderBase:
+    # every dataset item calls num_frames(path) then get_batch(path, idx):
+    # without a memo that is TWO container opens + stream probes per item
+    # per epoch (decord keeps one open VideoReader instead). Frame count
+    # is immutable for a training run and independent of decode scaling,
+    # so the base class memoizes it per path (bounded; cleared at cap).
+    _NFRAMES_CAP = 100_000
+
     def num_frames(self, path: str) -> int:
+        cache = self.__dict__.setdefault("_nframes_cache", {})
+        n = cache.get(path)
+        if n is None:
+            n = self._probe_num_frames(path)
+            if len(cache) >= self._NFRAMES_CAP:
+                cache.clear()
+            cache[path] = n
+        return n
+
+    def _probe_num_frames(self, path: str) -> int:
         raise NotImplementedError
 
     def get_batch(self, path: str, indices: Sequence[int]) -> np.ndarray:
@@ -118,7 +135,7 @@ class NativeVideoReader(VideoReaderBase):
             raise FileNotFoundError(f"cannot open video: {path}")
         return lib, handle
 
-    def num_frames(self, path: str) -> int:
+    def _probe_num_frames(self, path: str) -> int:
         lib, h = self._open(path)
         try:
             return int(lib.vd_num_frames(h))
@@ -154,7 +171,7 @@ class CV2VideoReader(VideoReaderBase):
         self.short_side = short_side
         self.size = size
 
-    def num_frames(self, path: str) -> int:
+    def _probe_num_frames(self, path: str) -> int:
         import cv2
 
         cap = cv2.VideoCapture(path)
