@@ -139,3 +139,27 @@ def test_device_peak_mem_meter(monkeypatch, capsys):
         lg.update(loss=1.0)
     out = capsys.readouterr().out
     assert "max mem: 64MB" in out
+
+
+def test_data_parallel_jit_static_argnums():
+    """static args are removed from jit's dynamic positional tuple before
+    in_shardings is matched — data_parallel_jit must skip them when
+    building the shardings list or the first call raises ValueError."""
+    import jax
+    import jax.numpy as jnp
+
+    from unite_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+
+    def step(state, batch, flag):
+        scale = 2.0 if flag else 1.0
+        return state, {"loss": jnp.mean(batch["x"]) * scale}
+
+    fn = pmesh.data_parallel_jit(step, mesh, state_argnums=(0,),
+                                 batch_argnums=(1,), static_argnums=(2,),
+                                 donate_state=False)
+    state = pmesh.replicate({"w": jnp.ones((3,))}, mesh)
+    batch = pmesh.shard_batch({"x": np.ones((8, 3), np.float32)}, mesh)
+    _, m = fn(state, batch, True)
+    assert float(m["loss"]) == 2.0

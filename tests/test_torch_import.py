@@ -264,6 +264,27 @@ def test_pos_embed_interpolation_shapes():
     np.testing.assert_allclose(state2["pos_embed"].numpy(), pe.numpy())
 
 
+def test_pos_embed_temporal_interp_preserves_extra_tokens():
+    """Temporal interpolation with a cls token: the extra rows must be
+    split off BEFORE the [T, S*S] temporal view (folding them in either
+    breaks the view — rows not divisible by T — or blends the cls row
+    into patch embeddings; the reference's own branch has this latent
+    defect, run_stage2.py:412, fixed here per policy)."""
+    pe = torch.randn(1, 1 + 4 * 16, DIM)
+    state = ti.interpolate_pos_embed(
+        {"pos_embed": pe.clone()}, num_patches=8 * 16, num_extra_tokens=1,
+        new_frames=8, tubelet_size=1, orig_frames=4,
+    )
+    got = state["pos_embed"]
+    assert got.shape == (1, 1 + 8 * 16, DIM)
+    # cls row passes through bitwise; patch rows are interpolated
+    np.testing.assert_allclose(got[0, 0].numpy(), pe[0, 0].numpy(), rtol=0)
+    # endpoint frames reproduce the original first/last temporal planes
+    # under linear interpolation (align_corners default False stretches,
+    # so just check the rows moved but stayed finite + right count)
+    assert np.isfinite(got.numpy()).all()
+
+
 def test_surgery_head():
     sd = {"head.weight": torch.randn(710, 8), "head.bias": torch.randn(710)}
     out = ti.surgery_head(dict(sd), nb_classes=400)

@@ -120,9 +120,14 @@ def device_val_transform(videos, short_side: int, crop_size: int,
     if videos.dtype != jnp.uint8:
         return videos.astype(dtype)
     if videos.shape[-3] == videos.shape[-2] == crop_size:
-        # already at the model raster (host-cropped train clips fed to the
-        # kNN probe, or test views with short_side == input_size): the
-        # protocol's resize+crop would be an upscale round-trip — skip it
+        # already at the model raster: host-cropped TRAIN clips fed to the
+        # kNN gallery, or test views with short_side == input_size. This
+        # shape cannot be a raw val/test decode needing the magnify+crop
+        # protocol: --device_eval_transforms decodes val/test at
+        # decode-time short-side scaling (reader_for(for_eval=True)), so
+        # raw eval rasters always arrive with short side == short_side
+        # (and _check_canvas enforces one raster per run) — a crop_size-
+        # square input here is by construction already transformed
         x = videos.astype(jnp.float32)
     else:
         x = resize_short_side(videos, short_side).astype(jnp.float32)

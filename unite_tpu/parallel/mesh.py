@@ -167,6 +167,11 @@ def data_parallel_jit(fn, mesh: Mesh, state_argnums=(0,), batch_argnums=(1,),
     n_known = len(inspect.signature(fn).parameters)
     in_shardings = []
     for i in range(n_known):
+        if i in static_argnums:
+            # static args are removed from jit's dynamic positional tuple
+            # before in_shardings is matched — including an entry for them
+            # makes the lengths disagree and the first call raises
+            continue
         if i == state_argnums[0] and state_shardings is not None:
             in_shardings.append(state_shardings)  # e.g. ZeRO-1 layout
         elif i in state_argnums:
@@ -212,7 +217,7 @@ def _zero1_leaf_spec(mesh: Mesh, axis: str):
 
 def zero1_sharding_tree(state, mesh: Mesh, axis: str = "data"):
     """ZeRO-1-style sharding layout: params replicated, optimizer moments
-    sharded over ``axis`` along their largest divisible dimension.
+    sharded over ``axis`` along their first divisible dimension.
 
     The reference only ever ran an (unused) DeepSpeed ZeRO path
     (run_stage2.py:258-282); here optimizer-state sharding is a layout
@@ -242,7 +247,7 @@ def shard_state_zero1(state, mesh: Mesh, axis: str = "data"):
 
 def fsdp_sharding_tree(state, mesh: Mesh, axis: str = "data"):
     """ZeRO-3/FSDP-style layout: params, EMA AND optimizer moments all
-    shard over ``axis`` along their largest divisible dim (the same rule
+    shard over ``axis`` along their first divisible dim (the same rule
     as ZeRO-1's moments, _zero1_leaf_spec). GSPMD then materializes each
     param by all-gather at its use sites inside the step and keeps the
     gradient reduction as a reduce-scatter into the shard — the

@@ -39,7 +39,10 @@ def _to_numpy_tree(tree):
 
 
 def is_main_process() -> bool:
-    return jax.process_index() == 0
+    # single source of truth lives with the mesh helpers
+    from unite_tpu.parallel.mesh import is_main_process as _imp
+
+    return _imp()
 
 
 def _payload(epoch, model_params, opt_state, model_ema, args, extra):

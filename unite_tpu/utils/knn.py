@@ -32,8 +32,8 @@ def knn_classifier(
     """
     train = np.asarray(train_features, np.float32)
     test = np.asarray(test_features, np.float32)
-    train /= np.linalg.norm(train, axis=1, keepdims=True) + 1e-8
-    test /= np.linalg.norm(test, axis=1, keepdims=True) + 1e-8
+    train = train / (np.linalg.norm(train, axis=1, keepdims=True) + 1e-8)
+    test = test / (np.linalg.norm(test, axis=1, keepdims=True) + 1e-8)
     train_labels = np.asarray(train_labels)
     test_labels = np.asarray(test_labels)
     c = num_classes or int(train_labels.max()) + 1

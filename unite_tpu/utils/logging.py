@@ -91,7 +91,20 @@ class WandbLogger:
             try:
                 rec[k] = float(v)
             except (TypeError, ValueError):
-                rec[k] = v
+                # keep the mirror alive for non-scalars: lists stay JSON,
+                # anything else (ndarray, objects) records as str — a
+                # raw ndarray would make json.dumps raise and kill the
+                # entry mid-epoch in exactly the zero-egress environment
+                # this fallback exists for
+                if isinstance(v, (str, bool, int, list, type(None))):
+                    rec[k] = v
+                elif hasattr(v, "tolist"):
+                    try:
+                        rec[k] = v.tolist()
+                    except Exception:
+                        rec[k] = str(v)
+                else:
+                    rec[k] = str(v)
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
         self._step = rec["_step"] + 1

@@ -148,10 +148,21 @@ def interpolate_pos_embed(
 
     if orig_t != new_t:
         print(f"Temporal interpolate from {orig_t} to {new_t}")
-        tmp = pe.view(1, orig_t, -1, c).permute(0, 2, 3, 1).reshape(-1, c, orig_t)
+        # split the extra (cls) rows BEFORE the temporal view: folding them
+        # into the [T, S*S] grid either breaks the view (rows not divisible
+        # by T) or silently blends the cls row into patch embeddings. The
+        # reference's own temporal branch has this latent defect
+        # (run_stage2.py:412 ignores its extra tokens); policy here is to
+        # fix, not replicate (the spatial branch below already does).
+        extra_t = pe[:, :num_extra_tokens] if pe.dim() == 3 else \
+            pe[None, :num_extra_tokens]
+        pe3 = pe if pe.dim() == 3 else pe[None]
+        body = pe3[:, num_extra_tokens:]
+        tmp = body.reshape(1, orig_t, -1, c).permute(0, 2, 3, 1).reshape(
+            -1, c, orig_t)
         tmp = torch.nn.functional.interpolate(tmp, size=new_t, mode="linear")
         tmp = tmp.view(1, -1, c, new_t).permute(0, 3, 1, 2).reshape(1, -1, c)
-        pe = tmp
+        pe = torch.cat((extra_t, tmp), dim=1)
 
     if orig_size != new_size:
         print(f"Position interpolate from {orig_size}x{orig_size} to {new_size}x{new_size}")
