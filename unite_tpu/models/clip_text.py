@@ -355,12 +355,21 @@ def build_zero_shot_fn(args, teacher, teacher_params):
     # scale that embeds ~350MB of weights in the serialized HLO (the
     # tunneled compile service rejects the request with HTTP 413, and any
     # backend pays the duplicate weight storage in the executable)
+    res = getattr(args, "clip_input_resolution", None)
+
     @jax.jit
     def zero_shot(tp, videos):
+        from unite_tpu.engines.pretrain_umt import resize_for_teacher
         from unite_tpu.ops.normalize import normalize_videos
 
-        feats = teacher.apply({"params": tp},
-                              normalize_videos(videos), None, True)
+        x = normalize_videos(videos)
+        if res:
+            # same torch-parity resize the train step applies before its
+            # teacher forward — without it any clip_input_resolution !=
+            # input_size (the L/14-at-196 recipe) trips the teacher's
+            # raster check on the first target batch
+            x = resize_for_teacher(x, int(res))
+        feats = teacher.apply({"params": tp}, x, None, True)
         b = videos.shape[0]
         feats = feats.reshape(b, -1, feats.shape[-1])  # [B, T, D]
         logits = 100.0 * jnp.einsum("btd,cd->btc", feats.astype(jnp.float32), tf)

@@ -316,7 +316,10 @@ def stage2_parser() -> argparse.ArgumentParser:
     p.add_argument("--mixup", type=float, default=0.0)
     p.add_argument("--cutmix", type=float, default=0.0)
     p.add_argument("--cutmix_minmax", type=float, nargs="+", default=None)
-    p.add_argument("--mixup_prob", type=float, default=0.0)
+    # reference parser default 1.0 (run_stage2.py:160): a bare
+    # `--mixup 0.8` must actually mix; the shipped YAMLs still set
+    # 0.0 explicitly (key-for-key with the reference configs)
+    p.add_argument("--mixup_prob", type=float, default=1.0)
     p.add_argument("--mixup_switch_prob", type=float, default=0.5)
     p.add_argument("--mixup_mode", default="batch")
     # ema / accumulation

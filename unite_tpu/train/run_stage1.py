@@ -24,7 +24,7 @@ from unite_tpu.data.build import build_pretraining_dataset
 from unite_tpu.data.loader import cycle, device_prefetch, echo_batches
 from unite_tpu.data.sharding import repetitions_to_match
 from unite_tpu.engines.pretrain_umt import make_pretrain_train_step
-from unite_tpu.ops.masking import n_visible_total, visible_indices
+from unite_tpu.ops.masking import n_visible_total
 from unite_tpu.optim.factory import create_optimizer
 from unite_tpu.parallel import mesh as pmesh
 from unite_tpu.train import common
@@ -35,14 +35,18 @@ from unite_tpu.utils import torch_import as ti
 from unite_tpu.utils.registry import create_model
 
 
-def unused_block_mask(params, max_ret: int):
-    """trainable_mask freezing encoder blocks above ``max_ret``.
+def unused_block_mask(params, max_ret: int,
+                      freeze_clip_decoders: bool = False):
+    """trainable_mask freezing encoder blocks above ``max_ret`` (and the
+    clip decoders under --freeze_clip_decoders, run_stage1.py:596-600:
+    the reference sets requires_grad=False on every clip_decoder.* param).
 
-    Under clip_only training those blocks never run; the reference leaves
-    their .grad None and torch AdamW skips None-grad params (no step, no
-    decay), so the checkpoint carries their loaded weights bitwise. An
-    optax update would instead see ZERO grads and still apply decoupled
-    weight decay — freezing reproduces the torch semantics exactly."""
+    Under clip_only training the high blocks never run; the reference
+    leaves their .grad None and torch AdamW skips None-grad params (no
+    step, no decay), so the checkpoint carries their loaded weights
+    bitwise. An optax update would instead see ZERO grads and still apply
+    decoupled weight decay — freezing reproduces the torch semantics
+    exactly."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     mask = {}
     for keypath, _ in flat:
@@ -51,6 +55,8 @@ def unused_block_mask(params, max_ret: int):
         if (len(path) >= 2 and path[0] == "encoder"
                 and path[1].startswith("blocks_")):
             live = int(path[1].split("_")[1]) <= max_ret
+        if freeze_clip_decoders and path and                 path[0].startswith("clip_decoder"):
+            live = False
         node = mask
         for p in path[:-1]:
             node = node.setdefault(p, {})
@@ -137,7 +143,14 @@ def load_student(args, params):
 
 def load_clip_teacher_params(args, teacher, example):
     """Init then overlay extracted OpenAI weights if provided via
-    args.prefix-style path (stage1.sh passes the extracted vit_b16.pth)."""
+    args.prefix-style path (stage1.sh passes the extracted vit_b16.pth).
+
+    The init example is built at clip_input_resolution, NOT input_size:
+    the train step resizes clips before teacher.apply (resize_for_teacher)
+    but init does not — an input_size example would trip the teacher's
+    raster check for the L/14-at-196 recipe before training starts."""
+    res = getattr(args, "clip_input_resolution", None) or args.input_size
+    example = jnp.zeros(example.shape[:-3] + (res, res, 3), example.dtype)
     params = teacher.init(jax.random.PRNGKey(0), example)["params"]
     clip_path = getattr(args, "clip_init", "") or ""
     if clip_path:
@@ -222,7 +235,9 @@ def main(args):
         # skips them entirely (no update, no decay) — freeze them so the
         # checkpointed weights pass through bitwise
         trainable_mask=unused_block_mask(
-            sp, max(int(i) for i in args.clip_return_layers)),
+            sp, max(int(i) for i in args.clip_return_layers),
+            freeze_clip_decoders=getattr(args, "freeze_clip_decoders",
+                                         False)),
         mu_dtype=common.mu_dtype_for(args),
     )
     state = TrainState.create(sp, tx)
@@ -292,8 +307,14 @@ def main(args):
             if args.mask_type not in ("attention",):
                 bool_mask = np.asarray(mask).astype(bool).reshape(
                     videos.shape[0], -1)
-                batch["vis_idx"] = np.asarray(
-                    visible_indices(jnp.asarray(bool_mask), nv))
+                # numpy equivalent of ops.masking.visible_indices (stable
+                # argsort of the bool mask, first n_vis): the jnp version
+                # here would cost two tunnel round trips PER BATCH on the
+                # producer thread (H2D mask + blocking D2H read) for
+                # microseconds of host work
+                batch["vis_idx"] = np.argsort(
+                    bool_mask.astype(np.int32), axis=-1,
+                    kind="stable")[:, :nv].astype(np.int32)
             if cdtype == jnp.bfloat16:
                 batch = pmesh.cast_videos_bf16(batch)
             yield pmesh.shard_batch(batch, mesh)

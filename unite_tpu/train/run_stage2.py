@@ -322,7 +322,20 @@ def main(args):
                 opt_state=set_schedule_count(
                     new_state.opt_state, step_now // args.update_freq),
             )
-            state = pmesh.replicate(new_state, mesh)
+            if args.model_ema and state.ema_params is not None:
+                # the LP phase's accumulated EMA carries over: the
+                # reference's timm ModelEma persists untouched across its
+                # requires_grad flip (run_stage2.py:741-747) — create()
+                # would reset it to the instantaneous params
+                new_state = new_state.replace(
+                    ema_params=jax.device_get(state.ema_params))
+            # match step_fn's pinned state in_shardings: a plain replicate
+            # under --zero1/--fsdp/--tp would mismatch the declared layout
+            # (the startup path uses device_put(state, layout) too)
+            if layout is not None:
+                state = jax.device_put(new_state, layout)
+            else:
+                state = pmesh.replicate(new_state, mesh)
         state, stats, _ = common.train_one_epoch(
             state, step_fn,
             device_prefetch(echo_batches(

@@ -191,7 +191,24 @@ def main(args):
     # src_classifier's params are never registered with any optimizer), so
     # the stage-2-loaded head stays fixed through self-training even though
     # it receives gradients. Freeze it identically here.
-    tmask = {"model": jax.tree.map(lambda _: True, sp),
+    # NOTE: no high-block freeze here — stage-3's full-vis classification
+    # passes run EVERY encoder block (unlike stage-1's clip_only training),
+    # so the whole encoder trains; only --freeze_clip_decoders composes
+    # (reference run_stage3.py:918 mirrors run_stage1.py:596-600)
+    _freeze_dec = getattr(args, "freeze_clip_decoders", False)
+
+    def _model_live(path_first: str) -> bool:
+        return not (_freeze_dec and path_first.startswith("clip_decoder"))
+
+    _flat = jax.tree_util.tree_flatten_with_path(sp)[0]
+    _mm = {}
+    for _kp, _ in _flat:
+        _pp = tuple(k.key for k in _kp)
+        node = _mm
+        for p in _pp[:-1]:
+            node = node.setdefault(p, {})
+        node[_pp[-1]] = _model_live(_pp[0])
+    tmask = {"model": _mm,
              "classifier": jax.tree.map(lambda _: False, hp)}
     tx, opt_groups = create_optimizer(
         args.opt, lr=lr_tab, params=params, weight_decay=wd_tab,
